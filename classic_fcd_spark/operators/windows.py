@@ -1,0 +1,120 @@
+"""Ordered analytics: the reference computes all of these in JS loops over
+arrays fetched from Postgres (SURVEY §2.5); here they are real Window specs,
+which distribute (partitioned windows) instead of running on one node.
+
+Scale note: unpartitioned ordered windows (cumulative series over *days*)
+are safe because the row count equals the number of days/minutes — tiny.
+Per-key windows (per denom / per validator / per account) partition by key
+and therefore scale horizontally. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cumulative(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Running sum — reference: src/service/dashboard/getAccountGrowth.ts:6-55,
+    getBlockRewards.ts:5-27, getTransactionVol.ts:5-36 (W1-W3)."""
+    w = Window.orderBy(order_col)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def day_over_day(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Periodic (diff-from-previous) series — reference:
+    src/service/dashboard/getRegisteredAccounts.ts:4-30 (W4), and the
+    one-day price variation at src/service/market/getPrice.ts:92-116 (W6)."""
+    w = Window.orderBy(order_col)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    return df.withColumn(out_col, F.col(value_col) - F.lag(value_col, 1).over(w))
+
+
+def moving_avg(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    trailing_rows: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trailing-N moving average — reference: the 10-day staking-return MA at
+    src/service/dashboard/getStakingReturn.ts:15-43 (W5)."""
+    w = Window.orderBy(order_col)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    w = w.rowsBetween(-(trailing_rows - 1), Window.currentRow)
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str | Column,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """DISTINCT ON equivalent: keep the newest row per key — reference:
+    src/service/dashboard/getSeigniorageProceeds.ts:17-31 (W7),
+    getGeneralInfo.ts:21-37 (W8), and the latest-vote-per-voter dedup at
+    src/service/governance/helper/voteSummary.ts:124 (D6).
+
+    ``tiebreak_cols`` make row_number deterministic when order_col ties.
+    """
+    order = [F.col(order_col).desc() if isinstance(order_col, str) else order_col]
+    for c in tiebreak_cols or []:
+        order.append(F.col(c).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    range_end: Column,
+    out_col: str = "twavg",
+) -> DataFrame:
+    """Time-weighted average of a step function — the reference's hardest
+    operator (SURVEY §2.5 W9): it reconstructs voting power backwards from
+    now through delegation events in a JS loop
+    (src/service/staking/helper.ts:142-211).
+
+    Spark-first formulation: each event starts a segment that lasts until
+    the next event (lead) or ``range_end``; the average weights each
+    segment's value by its duration.  One shuffle on ``key_cols``; no
+    driver-side iteration, so it scales to billions of events.
+
+    Returns one row per key: key_cols + [out_col].
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    seg_end = F.coalesce(F.lead(ts_col, 1).over(w), range_end)
+    seg_secs = F.col("__seg_end").cast("double") - F.col(ts_col).cast("double")
+    return (
+        df.withColumn("__seg_end", seg_end)
+        .withColumn("__dur", seg_secs)
+        .groupBy(*key_cols)
+        .agg(
+            (F.sum(F.col(value_col) * F.col("__dur")) / F.sum("__dur")).alias(out_col)
+        )
+    )

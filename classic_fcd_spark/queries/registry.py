@@ -1,0 +1,49 @@
+"""Registry of (Spark query, DuckDB oracle) pairs.
+
+Modules under classic_fcd_spark.queries register into ``QUERIES`` at import
+time.  ``oracle`` is None for genuinely non-SQL-expressible operators
+(MinHash-LSH banding, streaming state); the driver then records a weaker
+rows-only check — see __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str  # which SURVEY §2 operators this exercises
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # import for side-effect registration; keep alphabetical
+    from classic_fcd_spark.queries import (  # noqa: F401
+        core,
+    )
+
+
+def query_fn_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

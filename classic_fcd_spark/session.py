@@ -1,0 +1,112 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Design notes (100 TB target):
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast
+  selection replace all of the reference's hand-tuning (forced bitmap
+  scans, chunked writes — see SURVEY.md §4).
+- shuffle.partitions defaults to the local core count for tests; on a
+  real cluster this is overridden (or left to AQE's coalescing with a
+  high initial partition number).
+- UTC session timezone: the reference stores UTC timestamps throughout
+  (src/lib/time.ts); keeping the session in UTC makes date_trunc/
+  date_format deterministic across environments.
+- Arrow enabled: every Python-side exchange (createDataFrame, toPandas,
+  pandas UDFs) goes through Arrow batches, never per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: vectorized reader + pushdown are on by default; keep
+    # explicit so a misconfigured environment cannot silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Money columns are DecimalType(38,10) (SURVEY §1.3); operations that
+    # would overflow must fail loudly, not return null.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+    # type for; read as long and convert in load_tables (truncate to µs,
+    # matching DuckDB's ns→µs cast semantics).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "classic_fcd_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default *) so
+    the same entry points run under the driver harness and on a cluster
+    (where ``master`` is supplied by spark-submit and this arg stays None
+    but an active session already exists).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the driver's parquet tables as DataFrames and register temp views.
+
+    Columnar parquet scans + Catalyst pushdown replace the reference's
+    B-tree/GIN index tuning (sql/customIndex.sql:1-15) — see SURVEY §4.
+    """
+    # Set at runtime too so the driver's own session (which may not use our
+    # factory) can still read the ns-timestamp events table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dfs = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for field in df.schema.fields:
+                # nanos-as-long columns come back as plain LongType; restore
+                # timestamp semantics (floor to µs — DuckDB's cast does the
+                # same truncation for positive epochs).
+                if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs
