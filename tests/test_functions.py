@@ -1,0 +1,132 @@
+"""Unit tests for the scalar function library (SURVEY §2.8/2.10).
+
+Mirrors the reference's own unit surface: src/lib/math.spec.ts (null
+coercion edge cases) and the address helpers in src/lib/common.ts.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.functions import math as m
+from classic_fcd_spark.functions.bech32 import (
+    bech32_decode,
+    bech32_encode,
+    convert_prefix,
+    pubkey_to_address,
+    to_hex,
+)
+from classic_fcd_spark.functions.common import (
+    denom_sort_key,
+    denom_to_currency,
+    extract_addresses,
+    split_denom_and_amount,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+class TestMathSemantics:
+    """Replicates src/lib/math.spec.ts null/zero behavior."""
+
+    def test_plus_null_coerces_to_zero(self, spark):
+        assert _one(spark, m.plus(F.lit(None), F.lit(2))) == Decimal("2")
+        assert _one(spark, m.plus(F.lit(None), F.lit(None))) == Decimal("0")
+
+    def test_minus_times(self, spark):
+        assert _one(spark, m.minus(F.lit("5.5"), F.lit(None))) == Decimal("5.5")
+        assert _one(spark, m.times(F.lit(None), F.lit(7))) == Decimal("0")
+        assert _one(spark, m.times(F.lit("2.5"), F.lit(4))) == Decimal("10")
+
+    def test_div_null_divisor_is_identity(self, spark):
+        # math.ts:8-9 — div(a, undefined) = a / 1
+        assert _one(spark, m.div(F.lit("7.5"), F.lit(None))) == Decimal("7.5")
+        assert _one(spark, m.div(F.lit(None), F.lit(4))) == Decimal("0")
+        assert _one(spark, m.div(F.lit(9), F.lit(2))) == Decimal("4.5")
+
+    def test_integer_portion_truncates_toward_zero(self, spark):
+        assert _one(spark, m.get_integer_portion(F.lit("3.99"))) == Decimal("3")
+        assert _one(spark, m.get_integer_portion(F.lit("-3.99"))) == Decimal("-3")
+
+    def test_decimal_38_10_extremes(self, spark):
+        # SURVEY §1.3: 28 integer digits is the policy ceiling.
+        big = "9" * 28 + ".5"
+        assert _one(spark, m.dec(F.lit(big))) == Decimal(big)
+
+
+class TestCoinParsing:
+    def test_split_denom_and_amount(self, spark):
+        row = _one(spark, split_denom_and_amount(F.lit("123.45ukrw")))
+        assert row["amount"] == Decimal("123.45") and row["denom"] == "ukrw"
+
+    def test_split_malformed(self, spark):
+        row = _one(spark, split_denom_and_amount(F.lit("garbage")))
+        assert row["amount"] == Decimal("0") and row["denom"] == ""
+
+    def test_denom_currency_map(self, spark):
+        assert _one(spark, denom_to_currency(F.lit("uluna"))) == "Luna"
+        assert _one(spark, denom_to_currency(F.lit("ukrw"))) == "KRT"
+        assert _one(spark, denom_to_currency(F.lit("unknown"))) == "unknown"
+
+    def test_denom_sort_order(self, spark):
+        df = spark.createDataFrame(
+            [("uusd",), ("x",), ("uluna",), ("usdr",), ("ukrw",), ("a",)], ["d"]
+        )
+        got = [r["d"] for r in df.orderBy(denom_sort_key("d")).collect()]
+        assert got == ["uluna", "ukrw", "usdr", "uusd", "a", "x"]
+
+
+# A real mainnet address pair (public, from Terra docs examples) would pin
+# exactness; instead pin self-consistency + the BIP-173 spec test vector.
+class TestBech32:
+    def test_spec_vector_roundtrip(self):
+        # BIP-173 valid test vector
+        assert bech32_decode("an83characterlonghumanreadablepartthatcontainsthenumber1andtheexcludedcharactersbio1tt5tgs") is not None
+
+    def test_roundtrip_and_prefix_convert(self):
+        data = list(range(20)) + list(range(12))
+        addr = bech32_encode("terra", data)
+        assert bech32_decode(addr) == ("terra", data)
+        val = convert_prefix(addr, "terravaloper")
+        assert val.startswith("terravaloper1")
+        assert convert_prefix(val, "terra") == addr
+
+    def test_to_hex_is_20_bytes(self):
+        payload = _fake_account_payload()
+        addr = bech32_encode("terra", payload)
+        h = to_hex(addr)
+        assert h is not None and len(h) == 40
+
+    def test_pubkey_to_address_deterministic(self):
+        a1 = pubkey_to_address(b"\x01" * 33)
+        a2 = pubkey_to_address(b"\x01" * 33)
+        assert a1 == a2 and a1.startswith("terravalcons1")
+
+    def test_udf_batch(self, spark):
+        from classic_fcd_spark.functions.bech32 import bech32_convert_to_valoper
+
+        addr = bech32_encode("terra", _fake_account_payload())
+        df = spark.createDataFrame([(addr,), (None,), ("notanaddress",)], ["a"])
+        out = [r["v"] for r in df.select(bech32_convert_to_valoper("a").alias("v")).collect()]
+        assert out[0].startswith("terravaloper1")
+        assert out[1] is None and out[2] is None
+
+
+def _fake_account_payload():
+    # 20 bytes → 32 5-bit groups
+    from classic_fcd_spark.functions.bech32 import _convertbits
+
+    return _convertbits(list(range(20)), 8, 5)
+
+
+class TestAddressExtraction:
+    def test_extracts_both_kinds_distinct(self, spark):
+        acct = bech32_encode("terra", _fake_account_payload())
+        val = convert_prefix(acct, "terravaloper")
+        payload = f'{{"from":"{acct}","to":"{acct}","val":"{val}"}}'
+        got = _one(spark, extract_addresses(F.lit(payload)))
+        assert sorted(got) == sorted([acct, val])

@@ -1,0 +1,105 @@
+"""Unit tests for the reusable operator library (SURVEY §2.3/2.5/2.6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.asof import asof_join
+from classic_fcd_spark.operators.pagination import keyset_page_df
+from classic_fcd_spark.operators.topk import top_k, with_share_of_total
+from classic_fcd_spark.operators.windows import (
+    cumulative,
+    day_over_day,
+    latest_per_key,
+    moving_avg,
+    time_weighted_avg,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_latest_at_or_before(self, spark):
+        # J10: "price one day before" — latest right row <= left ts per key.
+        prices = spark.createDataFrame(
+            [
+                ("ukrw", _ts("2021-01-01 00:00:00"), 1.0),
+                ("ukrw", _ts("2021-01-02 00:00:00"), 2.0),
+                ("uusd", _ts("2021-01-01 12:00:00"), 10.0),
+            ],
+            ["denom", "pts", "price"],
+        )
+        lookups = spark.createDataFrame(
+            [
+                ("ukrw", _ts("2021-01-01 12:00:00")),  # → 1.0
+                ("ukrw", _ts("2021-01-02 00:00:00")),  # boundary → 2.0
+                ("uusd", _ts("2021-01-01 00:00:00")),  # before any → null
+            ],
+            ["denom", "ts"],
+        )
+        out = {
+            (r["denom"], r["ts"].isoformat()): r["price_asof"]
+            for r in asof_join(
+                lookups, prices, ["denom"], "ts", "pts", ["price"]
+            ).collect()
+        }
+        assert out[("ukrw", "2021-01-01T12:00:00")] == 1.0
+        assert out[("ukrw", "2021-01-02T00:00:00")] == 2.0
+        assert out[("uusd", "2021-01-01T00:00:00")] is None
+
+
+class TestWindows:
+    def test_cumulative_and_dod(self, spark):
+        df = spark.createDataFrame(
+            [("d1", 1), ("d2", 3), ("d3", 2)], ["day", "v"]
+        )
+        cum = {r["day"]: r["c"] for r in cumulative(df, "day", "v", "c").collect()}
+        assert cum == {"d1": 1, "d2": 4, "d3": 6}
+        dod = {r["day"]: r["d"] for r in day_over_day(df, "day", "v", "d").collect()}
+        assert dod == {"d1": None, "d2": 2, "d3": -1}
+
+    def test_moving_avg(self, spark):
+        df = spark.createDataFrame([("d1", 2.0), ("d2", 4.0), ("d3", 6.0)], ["day", "v"])
+        got = {r["day"]: r["m"] for r in moving_avg(df, "day", "v", "m", 2).collect()}
+        assert got == {"d1": 2.0, "d2": 3.0, "d3": 5.0}
+
+    def test_latest_per_key_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, "x"), ("a", 1, "y"), ("b", 2, "z")], ["k", "o", "v"]
+        )
+        got = {r["k"]: r["v"] for r in latest_per_key(df, ["k"], "o", ["v"]).collect()}
+        assert got == {"a": "y", "b": "z"}
+
+    def test_time_weighted_avg(self, spark):
+        # W9: value 10 for 30s then 20 for 10s → (10*30 + 20*10)/40 = 12.5
+        df = spark.createDataFrame(
+            [
+                ("v1", _ts("2021-01-01 00:00:00"), 10.0),
+                ("v1", _ts("2021-01-01 00:00:30"), 20.0),
+            ],
+            ["val", "ts", "power"],
+        )
+        end = F.lit("2021-01-01 00:00:40").cast("timestamp")
+        got = time_weighted_avg(df, ["val"], "ts", "power", end).collect()[0]
+        assert got["twavg"] == 12.5
+
+
+class TestPaginationTopK:
+    def test_keyset_page(self, spark):
+        df = spark.range(1, 101).withColumnRenamed("id", "k")
+        rows = keyset_page_df(df, "k", 10, before=50, descending=True).collect()
+        assert [r["k"] for r in rows] == list(range(49, 38, -1))  # 11 = n+1
+
+    def test_top_k_and_share(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10.0), ("b", 30.0), ("c", 60.0)], ["acct", "amt"]
+        )
+        shared = with_share_of_total(df, "amt")
+        got = {r["acct"]: r["share"] for r in shared.collect()}
+        assert abs(got["c"] - 0.6) < 1e-12
+        top = top_k(shared, "amt", 2, "acct").collect()
+        assert [r["acct"] for r in top] == ["c", "b"]
