@@ -332,17 +332,23 @@ def orders_with_shipped_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, c_nationkey
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
     """,
     doc="J9 anti-join (delegated-but-not-voted) + D1 except-set; reference "
     "src/service/governance/getProposal.ts:36-57, "
-    "src/collector/gov/removeDeletedProposals.ts:10-33",
+    "src/collector/gov/removeDeletedProposals.ts:10-33. Predicate on the "
+    "probe side keeps the result non-empty on the synthetic data (202 rows "
+    "at sf0.01) so the hash check is meaningful.",
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    big_orders = t["orders"].filter(F.col("o_totalprice") > 400000)
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")
     )
 

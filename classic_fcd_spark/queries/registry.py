@@ -35,6 +35,7 @@ def register(name: str, oracle: str | None, doc: str):
 def _load_all() -> None:
     # import for side-effect registration; keep alphabetical
     from classic_fcd_spark.queries import (  # noqa: F401
+        analytics,
         core,
     )
 
