@@ -1,0 +1,87 @@
+"""Text-analysis column builders for the training-data pipeline extensions.
+
+These are the LLM-pipeline operators the brief adds beyond the reference's
+own surface: language-ID (stopword-profile heuristic), quality scoring,
+token counting, and document fingerprinting — all as JVM-side Column
+expressions (split / filter / regexp / md5), no Python UDFs, so they run
+inside whole-stage codegen over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword marker profiles per language (tiny, classic function-word sets).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"]
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-space symbol.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def ws_tokens(text) -> Column:
+    """Whitespace tokenization (single pass, no UDF)."""
+    return F.split(F.trim(_c(text)), " +")
+
+
+def n_tokens(text) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def n_regex_tokens(text) -> Column:
+    """BPE-ish token count via regexp_extract_all."""
+    return F.size(F.regexp_extract_all(F.lower(_c(text)), F.lit(TOKEN_RE), 0))
+
+
+def stopword_hits(text, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(ws_tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text, words: list[str] | None = None) -> Column:
+    return stopword_hits(text, words or EN_STOPWORDS).cast("double") / n_tokens(
+        text
+    ).cast("double")
+
+
+def mean_token_len(text) -> Column:
+    """(non-space chars) / tokens — avoids a per-token transform."""
+    t = _c(text)
+    return (F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double")) / n_tokens(
+        t
+    ).cast("double")
+
+
+def uniq_token_ratio(text) -> Column:
+    return F.size(F.array_distinct(ws_tokens(text))).cast("double") / n_tokens(
+        text
+    ).cast("double")
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1] quality heuristic: length saturation + lexical
+    diversity + non-stopword density.  Deterministic double arithmetic
+    (int/int divisions), identical expression tree on the oracle side."""
+    length_part = F.least(F.lit(1.0), n_tokens(text).cast("double") / F.lit(50.0))
+    diversity = uniq_token_ratio(text)
+    density = F.lit(1.0) - stopword_ratio(text)
+    return length_part * F.lit(0.4) + diversity * F.lit(0.3) + density * F.lit(0.3)
+
+
+def fingerprint(text) -> Column:
+    """Content fingerprint: md5 over the whitespace-normalized lowercase
+    text — the exact-dedup key (deterministic, portable to any engine)."""
+    norm = F.lower(F.trim(F.regexp_replace(_c(text), r"\s+", " ")))
+    return F.md5(norm)

@@ -1,0 +1,194 @@
+"""Text-analysis query inventory over the `documents` table.
+
+LLM-training-pipeline extensions (brief): language-ID, quality scoring,
+token counting, fingerprinting.  All pure Column algebra from
+classic_fcd_spark.functions.text — no UDFs, fully codegen'd, and each has
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.functions import text as T
+from classic_fcd_spark.queries.registry import register
+from classic_fcd_spark.session import load_tables
+
+# DuckDB-side token expressions (same semantics as functions.text).
+_D_TOKENS = "regexp_split_to_array(trim(text), ' +')"
+_D_NTOK = f"len({_D_TOKENS})"
+
+
+def _in_list(words):
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring.
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           {_D_NTOK} AS n_tokens,
+           CAST(len(list_distinct({_D_TOKENS})) AS DOUBLE) / {_D_NTOK} AS uniq_ratio,
+           CAST(len(list_filter({_D_TOKENS}, t -> t IN ({_in_list(T.EN_STOPWORDS)}))) AS DOUBLE)
+             / {_D_NTOK} AS stop_ratio,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / {_D_NTOK} AS mean_token_len,
+           least(1.0, CAST({_D_NTOK} AS DOUBLE) / 50.0) * 0.4
+             + (CAST(len(list_distinct({_D_TOKENS})) AS DOUBLE) / {_D_NTOK}) * 0.3
+             + (1.0 - CAST(len(list_filter({_D_TOKENS}, t -> t IN ({_in_list(T.EN_STOPWORDS)}))) AS DOUBLE)
+                / {_D_NTOK}) * 0.3 AS quality
+    FROM documents
+    """,
+    doc="LLM-pipeline quality scoring: length saturation, lexical "
+    "diversity, stopword density — single-pass Column algebra (split/"
+    "filter HOFs), no shuffle, trivially scales per-partition",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        T.n_tokens("text").alias("n_tokens"),
+        T.uniq_token_ratio("text").alias("uniq_ratio"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.mean_token_len("text").alias("mean_token_len"),
+        (
+            F.least(F.lit(1.0), T.n_tokens("text").cast("double") / F.lit(50.0))
+            * F.lit(0.4)
+            + T.uniq_token_ratio("text") * F.lit(0.3)
+            + (F.lit(1.0) - T.stopword_ratio("text")) * F.lit(0.3)
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-profile heuristic).
+# ---------------------------------------------------------------------------
+_PROFILE_LANGS = sorted(T.LANG_PROFILES)  # deterministic tiebreak: alpha order
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(
+                   f"len(list_filter({_D_TOKENS}, t -> t IN ({_in_list(T.LANG_PROFILES[lang])}))) AS hits_{lang}"
+                   for lang in _PROFILE_LANGS
+               )}
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE {" ".join(
+               f"WHEN hits_{lang} = greatest({', '.join('hits_' + x for x in _PROFILE_LANGS)}) THEN '{lang}'"
+               for lang in _PROFILE_LANGS
+           )} END AS pred_lang,
+           greatest({", ".join("hits_" + x for x in _PROFILE_LANGS)}) AS best_hits,
+           (CASE {" ".join(
+               f"WHEN hits_{lang} = greatest({', '.join('hits_' + x for x in _PROFILE_LANGS)}) THEN '{lang}'"
+               for lang in _PROFILE_LANGS
+           )} END = lang) AS is_correct
+    FROM scored
+    """,
+    doc="LLM-pipeline language-ID: stopword-profile scoring with "
+    "deterministic alphabetical tiebreak; one projection pass, no UDF",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            T.stopword_hits("text", T.LANG_PROFILES[lang]).alias(f"hits_{lang}")
+            for lang in _PROFILE_LANGS
+        ],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _PROFILE_LANGS])
+    pred = F.when(F.col(f"hits_{_PROFILE_LANGS[0]}") == best, F.lit(_PROFILE_LANGS[0]))
+    for lang in _PROFILE_LANGS[1:]:
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        best.alias("best_hits"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex) with vocabulary explode.
+# ---------------------------------------------------------------------------
+@register(
+    "token_stats_by_source",
+    f"""
+    WITH per_doc AS (
+        SELECT source, {_D_NTOK} AS ws_tokens,
+               len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS re_tokens,
+               {_D_TOKENS} AS tokens
+        FROM documents
+    )
+    , counts AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens
+        FROM per_doc GROUP BY source
+    ), vocab AS (
+        SELECT source, COUNT(DISTINCT t) AS vocab_size
+        FROM (SELECT source, unnest(tokens) AS t FROM per_doc)
+        GROUP BY source
+    )
+    SELECT counts.source, n_docs, total_ws_tokens, total_re_tokens, vocab_size
+    FROM counts JOIN vocab USING (source)
+    """,
+    doc="LLM-pipeline token counting: whitespace + BPE-ish regex counts "
+    "per source, plus vocabulary size via explode → distinct (the explode "
+    "shuffles on (source, token); at 100 TB this is the classic "
+    "vocabulary-build job and partitions cleanly)",
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_doc = docs.select(
+        "source",
+        T.n_tokens("text").alias("ws_tokens"),
+        T.n_regex_tokens("text").alias("re_tokens"),
+        T.ws_tokens("text").alias("tokens"),
+    )
+    counts = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("re_tokens").alias("total_re_tokens"),
+    )
+    vocab = (
+        per_doc.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("vocab_size"))
+    )
+    return counts.join(vocab, "source")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (exact-dedup key).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           length(text) AS n_chars_calc,
+           (length(text) = n_chars) AS meta_consistent
+    FROM documents
+    """,
+    doc="LLM-pipeline document fingerprinting: md5 over normalized text — "
+    "the exact-dedup key; pure projection, no shuffle",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fingerprint"),
+        F.length("text").alias("n_chars_calc"),
+        (F.length("text") == F.col("n_chars")).alias("meta_consistent"),
+    )
