@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+These are the LLM-training-pipeline extensions (brief §extensions; the
+reference itself only needs exact dedup, D3-D7 in SURVEY §2.7 —
+dropDuplicates / anti-join MERGE).
+
+Design for 100 TB:
+- Exact dedup: hash-groupBy on md5(normalized text) — one shuffle on the
+  fingerprint, perfectly partitionable.
+- MinHash+LSH: per-doc signature is a narrow projection (no shuffle);
+  banding explodes to (band_idx, band_hash) keys and the candidate join
+  shuffles on the BAND key, so cost scales with collisions, not with
+  n² pairs.  Verification (exact Jaccard) touches only candidates.
+- SimHash: single projection pass; near-dup = hamming ≤ k via either
+  band-join on bit-chunks (same LSH trick) or pairwise check on candidates.
+- All hashing is md5-based (first 16 hex chars, compared as fixed-width
+  hex strings — lexicographic order == numeric order), so every operator
+  here is reproducible in ANSI SQL for the DuckDB oracle: no engine hash
+  functions (Spark murmur3 / DuckDB's hash differ), no RNG.
+
+Determinism-over-floats policy: Jaccard = intersection/union of integer
+counts (exact); SimHash bits come from md5 hex digits (exact); nothing
+depends on float summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# Shingling.
+# ---------------------------------------------------------------------------
+def ws_tokens(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), " +")
+
+
+def word_shingles(text, n: int = 3) -> Column:
+    """Distinct word n-grams as space-joined strings.  Docs with fewer
+    than n tokens yield an empty array (callers filter them out)."""
+    toks = ws_tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duck_word_shingles(text_expr: str = "text", n: int = 3) -> str:
+    """DuckDB expression computing the same distinct word n-grams."""
+    toks = f"regexp_split_to_array(trim({text_expr}), ' +')"
+    joined = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN list_distinct("
+        f"[{joined} for i in range(1, len({toks}) - {n - 1} + 1)]"
+        f") ELSE [] END".replace("toks[", f"{toks}[")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash.
+# ---------------------------------------------------------------------------
+def minhash_sig(shingles: Column, num_hashes: int = 16) -> Column:
+    """Array of `num_hashes` minima; hash_k(s) = first 16 hex chars of
+    md5('k:' || s).  Fixed-width hex strings compare like integers, so
+    array element k is min over the k-th hash family — a full MinHash
+    signature with zero UDFs and zero engine-specific hashing."""
+    minima = [
+        F.array_min(
+            F.transform(
+                shingles, lambda s, k=k: F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 16)
+            )
+        )
+        for k in range(num_hashes)
+    ]
+    return F.array(*minima)
+
+
+def duck_minhash_sig(shingles_expr: str, num_hashes: int = 16) -> str:
+    minima = [
+        f"list_aggregate(list_transform({shingles_expr}, "
+        f"s -> substr(md5('{k}:' || s), 1, 16)), 'min')"
+        for k in range(num_hashes)
+    ]
+    return "[" + ", ".join(minima) + "]"
+
+
+def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array of (band_idx, band_hash) structs: md5 over the band's slice
+    of the signature — the LSH bucketing key."""
+    entries = []
+    for b in range(bands):
+        sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", sl)).alias("bh"),
+            )
+        )
+    return F.array(*entries)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(i, j) candidate pairs sharing ≥1 LSH band, i < j, distinct.
+
+    Shuffles on the band hash (skew-safe: bucket sizes are bounded by
+    collision rate); never materializes the n² pair space.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col),
+        F.col(shingle_col),
+        minhash_sig(F.col(shingle_col), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("b"),
+    ).select(id_col, "b.band", "b.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("i"),
+            F.col(f"r.{id_col}").alias("j"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str, shingle_col: str
+) -> DataFrame:
+    """Exact Jaccard for candidate (i, j) pairs via array_intersect on the
+    (distinct) shingle arrays — integer arithmetic only."""
+    a = docs.select(
+        F.col(id_col).alias("i"), F.col(shingle_col).alias("sh_i")
+    )
+    b = docs.select(
+        F.col(id_col).alias("j"), F.col(shingle_col).alias("sh_j")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
+    union = F.size("sh_i") + F.size("sh_j") - inter
+    return (
+        pairs.join(a, "i")
+        .join(b, "j")
+        .select(
+            "i",
+            "j",
+            inter.alias("inter"),
+            union.alias("uni"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-digit-derived — portable across engines).
+# ---------------------------------------------------------------------------
+def _bit_sql(token_expr: str, j: int) -> str:
+    """Engine-portable SQL for bit j (0-based) of md5(token): hex char
+    j//4 (1-based substr), bit j%4 of its digit value.  Valid in BOTH
+    Spark SQL and DuckDB (instr/substr/md5/floor/% shared)."""
+    char_pos = j // 4 + 1
+    p = 2 ** (j % 4)
+    return (
+        f"CAST(FLOOR((instr('{HEX_DIGITS}', substr(md5({token_expr}), {char_pos}, 1)) - 1) / {p}) AS INT) % 2"
+    )
+
+
+def simhash32_sql(tokens_expr: str, transform_fn: str, filter_fn: str, len_fn: str) -> str:
+    """SimHash-32 as one SQL expression: bit j of the output is set iff
+    the majority of (distinct) tokens have bit j set (strict majority;
+    ties → 0).  `transform_fn`/`filter_fn`/`len_fn` adapt the HOF names
+    (Spark: transform/filter/size; DuckDB: list_transform/list_filter/len).
+    """
+    terms = []
+    for j in range(32):
+        ones = f"{len_fn}({filter_fn}({tokens_expr}, t -> {_bit_sql('t', j)} = 1))"
+        total = f"{len_fn}({tokens_expr})"
+        terms.append(f"(CASE WHEN 2 * {ones} > {total} THEN {2**j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def spark_simhash32(tokens_expr: str) -> Column:
+    return F.expr(simhash32_sql(tokens_expr, "transform", "filter", "size"))
+
+
+def duck_simhash32(tokens_expr: str) -> str:
+    return simhash32_sql(tokens_expr, "list_transform", "list_filter", "len")

@@ -1,0 +1,181 @@
+"""Deduplication query inventory over `documents`.
+
+Exact dedup, MinHash+LSH near-dup, exact n-gram Jaccard, SimHash — each
+oracle-checked against DuckDB running the *same* md5-derived hashing (no
+engine-native hash functions anywhere, SURVEY §7 phase 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.dedup import (
+    duck_minhash_sig,
+    duck_simhash32,
+    duck_word_shingles,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    spark_simhash32,
+    word_shingles,
+    ws_tokens,
+)
+from classic_fcd_spark.queries.registry import register
+from classic_fcd_spark.session import load_tables
+
+_D_TOKS = "regexp_split_to_array(trim(text), ' +')"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (bag-of-words key: the synthetic corpus plants ~20 dup groups).
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dedup_groups",
+    f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_D_TOKS})), ' ')) AS bow_key,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    doc="Exact deduplication via hash-groupBy (D3 dropDuplicates family + "
+    "LLM-pipeline exact dedup): one shuffle on the content key; "
+    "keeper = min(doc_id) is the deterministic survivor policy",
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    key = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens("text")))))
+    return (
+        docs.groupBy(key.alias("bow_key"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection (the 100 TB-scale path).
+# ---------------------------------------------------------------------------
+_SH = duck_word_shingles("text")
+_SIG = duck_minhash_sig("shingles")
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SH} AS shingles
+        FROM documents WHERE len({_D_TOKS}) >= 3
+    ), sig AS (
+        SELECT doc_id, shingles, {_SIG} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b,
+               md5(array_to_string(sig[(b*4+1):(b*4+4)], '|')) AS bh
+        FROM sig, (SELECT unnest([0,1,2,3]) AS b)
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+        FROM banded l JOIN banded r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+    )
+    SELECT i, j,
+           len(list_intersect(a.shingles, b.shingles)) AS inter,
+           len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS uni,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM cand JOIN sh a ON a.doc_id = i JOIN sh b ON b.doc_id = j
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+"""
+
+
+@register(
+    "minhash_lsh_near_dups",
+    _MINHASH_ORACLE,
+    doc="MinHash(16 hashes)+LSH(4 bands) near-dup detection with exact "
+    "Jaccard verification on candidates only. Shuffle key = band hash, so "
+    "cost follows collisions, never n² pairs — the scale path for fuzzy "
+    "dedup at 100 TB. All hashes are md5-derived hex (engine-portable).",
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.filter(F.size(ws_tokens("text")) >= 3).select(
+        "doc_id", word_shingles("text").alias("shingles")
+    )
+    cand = lsh_candidate_pairs(sh, "doc_id", "shingles")
+    verified = jaccard_pairs(cand, sh, "doc_id", "shingles")
+    return verified.filter(F.col("jaccard") >= 0.8)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (explode + self-join) — the small-scale oracle path.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SH} AS shingles
+        FROM documents WHERE len({_D_TOKS}) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j, inter,
+           sa.n + sb.n - inter AS uni,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = i
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = j
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    """,
+    doc="Exact n-gram Jaccard dedup via shingle explode + equi-self-join "
+    "(shuffle on the shingle token): exact but O(collisions²) per shingle "
+    "— at 100 TB use minhash_lsh_near_dups; this is the verification "
+    "oracle shape. Integer-only arithmetic up to the final division.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.filter(F.size(ws_tokens("text")) >= 3).select(
+        "doc_id", word_shingles("text").alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    uni = F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    jac = F.col("inter").cast("double") / uni
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("i"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("j"))
+        .select("i", "j", "inter", uni.alias("uni"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (single-pass projection).
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_docs",
+    f"""
+    SELECT doc_id,
+           {duck_simhash32(f"list_distinct({_D_TOKS})")} AS simhash
+    FROM documents
+    """,
+    doc="SimHash-32 fingerprinting: bit j = majority vote of md5-derived "
+    "bit j over distinct tokens; pure projection (no shuffle), near-dup "
+    "search = hamming distance on the 32-bit value. Hex-digit bit "
+    "extraction keeps Spark and the SQL oracle bit-identical.",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        spark_simhash32("array_distinct(split(trim(text), ' +'))").alias("simhash"),
+    )

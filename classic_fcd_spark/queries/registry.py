@@ -37,6 +37,8 @@ def _load_all() -> None:
     from classic_fcd_spark.queries import (  # noqa: F401
         analytics,
         core,
+        dedup,
+        similarity,
         text,
     )
 

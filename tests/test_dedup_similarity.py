@@ -1,0 +1,72 @@
+"""Property tests for the dedup/similarity operators at sf0.001.
+
+The exact-value oracle lives in scripts/check_correctness.py; these pin
+the *relationships* the operators must satisfy (LSH ⊆ recall of exact,
+signature determinism) on the small tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _pairs(df):
+    return {(r["i"], r["j"]) for r in df.collect()}
+
+
+class TestDedup:
+    def test_lsh_finds_exact_jaccard_pairs(self, spark):
+        from classic_fcd_spark.queries import query_fn_map
+
+        qmap = query_fn_map()
+        exact = _pairs(qmap["ngram_jaccard_pairs"](spark, SF_SMALL))
+        lsh = _pairs(qmap["minhash_lsh_near_dups"](spark, SF_SMALL))
+        # LSH candidates are verified with the same exact Jaccard, so
+        # lsh ⊆ exact always; with 4 bands × 4 rows at j≥0.8 the planted
+        # dups should be fully recalled on this corpus.
+        assert lsh <= exact
+        assert lsh == exact  # empirical full recall on the synthetic data
+
+    def test_simhash_similar_docs_close(self, spark):
+        from classic_fcd_spark.queries import query_fn_map
+
+        qmap = query_fn_map()
+        sim = {
+            r["doc_id"]: r["simhash"]
+            for r in qmap["simhash_docs"](spark, SF_SMALL).collect()
+        }
+        near = _pairs(qmap["ngram_jaccard_pairs"](spark, SF_SMALL))
+        if near:
+            # hamming distance between near-dup docs must be well below the
+            # ~16/32 expectation for unrelated docs (the tiny synthetic
+            # vocabulary makes majority votes noisier than real text, so
+            # the bound is loose but still discriminating)
+            for i, j in near:
+                ham = bin(sim[i] ^ sim[j]).count("1")
+                assert ham <= 12, (i, j, ham)
+
+
+class TestSimilarity:
+    def test_topk_is_ranked_and_complete(self, spark):
+        from classic_fcd_spark.queries import query_fn_map
+
+        rows = query_fn_map()["ann_topk_bruteforce"](spark, SF_SMALL).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        for qid, rs in by_q.items():
+            rs.sort(key=lambda r: r["rnk"])
+            assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+            cos = [r["cos_e6"] for r in rs]
+            assert cos == sorted(cos, reverse=True)
+
+    def test_lsh_bucket_partitioning(self, spark):
+        from classic_fcd_spark.queries import query_fn_map
+        from classic_fcd_spark.session import load_tables
+
+        n_vecs = load_tables(spark, SF_SMALL)["embeddings"].count()
+        buckets = query_fn_map()["ann_lsh_buckets"](spark, SF_SMALL).collect()
+        assert sum(r["n_vecs"] for r in buckets) == n_vecs
+        assert all(0 <= r["bucket"] < 256 for r in buckets)
