@@ -39,6 +39,7 @@ def _load_all() -> None:
         core,
         dedup,
         similarity,
+        streaming_q,
         text,
     )
 

@@ -1,0 +1,92 @@
+"""Streaming semantics tests: incremental delivery, restart/resume (T2),
+idempotent merge (T1), convergence to the batch answer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.streaming.minute_pipeline import (
+    merge_upsert,
+    run_minute_rollup_available_now,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _batch_expected(spark):
+    from classic_fcd_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"]
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "minute"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _as_dict(df):
+    return {
+        (r["minute"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in df.collect()
+    }
+
+
+class TestStreamingMinuteRollup:
+    def test_incremental_restart_converges_to_batch(self, spark, workdir):
+        # split events by time into two files: delivery order == event-time
+        # order, so the 10-min watermark never drops anything (the same
+        # invariant real ingestion has: blocks arrive in height order).
+        from classic_fcd_spark.session import load_tables
+
+        ev = load_tables(spark, SF_SMALL)["events"]
+        cut = ev.agg(F.expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)")).collect()[0][0]
+        src = os.path.join(workdir, "events_src")
+        ev.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.parquet(
+            src, mode="overwrite"
+        )
+        ckpt, out = os.path.join(workdir, "ckpt"), os.path.join(workdir, "out")
+
+        run_minute_rollup_available_now(spark, src, ckpt, out)  # first half
+        ev.filter(F.col("ts").cast("double") > cut).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        got = run_minute_rollup_available_now(spark, src, ckpt, out)  # resume (T2)
+        assert _as_dict(got) == _as_dict(_batch_expected(spark))
+
+    def test_merge_upsert_idempotent(self, spark, workdir):
+        out = os.path.join(workdir, "merge_out")
+        df1 = spark.createDataFrame(
+            [("m1", "a", 1, 1.0), ("m1", "b", 2, 2.0)],
+            ["minute", "event_type", "n_events", "sum_value"],
+        )
+        merge_upsert(spark, df1, out, ["minute", "event_type"])
+        # replay the same batch (failure/restart) → unchanged
+        merge_upsert(spark, df1, out, ["minute", "event_type"])
+        # updated key + new key
+        df2 = spark.createDataFrame(
+            [("m1", "a", 5, 5.0), ("m2", "a", 3, 3.0)],
+            ["minute", "event_type", "n_events", "sum_value"],
+        )
+        merge_upsert(spark, df2, out, ["minute", "event_type"])
+        got = {
+            (r["minute"], r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {("m1", "a"): 5, ("m1", "b"): 2, ("m2", "a"): 3}
+        shutil.rmtree(out, ignore_errors=True)
