@@ -1,0 +1,153 @@
+"""Binary-column operators over media tables.
+
+Design for 100 TB of media:
+- content is ONE opaque `binary` column; all filters/joins run on the
+  narrow metadata columns, so parquet column pruning means a metadata
+  query never reads a byte of media.
+- mapInPandas streams Arrow record batches through the Python worker —
+  per-batch (not per-row) overhead, bounded memory via
+  spark.sql.execution.arrow.maxRecordsPerBatch.
+- feature vectors come back as array<float>, ready for the
+  similarity-search operators (classic_fcd_spark.operators.similarity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), False),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sig", StringType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def decode_stub(content: bytes, kind: str, deterministic_fake: bool = False):
+    """Codec boundary.  Real deployments plug Pillow/torchaudio/pyav here;
+    this container has none, so either fail loudly or produce a stable
+    fake derived from the content hash (NOT a decode — a test double)."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            f"no {kind} codec available in this environment; "
+            "pass deterministic_fake=True for pipeline testing"
+        )
+    digest = hashlib.md5(content).digest()
+    return {
+        "luma_mean": digest[0] / 255.0,
+        "luma_std": digest[1] / 255.0,
+        "entropy": digest[2] / 255.0,
+    }
+
+
+def _feature_vec(content: bytes) -> list[float]:
+    """Deterministic fake embedding: FEATURE_DIM floats from md5 bytes."""
+    digest = hashlib.md5(content).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media (MEDIA_SCHEMA) → FEATURES_SCHEMA via mapInPandas.
+
+    The iterator signature processes one Arrow batch at a time; content
+    bytes stay inside the worker and are dropped from the output
+    projection (only the narrow feature columns shuffle onward).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "sig": content.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "features": content.map(lambda b: _feature_vec(bytes(b))),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_offsets(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling *plan*: one row per sampled frame offset —
+    pure Column algebra (sequence + explode), no decode needed until the
+    offsets reach the (stubbed) codec step."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_offset_ms"),
+        )
+    )
+
+
+def synthetic_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media fixture: documents.text bytes as content, kind
+    round-robin by doc_id, metadata derived from n_chars — gives the
+    binary plumbing real (if fake) data at every scale factor."""
+    from classic_fcd_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )

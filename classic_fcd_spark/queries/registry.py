@@ -38,6 +38,7 @@ def _load_all() -> None:
         analytics,
         core,
         dedup,
+        multimodal_q,
         similarity,
         streaming_q,
         text,
