@@ -1,0 +1,241 @@
+"""fcd domain pipeline inventory — oracle-checked end to end.
+
+The fixture (sources/fixtures.py) is a pure arithmetic function of the
+row index, so these oracles REGENERATE the data in SQL and recompute the
+aggregates directly — skipping Spark's path entirely.  A hash match
+therefore proves the whole domain pipeline: JSON construction →
+from_json typed parse → explode → filter → window/groupBy → joins.
+
+(sf_dir is ignored: the fixture is self-contained and scale-independent;
+the driver still gets deterministic, hash-stable results.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.pipeline.medallion import (
+    account_tx_silver,
+    dashboard_gold,
+    minute_rewards_silver,
+    tx_volume_minute_silver,
+    validator_returns_gold,
+)
+from classic_fcd_spark.queries.registry import register
+from classic_fcd_spark.sources.fixtures import (
+    FIXTURE_N_BLOCKS as N,
+)
+from classic_fcd_spark.sources.fixtures import (
+    BLOCK_SPACING_S,
+    duck_addr,
+    duck_denom,
+    duck_valaddr,
+    gen_blocks,
+    gen_txs,
+    gen_validators,
+)
+
+_TS = f"make_timestamp((1609459200 + h * {BLOCK_SPACING_S}) * 1000000)"
+_MINUTE = f"strftime(date_trunc('minute', {_TS}), '%Y-%m-%d %H:%M:%S')"
+_DAY = f"strftime({_TS}, '%Y-%m-%d')"
+
+_TXBASE = f"""
+    txbase AS (
+        SELECT h, k, h * 3 + k AS i
+        FROM (SELECT unnest(range(1, {N} + 1)) AS h),
+             (SELECT unnest(range(0, 3)) AS k)
+        WHERE k < h % 3
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5/D2/P2/P4 + T3: tx volume per minute × denom through the real
+# JSON-parse path.
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_tx_volume_minute",
+    f"""
+    WITH {_TXBASE},
+    coins AS (
+        SELECT h, {duck_denom("i")} AS denom, i * 37 % 1000 + 1 AS amount
+        FROM txbase WHERE i % 5 < 2 AND i % 10 <> 0
+        UNION ALL
+        SELECT h, {duck_denom("i")}, i * 37 % 1000 + 1
+        FROM txbase WHERE i % 5 = 2 AND i % 10 <> 0
+        UNION ALL
+        SELECT h, {duck_denom("i + 1")}, i * 37 % 1000 + 6
+        FROM txbase WHERE i % 5 = 2 AND i % 10 <> 0
+    )
+    SELECT {_MINUTE} AS minute, denom,
+           CAST(SUM(amount) AS BIGINT) AS volume,
+           COUNT(*) AS n_coins
+    FROM coins GROUP BY 1, 2
+    """,
+    doc="A5 minute tx volume (MsgSend amounts + MsgMultiSend input coins, "
+    "successful only — src/collector/block/network.ts:14-107) + D2 merge "
+    "+ P4 success filter + T3 minute grain.  Spark side runs the REAL "
+    "path (nested JSON → from_json → exists-filter → explode → window); "
+    "the oracle recomputes from the fixture arithmetic — a hash match "
+    "proves the whole parse/explode/aggregate pipeline.",
+)
+def fcd_tx_volume_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx_volume_minute_silver(gen_txs(spark))
+
+
+# ---------------------------------------------------------------------------
+# F4/D5: account_tx explode.
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_account_tx_counts",
+    f"""
+    WITH {_TXBASE},
+    peraddr AS (
+        SELECT i, unnest(list_distinct(
+            CASE
+                WHEN i % 5 < 2 THEN [{duck_addr("i % 50")}, {duck_addr("(i * 7 + 1) % 50")}]
+                WHEN i % 5 = 2 THEN [{duck_addr("i % 50")}, {duck_addr("(i * 7 + 1) % 50")}, {duck_addr("(i * 7 + 2) % 50")}]
+                WHEN i % 5 = 3 THEN [{duck_addr("i % 50")}, {duck_valaddr("i % 20")}]
+                ELSE [{duck_addr("i % 50")}]
+            END)) AS account
+        FROM txbase
+    )
+    SELECT account, COUNT(*) AS n_txs
+    FROM peraddr GROUP BY account
+    """,
+    doc="F4 exhaustive address extraction (regex over serialized msgs — "
+    "src/collector/block/accountTx.ts:5-58) + D5 per-tx distinct + the "
+    "account_tx explode.  Oracle reconstructs the address membership from "
+    "the fixture arithmetic; match proves regex extraction finds exactly "
+    "the planted addresses (both terra1 and terravaloper1 forms).",
+)
+def fcd_account_tx_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    at = account_tx_silver(gen_txs(spark))
+    return at.groupBy("account").agg(F.count("*").alias("n_txs"))
+
+
+# ---------------------------------------------------------------------------
+# A1-A3: block reward CSV decode → minute rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_minute_rewards",
+    f"""
+    WITH blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
+    coins AS (
+        SELECT h, 'rewards' AS rtype, 'ukrw' AS denom, h * 13 % 500 + 1 AS amt FROM blocks
+        UNION ALL
+        SELECT h, 'rewards', 'uluna', h * 11 % 300 + 1 FROM blocks
+        UNION ALL
+        SELECT h, 'commission', 'uusd', h * 7 % 200 + 1 FROM blocks
+    )
+    SELECT {_MINUTE} AS minute, denom, rtype,
+           CAST(SUM(amt) AS BIGINT) AS total,
+           COUNT(*) AS n_events
+    FROM coins GROUP BY 1, 2, 3
+    """,
+    doc="A1 per-block reward decode ('123ukrw,4uluna' CSV split — "
+    "src/collector/block/block.ts:88-140) + A2/A3 minute rollup "
+    "(reward.ts:16-121). Spark splits the CSV with split_denom_and_amount "
+    "(F3 regex); oracle recomputes from arithmetic.",
+)
+def fcd_minute_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minute_rewards_silver(gen_blocks(spark))
+
+
+# ---------------------------------------------------------------------------
+# A13/A14 + J5: validator returns with broadcast dim join.
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_validator_returns",
+    f"""
+    WITH blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
+    ev AS (
+        SELECT {_DAY} AS day, {duck_valaddr("h % 20")} AS operator_address,
+               (h * 13 % 500 + 1) + (h * 11 % 300 + 1) AS amt
+        FROM blocks
+        UNION ALL
+        SELECT {_DAY}, {duck_valaddr("(h + 1) % 20")}, h * 7 % 200 + 1 FROM blocks
+    ),
+    daily AS (
+        SELECT day, operator_address, CAST(SUM(amt) AS BIGINT) AS reward_sum
+        FROM ev GROUP BY 1, 2
+    ),
+    vals AS (
+        SELECT {duck_valaddr("v")} AS operator_address,
+               'validator-' || CAST(v AS VARCHAR) AS moniker,
+               v * 1000 + 5000 AS voting_power
+        FROM (SELECT unnest(range(0, 20)) AS v)
+    )
+    SELECT day, daily.operator_address, moniker, reward_sum,
+           CAST(reward_sum * 1000000 // voting_power AS BIGINT) AS return_e6
+    FROM daily JOIN vals ON daily.operator_address = vals.operator_address
+    """,
+    doc="A13 per-(day, validator) reward rollup from per-validator events "
+    "(src/collector/staking/rewardAndCommissionSum.ts:11-78) + J5 "
+    "broadcast validator-dim join + A14-style normalized return "
+    "(integer-µ encoding for exact cross-engine compare).",
+)
+def fcd_validator_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vr = validator_returns_gold(gen_blocks(spark), gen_validators(spark))
+    return vr.select(
+        "day",
+        "operator_address",
+        "moniker",
+        F.col("reward_sum").cast("bigint").alias("reward_sum"),
+        F.expr(
+            "CAST(CAST(reward_sum AS DECIMAL(38,0)) * 1000000 "
+            "div CAST(voting_power AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("return_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8-A12 + A24: daily dashboard assembly (full-outer day join).
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_dashboard",
+    f"""
+    WITH {_TXBASE},
+    tx_count AS (
+        SELECT {_DAY} AS day, COUNT(*) AS tx_count
+        FROM txbase WHERE i % 10 <> 0 GROUP BY 1
+    ),
+    peraddr AS (
+        SELECT h, unnest(list_distinct(
+            CASE
+                WHEN i % 5 < 2 THEN [{duck_addr("i % 50")}, {duck_addr("(i * 7 + 1) % 50")}]
+                WHEN i % 5 = 2 THEN [{duck_addr("i % 50")}, {duck_addr("(i * 7 + 1) % 50")}, {duck_addr("(i * 7 + 2) % 50")}]
+                WHEN i % 5 = 3 THEN [{duck_addr("i % 50")}, {duck_valaddr("i % 20")}]
+                ELSE [{duck_addr("i % 50")}]
+            END)) AS account
+        FROM txbase
+    ),
+    active AS (
+        SELECT {_DAY} AS day, COUNT(DISTINCT account) AS active_accounts
+        FROM peraddr GROUP BY 1
+    ),
+    rewards AS (
+        SELECT {_DAY} AS day,
+               CAST(SUM((h * 13 % 500 + 1) + (h * 11 % 300 + 1) + (h * 7 % 200 + 1)) AS BIGINT) AS reward_total
+        FROM (SELECT unnest(range(1, {N} + 1)) AS h) GROUP BY 1
+    )
+    SELECT COALESCE(tx_count.day, active.day, rewards.day) AS day,
+           COALESCE(tx_count, 0) AS tx_count,
+           COALESCE(active_accounts, 0) AS active_accounts,
+           COALESCE(reward_total, 0) AS reward_total
+    FROM tx_count
+    FULL OUTER JOIN active ON tx_count.day = active.day
+    FULL OUTER JOIN rewards ON COALESCE(tx_count.day, active.day) = rewards.day
+    """,
+    doc="A24 daily dashboard assembly (src/collector/dashboard/"
+    "collectDashboard.ts:15-67): A8 reward sums + A12 daily active "
+    "accounts + tx counts, full-outer joined on day — each input already "
+    "day-grain so the join is tiny; late-day corrections are a MERGE over "
+    "the trailing 3-day window (T5).",
+)
+def fcd_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txs = gen_txs(spark)
+    return dashboard_gold(
+        txs, account_tx_silver(txs), minute_rewards_silver(gen_blocks(spark))
+    )

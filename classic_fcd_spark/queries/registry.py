@@ -38,6 +38,7 @@ def _load_all() -> None:
         analytics,
         core,
         dedup,
+        fcd,
         multimodal_q,
         similarity,
         streaming_q,

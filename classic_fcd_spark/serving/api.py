@@ -1,0 +1,90 @@
+"""REST read paths re-expressed over the medallion tables.
+
+Each function preserves the reference endpoint's *contract* (parameters,
+pagination semantics, response shape) while the execution is a pruned
+DataFrame plan instead of Postgres queries:
+
+- get_tx_list     ← GET /v1/txs?account=&limit=&offset=
+  (src/service/transaction/getTxList.ts:129-183: keyset page over
+  account_tx L1, semi-join to tx J4, per-address compaction P6)
+- get_dashboard_history ← GET /v1/dashboard (W1-W5 windows over gold)
+- get_validator_returns ← GET /v1/staking/return (A14 annualization)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.windows import cumulative, moving_avg
+
+
+def get_tx_list(
+    txs: DataFrame,
+    account_tx: DataFrame,
+    account: str,
+    limit: int = 10,
+    offset_height: int | None = None,
+) -> dict:
+    """Keyset page of txs touching `account`, newest first.
+
+    Contract (TransactionController.ts:157-173): limit+1 fetch; `next` =
+    cursor for the following page; response rows carry the tx payload.
+    Cursor = height (the natural monotone key in our medallion layout).
+    """
+    page = account_tx.filter(F.col("account") == account)
+    if offset_height is not None:
+        page = page.filter(F.col("height") < offset_height)
+    page = page.select("hash", "height").orderBy(F.col("height").desc()).limit(limit + 1)
+    # J4: page of ids ⋉ tx — broadcast the tiny page side
+    rows = (
+        txs.join(F.broadcast(page), ["hash", "height"], "left_semi")
+        .orderBy(F.col("height").desc())
+        .collect()
+    )
+    next_cursor = None
+    if len(rows) > limit:
+        next_cursor = rows[limit - 1]["height"]
+        rows = rows[:limit]
+    return {
+        "limit": limit,
+        "next": next_cursor,
+        "txs": [
+            {
+                "hash": r["hash"],
+                "height": r["height"],
+                "timestamp": r["timestamp"].isoformat(),
+                "success": r["code"] is None,
+                "msgs": [{"type": m["type"], "value": m["value"]} for m in r["msgs"]],
+            }
+            for r in rows
+        ],
+    }
+
+
+def get_dashboard_history(dashboard: DataFrame) -> DataFrame:
+    """W1 cumulative accounts + W2 cumulative rewards + W5 trailing MA
+    over the gold dashboard — the in-JS window math of
+    src/service/dashboard/getAccountGrowth.ts etc. as real Window specs."""
+    out = cumulative(dashboard, "day", "active_accounts", "cumulative_active")
+    out = cumulative(out, "day", "reward_total", "cumulative_reward")
+    out = moving_avg(out, "day", "tx_count", "tx_count_ma3", trailing_rows=3)
+    w = Window.orderBy("day")
+    return out.withColumn(
+        "tx_count_diff", F.col("tx_count") - F.lag("tx_count", 1).over(w)
+    )
+
+
+def get_validator_returns(validator_returns: DataFrame, window_days: int = 30) -> DataFrame:
+    """A14: annualized return per operator over the trailing window —
+    SUM(daily_return) * 365 / COUNT(*), flag isNewValidator when the
+    window has too few rows (src/service/staking/getValidatorReturn.ts:11-43)."""
+    half = window_days // 2
+    return (
+        validator_returns.groupBy("operator_address", "moniker")
+        .agg(
+            (F.sum("daily_return") * 365 / F.count("*")).alias("annualized_return"),
+            F.count("*").alias("n_days"),
+        )
+        .withColumn("is_new_validator", F.col("n_days") < half)
+    )

@@ -1,0 +1,220 @@
+"""Deterministic fcd-shaped fixtures (FIXTURES.md §1-§5).
+
+Every value is a pure arithmetic/md5 function of the row index, so the
+same rows can be regenerated in ANSI SQL (see DUCK_* constants) — that is
+what lets the fcd domain pipeline be *oracle-checked*: Spark runs the
+real path (nested JSON strings → from_json → explode → window), DuckDB
+recomputes the aggregates straight from the arithmetic, and the results
+must hash-match.
+
+Shapes follow the reference (citations):
+- blocks: src/orm/BlockEntity.ts:6-34 + decoded block_results reward
+  events (src/lib/rpc.ts:58-91) with CSV '123ukrw,4uluna' amounts
+  (src/collector/block/block.ts:116-130).
+- txs: src/types/tx.d.ts:1-116 (msgs as {type, value-json}), success iff
+  code NULL (src/lib/tx.ts:1-3).
+- prices: src/orm/PriceEntity.ts:3-18 (per minute × denom).
+- validators: src/orm/ValidatorInfoEntity.ts:11-106 (dimension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIXTURE_N_BLOCKS = 600
+BLOCK_SPACING_S = 450  # ~4 day-boundaries across the fixture (FIXTURES.md wants >=3)
+CHAIN_ID = "fixture-1"
+EPOCH_START = 1609459200  # 2021-01-01 00:00:00 UTC
+DENOMS = ["uluna", "ukrw", "usdr", "uusd"]
+
+# ---------------------------------------------------------------------------
+# Shared arithmetic (Spark Column + DuckDB SQL string side by side; any
+# change here must update both).
+# ---------------------------------------------------------------------------
+
+
+def _addr(i) -> F.Column:
+    """Account address: 'terra1' + 38 hex chars derived from md5."""
+    return F.concat(
+        F.lit("terra1"),
+        F.substring(F.md5(F.concat(F.lit("acct:"), i.cast("string"))), 1, 32),
+        F.substring(F.md5(F.concat(F.lit("acct2:"), i.cast("string"))), 1, 6),
+    )
+
+
+def duck_addr(i_expr: str) -> str:
+    return (
+        f"'terra1' || substr(md5('acct:' || CAST({i_expr} AS VARCHAR)), 1, 32)"
+        f" || substr(md5('acct2:' || CAST({i_expr} AS VARCHAR)), 1, 6)"
+    )
+
+
+def _valaddr(i) -> F.Column:
+    return F.concat(
+        F.lit("terravaloper1"),
+        F.substring(F.md5(F.concat(F.lit("val:"), i.cast("string"))), 1, 32),
+        F.substring(F.md5(F.concat(F.lit("val2:"), i.cast("string"))), 1, 6),
+    )
+
+
+def duck_valaddr(i_expr: str) -> str:
+    return (
+        f"'terravaloper1' || substr(md5('val:' || CAST({i_expr} AS VARCHAR)), 1, 32)"
+        f" || substr(md5('val2:' || CAST({i_expr} AS VARCHAR)), 1, 6)"
+    )
+
+
+def _denom(i) -> F.Column:
+    return F.element_at(F.array(*[F.lit(d) for d in DENOMS]), (i % 4 + 1).cast("int"))
+
+
+def duck_denom(i_expr: str) -> str:
+    return f"(['uluna','ukrw','usdr','uusd'])[(({i_expr}) % 4) + 1]"
+
+
+# ---------------------------------------------------------------------------
+# Blocks (with block_results reward events, CSV amounts — A1 input).
+# ---------------------------------------------------------------------------
+def gen_blocks(spark: SparkSession, n: int = FIXTURE_N_BLOCKS) -> DataFrame:
+    h = F.col("id")
+    reward_amt = (h * 13 % 500 + 1).cast("string")
+    reward_amt2 = (h * 11 % 300 + 1).cast("string")
+    commission_amt = (h * 7 % 200 + 1).cast("string")
+    return (
+        spark.range(1, n + 1)
+        .select(
+            F.lit(CHAIN_ID).alias("chain_id"),
+            h.alias("height"),
+            F.timestamp_seconds(F.lit(EPOCH_START) + h * BLOCK_SPACING_S).alias("timestamp"),
+            _valaddr(h % 20).alias("proposer"),
+            F.array(
+                F.struct(
+                    _valaddr(h % 20).alias("validator"),
+                    F.lit("rewards").alias("type"),
+                    F.concat(
+                        reward_amt, F.lit("ukrw,"), reward_amt2, F.lit("uluna")
+                    ).alias("amount"),
+                ),
+                F.struct(
+                    _valaddr((h + 1) % 20).alias("validator"),
+                    F.lit("commission").alias("type"),
+                    F.concat(commission_amt, F.lit("uusd")).alias("amount"),
+                ),
+            ).alias("reward_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Txs (nested LCD-style msgs as JSON strings — the real parse path).
+# ---------------------------------------------------------------------------
+def gen_txs(spark: SparkSession, n: int = FIXTURE_N_BLOCKS) -> DataFrame:
+    """One row per tx: block h contributes (h % 3) txs, tx index
+    i = h * 3 + k (k < h % 3).  Msg mix by i % 5: 0,1 send; 2 multisend;
+    3 delegate; 4 swap.  ~10% failed (code = 4 when i % 10 = 0)."""
+    ks = F.when(
+        F.col("id") % 3 > 0, F.sequence(F.lit(0), (F.col("id") % 3 - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    base = spark.range(1, n + 1).select(
+        F.col("id").alias("h"), F.explode(ks).alias("k")
+    )
+    i = (F.col("h") * 3 + F.col("k")).alias("i")
+    df = base.select("h", "k", i)
+    i = F.col("i")
+    amt = (i * 37 % 1000 + 1).cast("string")
+    amt2 = (i * 37 % 1000 + 6).cast("string")  # amt + 5
+    frm = _addr(i % 50)
+    to = _addr((i * 7 + 1) % 50)
+    to2 = _addr((i * 7 + 2) % 50)
+    send_value = F.concat(
+        F.lit('{"from_address":"'), frm,
+        F.lit('","to_address":"'), to,
+        F.lit('","amount":[{"denom":"'), _denom(i),
+        F.lit('","amount":"'), amt, F.lit('"}]}'),
+    )
+    multi_value = F.concat(
+        F.lit('{"inputs":[{"address":"'), frm,
+        F.lit('","coins":[{"denom":"'), _denom(i),
+        F.lit('","amount":"'), amt,
+        F.lit('"},{"denom":"'), _denom(i + 1),
+        F.lit('","amount":"'), amt2,
+        F.lit('"}]}],"outputs":[{"address":"'), to,
+        F.lit('","coins":[]},{"address":"'), to2, F.lit('","coins":[]}]}'),
+    )
+    delegate_value = F.concat(
+        F.lit('{"delegator_address":"'), frm,
+        F.lit('","validator_address":"'), _valaddr(i % 20),
+        F.lit('","amount":{"denom":"uluna","amount":"'), amt, F.lit('"}}'),
+    )
+    swap_value = F.concat(
+        F.lit('{"trader":"'), frm,
+        F.lit('","offer_coin":{"denom":"'), _denom(i),
+        F.lit('","amount":"'), amt,
+        F.lit('"},"ask_denom":"'), _denom(i + 2), F.lit('"}'),
+    )
+    msg_type = (
+        F.when(i % 5 < 2, F.lit("bank/MsgSend"))
+        .when(i % 5 == 2, F.lit("bank/MsgMultiSend"))
+        .when(i % 5 == 3, F.lit("staking/MsgDelegate"))
+        .otherwise(F.lit("market/MsgSwap"))
+    )
+    msg_value = (
+        F.when(i % 5 < 2, send_value)
+        .when(i % 5 == 2, multi_value)
+        .when(i % 5 == 3, delegate_value)
+        .otherwise(swap_value)
+    )
+    return df.select(
+        F.lit(CHAIN_ID).alias("chain_id"),
+        F.md5(F.concat(F.lit("tx:"), i.cast("string"))).alias("hash"),
+        F.col("h").alias("height"),
+        F.timestamp_seconds(F.lit(EPOCH_START) + F.col("h") * BLOCK_SPACING_S).alias("timestamp"),
+        F.when(i % 10 == 0, F.lit(4)).cast("int").alias("code"),
+        F.array(
+            F.struct(msg_type.alias("type"), msg_value.alias("value"))
+        ).alias("msgs"),
+        F.array(
+            F.struct(_denom(i + 3).alias("denom"), (i % 90 + 10).cast("string").alias("amount"))
+        ).alias("fee"),
+    )
+
+
+# DuckDB CTE regenerating the tx index space (h, k, i) — prefix for the
+# fcd oracle queries.
+DUCK_TX_BASE = f"""
+    txbase AS (
+        SELECT h, k, h * 3 + k AS i
+        FROM (SELECT unnest(range(1, {{n}} + 1)) AS h),
+             (SELECT unnest(range(0, 3)) AS k)
+        WHERE k < h % 3
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Minute prices (J6/A17 input) and validator dimension.
+# ---------------------------------------------------------------------------
+def gen_prices(spark: SparkSession, n_minutes: int = 80) -> DataFrame:
+    m = F.col("id")
+    rows = spark.range(0, n_minutes).crossJoin(
+        spark.createDataFrame([(d,) for d in DENOMS if d != "uluna"], ["denom"])
+    )
+    # positive deterministic walk: 1 + ((m*seed) % 100)/100
+    seed = F.when(F.col("denom") == "ukrw", 17).when(F.col("denom") == "usdr", 29).otherwise(41)
+    return rows.select(
+        F.col("denom"),
+        F.timestamp_seconds(F.lit(EPOCH_START) + m * 60).alias("datetime"),
+        (F.lit(1.0) + (m * seed % 100).cast("double") / 100.0).alias("price"),
+    )
+
+
+def gen_validators(spark: SparkSession, n: int = 20) -> DataFrame:
+    v = F.col("id")
+    return spark.range(0, n).select(
+        _valaddr(v).alias("operator_address"),
+        _addr(v + 1000).alias("account_address"),
+        F.concat(F.lit("validator-"), v.cast("string")).alias("moniker"),
+        (v * 1000 + 5000).cast("decimal(38,10)").alias("voting_power"),
+        (F.lit(0.01) + (v % 10).cast("double") / 100.0).alias("commission_rate"),
+    )

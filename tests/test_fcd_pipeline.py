@@ -1,0 +1,122 @@
+"""fcd medallion pipeline + serving tests.
+
+The exact-value oracle for the pipeline lives in queries/fcd.py (DuckDB
+regenerates the fixture arithmetically).  These tests add an independent
+*Python* oracle for the serving contract: collect the bronze fixture,
+recompute the expected answers with json/dict code, compare.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.pipeline.medallion import (
+    account_tx_silver,
+    block_rewards_silver,
+    dashboard_gold,
+    minute_rewards_silver,
+)
+from classic_fcd_spark.serving.api import (
+    get_dashboard_history,
+    get_tx_list,
+    get_validator_returns,
+)
+from classic_fcd_spark.sources.fixtures import (
+    gen_blocks,
+    gen_txs,
+    gen_validators,
+)
+
+N = 120  # small fixture for fast tests
+
+
+class TestAccountTxExplode:
+    def test_matches_python_json_walk(self, spark):
+        """F4 parity: Spark's regex extraction over to_json(msgs) must find
+        exactly the addresses a recursive Python JSON walk finds."""
+        txs = gen_txs(spark, N)
+        got = {
+            (r["hash"], r["account"])
+            for r in account_tx_silver(txs).collect()
+        }
+        expected = set()
+        for r in txs.collect():
+            addrs = set()
+
+            def walk(v):
+                if isinstance(v, str):
+                    import re
+
+                    for m in re.findall(r"terravaloper1[a-z0-9]{38}|terra1[a-z0-9]{38}", v):
+                        addrs.add(m)
+                elif isinstance(v, dict):
+                    for x in v.values():
+                        walk(x)
+                elif isinstance(v, list):
+                    for x in v:
+                        walk(x)
+
+            for m in r["msgs"]:
+                walk(json.loads(m["value"]))
+            expected |= {(r["hash"], a) for a in addrs}
+        assert got == expected
+
+
+class TestBlockRewards:
+    def test_denom_maps_sum_to_total(self, spark):
+        blocks = gen_blocks(spark, N)
+        br = block_rewards_silver(blocks)
+        # map totals must equal the flat minute rollup totals
+        flat_total = (
+            minute_rewards_silver(blocks).agg(F.sum("total")).collect()[0][0]
+        )
+        map_total = (
+            br.select(F.explode("denom_map").alias("d", "v"))
+            .agg(F.sum("v"))
+            .collect()[0][0]
+        )
+        assert int(map_total) == int(flat_total)
+
+
+class TestServing:
+    def test_tx_list_contract(self, spark):
+        txs = gen_txs(spark, N)
+        at = account_tx_silver(txs)
+        # most active account
+        acct = (
+            at.groupBy("account")
+            .count()
+            .orderBy(F.col("count").desc(), "account")
+            .first()["account"]
+        )
+        page1 = get_tx_list(txs, at, acct, limit=5)
+        assert len(page1["txs"]) == 5 and page1["next"] is not None
+        heights = [t["height"] for t in page1["txs"]]
+        assert heights == sorted(heights, reverse=True)
+        page2 = get_tx_list(txs, at, acct, limit=5, offset_height=page1["next"])
+        assert all(t["height"] < page1["next"] for t in page2["txs"])
+        # every returned tx actually mentions the account
+        for t in page1["txs"]:
+            assert any(acct in m["value"] for m in t["msgs"])
+
+    def test_dashboard_history_windows(self, spark):
+        txs = gen_txs(spark, N)
+        dash = dashboard_gold(
+            txs, account_tx_silver(txs), minute_rewards_silver(gen_blocks(spark, N))
+        )
+        hist = get_dashboard_history(dash).orderBy("day").collect()
+        running = 0
+        for row in hist:
+            running += row["active_accounts"]
+            assert row["cumulative_active"] == running
+
+    def test_validator_returns_annualization(self, spark):
+        from classic_fcd_spark.pipeline.medallion import validator_returns_gold
+
+        vr = validator_returns_gold(gen_blocks(spark, N), gen_validators(spark))
+        out = get_validator_returns(vr, window_days=30).collect()
+        assert out
+        for r in out:
+            assert r["is_new_validator"] == (r["n_days"] < 15)
