@@ -67,28 +67,47 @@ def duck_word_shingles(text_expr: str = "text", n: int = 3) -> str:
 # MinHash.
 # ---------------------------------------------------------------------------
 def minhash_sig(shingles: Column, num_hashes: int = 16) -> Column:
-    """Array of `num_hashes` minima; hash_k(s) = first 16 hex chars of
-    md5('k:' || s).  Fixed-width hex strings compare like integers, so
-    array element k is min over the k-th hash family — a full MinHash
-    signature with zero UDFs and zero engine-specific hashing."""
-    minima = [
-        F.array_min(
-            F.transform(
-                shingles, lambda s, k=k: F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 16)
-            )
-        )
-        for k in range(num_hashes)
-    ]
+    """Array of `num_hashes` minima; hash family k(s) = 8-hex-char slice k
+    of concat(md5('0:'||s) … md5('3:'||s)).  Fixed-width hex strings
+    compare like integers, so element k is min over the k-th family — a
+    full MinHash signature with zero UDFs and zero engine-specific
+    hashing.  Cost: 4 md5 calls per shingle (one inner transform), not
+    `num_hashes`; the 16 minima then slice the precomputed 128-hex string.
+    """
+    n_md5 = (num_hashes * 8 + 31) // 32
+    hs = F.transform(
+        shingles,
+        lambda s: F.concat(
+            *[F.md5(F.concat(F.lit(f"{k}:"), s)) for k in range(n_md5)]
+        ),
+    )
+
+    # NB: the slice lambda must take exactly ONE parameter — F.transform
+    # treats a two-parameter callable as (element, index), so the usual
+    # `lambda h, k=k:` closure idiom silently binds k to the array index
+    # column and every hash family degenerates to the same value.
+    def _slice(k: int):
+        return lambda h: F.substring(h, k * 8 + 1, 8)
+
+    minima = [F.array_min(F.transform(hs, _slice(k))) for k in range(num_hashes)]
     return F.array(*minima)
 
 
-def duck_minhash_sig(shingles_expr: str, num_hashes: int = 16) -> str:
+def duck_shingle_hashes(shingles_expr: str, num_hashes: int = 16) -> str:
+    """DuckDB expression: per-shingle 128-hex concatenated hash string
+    (bind it in a CTE so the minima below don't recompute the md5s)."""
+    n_md5 = (num_hashes * 8 + 31) // 32
+    concat = " || ".join(f"md5('{k}:' || s)" for k in range(n_md5))
+    return f"list_transform({shingles_expr}, s -> {concat})"
+
+
+def duck_minhash_from_hashes(hs_expr: str, num_hashes: int = 16) -> str:
     minima = [
-        f"list_aggregate(list_transform({shingles_expr}, "
-        f"s -> substr(md5('{k}:' || s), 1, 16)), 'min')"
+        f"list_aggregate(list_transform({hs_expr}, h -> substr(h, {k * 8 + 1}, 8)), 'min')"
         for k in range(num_hashes)
     ]
     return "[" + ", ".join(minima) + "]"
+
 
 
 def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -106,6 +125,29 @@ def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*entries)
 
 
+def minhash_sig_table(
+    docs: DataFrame, id_col: str, shingle_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Wide signature table: one row per doc, columns m0..m{n-1}.
+
+    Explode-then-aggregate shape instead of array higher-order functions:
+    the per-row expressions stay tiny (4 md5 + 16 substr/min), so they
+    compile under whole-stage codegen (the single giant array expression
+    falls back to interpreted evaluation — ~100× slower), and the min()
+    aggregate combines map-side.  This is also the plan that scales: the
+    explode shuffles nothing; only the reduced (doc × 16 strings) row
+    moves."""
+    n_md5 = (num_hashes * 8 + 31) // 32
+    ex = docs.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("s"))
+    h = F.concat(*[F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))) for k in range(n_md5)])
+    hashed = ex.select(id_col, h.alias("h"))
+    aggs = [
+        F.min(F.substring("h", k * 8 + 1, 8)).alias(f"m{k}")
+        for k in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str,
@@ -119,15 +161,28 @@ def lsh_candidate_pairs(
     collision rate); never materializes the n² pair space.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col),
-        F.col(shingle_col),
-        minhash_sig(F.col(shingle_col), num_hashes).alias("sig"),
-    )
+    sig = minhash_sig_table(docs, id_col, shingle_col, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
-        id_col,
-        F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("b"),
+        id_col, F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, "b.band", "b.bh")
+    # The self-join would otherwise recompute the signatures on BOTH
+    # branches; persist the (tiny: bands rows/doc, ~50 bytes/row) banded
+    # table so they are computed exactly once.  At 100 TB banded is
+    # still ~1% of corpus size — persist to MEMORY_AND_DISK or a staging
+    # table; the join shuffles only (band, hash, id).
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -201,6 +256,39 @@ def simhash32_sql(tokens_expr: str, transform_fn: str, filter_fn: str, len_fn: s
 
 def spark_simhash32(tokens_expr: str) -> Column:
     return F.expr(simhash32_sql(tokens_expr, "transform", "filter", "size"))
+
+
+def simhash32_table(docs: DataFrame, id_col: str, tokens: Column) -> DataFrame:
+    """Explode-based SimHash-32 (same semantics as simhash32_sql, same
+    reasoning as minhash_sig_table: 32 tiny codegen-able expressions over
+    exploded tokens + one map-side-combining aggregate, instead of one
+    giant interpreted array expression).  Returns (id_col, simhash)."""
+    ex = docs.select(F.col(id_col), F.explode(tokens).alias("t")).select(
+        id_col, F.md5("t").alias("m")
+    )
+    ones = [
+        F.sum(F.expr(f"CAST({_bit_sql_from_md5('m', j)} AS BIGINT)")).alias(f"o{j}")
+        for j in range(32)
+    ]
+    agg = ex.groupBy(id_col).agg(F.count("*").alias("n"), *ones)
+    bits = [
+        F.when(2 * F.col(f"o{j}") > F.col("n"), F.lit(2**j)).otherwise(F.lit(0))
+        for j in range(32)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return agg.select(F.col(id_col), total.cast("bigint").alias("simhash"))
+
+
+def _bit_sql_from_md5(md5_col: str, j: int) -> str:
+    """Bit j from a precomputed md5-hex column (vs _bit_sql which inlines
+    the md5 call)."""
+    char_pos = j // 4 + 1
+    p = 2 ** (j % 4)
+    return (
+        f"CAST(FLOOR((instr('{HEX_DIGITS}', substr({md5_col}, {char_pos}, 1)) - 1) / {p}) AS INT) % 2"
+    )
 
 
 def duck_simhash32(tokens_expr: str) -> str:

@@ -11,12 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from classic_fcd_spark.operators.dedup import (
-    duck_minhash_sig,
+    duck_minhash_from_hashes,
+    duck_shingle_hashes,
     duck_simhash32,
     duck_word_shingles,
     jaccard_pairs,
     lsh_candidate_pairs,
-    spark_simhash32,
     word_shingles,
     ws_tokens,
 )
@@ -57,14 +57,15 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-duplicate detection (the 100 TB-scale path).
 # ---------------------------------------------------------------------------
 _SH = duck_word_shingles("text")
-_SIG = duck_minhash_sig("shingles")
 
 _MINHASH_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, {_SH} AS shingles
         FROM documents WHERE len({_D_TOKS}) >= 3
+    ), hashed AS (
+        SELECT doc_id, shingles, {duck_shingle_hashes("shingles")} AS hs FROM sh
     ), sig AS (
-        SELECT doc_id, shingles, {_SIG} AS sig FROM sh
+        SELECT doc_id, shingles, {duck_minhash_from_hashes("hs")} AS sig FROM hashed
     ), banded AS (
         SELECT doc_id, b,
                md5(array_to_string(sig[(b*4+1):(b*4+4)], '|')) AS bh
@@ -95,8 +96,16 @@ _MINHASH_ORACLE = f"""
 )
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = docs.filter(F.size(ws_tokens("text")) >= 3).select(
-        "doc_id", word_shingles("text").alias("shingles")
+    # single-file parquet scans arrive as one partition; spread the md5
+    # work across cores BEFORE the shingle projection, and persist: the
+    # shingle table is read by the banding branch and twice by the
+    # Jaccard verification join.
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par, "doc_id")
+        .filter(F.size(ws_tokens("text")) >= 3)
+        .select("doc_id", word_shingles("text").alias("shingles"))
+        .persist()
     )
     cand = lsh_candidate_pairs(sh, "doc_id", "shingles")
     verified = jaccard_pairs(cand, sh, "doc_id", "shingles")
@@ -174,8 +183,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extraction keeps Spark and the SQL oracle bit-identical.",
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.dedup import simhash32_table
+
     docs = load_tables(spark, sf_dir)["documents"]
-    return docs.select(
+    par = spark.sparkContext.defaultParallelism
+    return simhash32_table(
+        docs.repartition(par, "doc_id"),
         "doc_id",
-        spark_simhash32("array_distinct(split(trim(text), ' +'))").alias("simhash"),
+        F.array_distinct(F.split(F.trim("text"), " +")),
     )

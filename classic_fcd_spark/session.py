@@ -41,6 +41,12 @@ _DEFAULTS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # The engine compiles many large generated classes (wide aggregates,
+    # JSON construction, hash pipelines); the JVM's default 240 MB
+    # reserved code cache fills after a few dozen plans and the JIT stops
+    # compiling — every later query then runs interpreted (observed as
+    # roving 10-60x slowdowns).  1 GB keeps steady-state JIT'd.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
 }
 
 
