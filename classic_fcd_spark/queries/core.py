@@ -148,7 +148,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
     )
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_users
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total_users
     FROM per_day
     """,
     doc="A11 cumulative distinct accounts (O(n) first-seen rewrite of the "
@@ -159,7 +159,9 @@ def account_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     first_seen = ev.groupBy("user_id").agg(F.min(_day("ts")).alias("day"))
     per_day = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
-    return cumulative(per_day, "day", "new_users", "total_users")
+    out = cumulative(per_day, "day", "new_users", "total_users")
+    # pin int64 on both engines: DuckDB's windowed SUM yields HUGEINT
+    return out.withColumn("total_users", F.col("total_users").cast("long"))
 
 
 # ---------------------------------------------------------------------------

@@ -24,27 +24,39 @@ def get_tx_list(
     account_tx: DataFrame,
     account: str,
     limit: int = 10,
-    offset_height: int | None = None,
+    offset: tuple[int, str] | None = None,
 ) -> dict:
     """Keyset page of txs touching `account`, newest first.
 
     Contract (TransactionController.ts:157-173): limit+1 fetch; `next` =
     cursor for the following page; response rows carry the tx payload.
-    Cursor = height (the natural monotone key in our medallion layout).
+    Cursor = (height, hash): height alone is non-unique (many txs per
+    block), so the keyset is the composite — the reference keysets on its
+    unique serial tx id; (height, hash) is our equivalent unique monotone
+    key, and no boundary row is ever skipped between pages.
     """
     page = account_tx.filter(F.col("account") == account)
-    if offset_height is not None:
-        page = page.filter(F.col("height") < offset_height)
-    page = page.select("hash", "height").orderBy(F.col("height").desc()).limit(limit + 1)
+    if offset is not None:
+        oh, ohash = offset
+        page = page.filter(
+            (F.col("height") < oh)
+            | ((F.col("height") == oh) & (F.col("hash") < ohash))
+        )
+    page = (
+        page.select("hash", "height")
+        .orderBy(F.col("height").desc(), F.col("hash").desc())
+        .limit(limit + 1)
+    )
     # J4: page of ids ⋉ tx — broadcast the tiny page side
     rows = (
         txs.join(F.broadcast(page), ["hash", "height"], "left_semi")
-        .orderBy(F.col("height").desc())
+        .orderBy(F.col("height").desc(), F.col("hash").desc())
         .collect()
     )
     next_cursor = None
     if len(rows) > limit:
-        next_cursor = rows[limit - 1]["height"]
+        last = rows[limit - 1]
+        next_cursor = (last["height"], last["hash"])
         rows = rows[:limit]
     return {
         "limit": limit,

@@ -31,9 +31,10 @@ _DEFAULTS = {
     # explicit so a misconfigured environment cannot silently disable them.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
-    # Money columns are DecimalType(38,10) (SURVEY §1.3); operations that
-    # would overflow must fail loudly, not return null.
-    "spark.sql.ansi.enabled": "false",
+    # Money columns are DecimalType(38,10) (SURVEY §1.3); with ANSI mode on,
+    # overflow and invalid casts fail loudly instead of silently yielding
+    # NULL — matching DuckDB's (the oracle's) error-on-overflow behavior.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
     # type for; read as long and convert in load_tables (truncate to µs,

@@ -93,10 +93,14 @@ class TestServing:
         )
         page1 = get_tx_list(txs, at, acct, limit=5)
         assert len(page1["txs"]) == 5 and page1["next"] is not None
-        heights = [t["height"] for t in page1["txs"]]
-        assert heights == sorted(heights, reverse=True)
-        page2 = get_tx_list(txs, at, acct, limit=5, offset_height=page1["next"])
-        assert all(t["height"] < page1["next"] for t in page2["txs"])
+        keys1 = [(t["height"], t["hash"]) for t in page1["txs"]]
+        assert keys1 == sorted(keys1, reverse=True)
+        page2 = get_tx_list(txs, at, acct, limit=5, offset=page1["next"])
+        keys2 = [(t["height"], t["hash"]) for t in page2["txs"]]
+        # strict keyset: every page-2 key sorts below the page-1 cursor and
+        # no key is skipped or repeated across the boundary
+        assert all(k < tuple(page1["next"]) for k in keys2)
+        assert not (set(keys1) & set(keys2))
         # every returned tx actually mentions the account
         for t in page1["txs"]:
             assert any(acct in m["value"] for m in t["msgs"])
