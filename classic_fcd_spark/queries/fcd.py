@@ -22,16 +22,29 @@ from classic_fcd_spark.pipeline.medallion import (
     tx_volume_minute_silver,
     validator_returns_gold,
 )
+from classic_fcd_spark.pipeline.prices import (
+    daily_avg_price_e6,
+    luna_value_e6,
+    usd_value_e6,
+    with_day_prices,
+)
 from classic_fcd_spark.queries.registry import register
 from classic_fcd_spark.sources.fixtures import (
     FIXTURE_N_BLOCKS as N,
 )
 from classic_fcd_spark.sources.fixtures import (
+    FIXTURE_N_PRICE_MINUTES as NP,
+)
+from classic_fcd_spark.sources.fixtures import (
     BLOCK_SPACING_S,
+    DUCK_ISSUANCES,
+    DUCK_PRICES,
     duck_addr,
     duck_denom,
     duck_valaddr,
     gen_blocks,
+    gen_issuances,
+    gen_prices,
     gen_txs,
     gen_validators,
 )
@@ -238,4 +251,156 @@ def fcd_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     txs = gen_txs(spark)
     return dashboard_gold(
         txs, account_tx_silver(txs), minute_rewards_silver(gen_blocks(spark))
+    )
+
+
+# ---------------------------------------------------------------------------
+# The price-join family: J6 + F9 + F10 + A6 + A17.  Shared oracle CTEs:
+# regenerate the minute prices arithmetically and average them per day in
+# pure integer math (µ-unit encoding, see pipeline/prices.py).
+# ---------------------------------------------------------------------------
+_DUCK_AVGP = (
+    DUCK_PRICES.format(n=NP)
+    + """,
+    avgp AS (
+        SELECT day, denom, CAST(SUM(price_e2) * 10000 // COUNT(*) AS BIGINT) AS avg_e6
+        FROM prices GROUP BY 1, 2
+    ),
+    uusd AS (SELECT day, avg_e6 AS p_uusd_e6 FROM avgp WHERE denom = 'uusd')
+"""
+)
+
+_DUCK_DAILY_REWARDS = f"""
+    blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
+    coins AS (
+        SELECT h, 'rewards' AS rtype, 'ukrw' AS denom, h * 13 % 500 + 1 AS amt FROM blocks
+        UNION ALL
+        SELECT h, 'rewards', 'uluna', h * 11 % 300 + 1 FROM blocks
+        UNION ALL
+        SELECT h, 'commission', 'uusd', h * 7 % 200 + 1 FROM blocks
+    ),
+    daily AS (
+        SELECT {_DAY} AS day, denom, rtype, CAST(SUM(amt) AS BIGINT) AS total
+        FROM coins GROUP BY 1, 2, 3
+    )
+"""
+
+
+@register(
+    "fcd_avg_price_daily",
+    f"WITH {_DUCK_AVGP} SELECT day, denom, avg_e6 FROM avgp",
+    doc="A17 AVG(price) by (date, denom) — the reference's price-history "
+    "rollup every conversion reads (src/service/dashboard/"
+    "getPriceHistory.ts:16-33, src/service/staking/helper.ts:213-230). "
+    "Integer µ-unit average: exact on any engine/partitioning.",
+)
+def fcd_avg_price_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_avg_price_e6(gen_prices(spark))
+
+
+@register(
+    "fcd_rewards_usd",
+    f"""
+    WITH {_DUCK_DAILY_REWARDS},
+    {_DUCK_AVGP}
+    SELECT d.day AS day, d.denom AS denom, d.rtype AS rtype, d.total AS total,
+           CAST(CASE
+               WHEN p_uusd_e6 IS NULL THEN 0
+               WHEN d.denom = 'uusd'  THEN CAST(d.total AS HUGEINT) * 1000000
+               WHEN d.denom = 'uluna' THEN CAST(d.total AS HUGEINT) * p_uusd_e6
+               WHEN avgp.avg_e6 IS NOT NULL
+                    THEN CAST(d.total AS HUGEINT) * p_uusd_e6 * 1000000 // avgp.avg_e6
+               ELSE 0 END AS BIGINT) AS total_usd_e6
+    FROM daily d
+    LEFT JOIN avgp ON d.day = avgp.day AND d.denom = avgp.denom
+    LEFT JOIN uusd ON d.day = uusd.day
+    """,
+    doc="J6 rewards x daily-avg-price join + F9 getUSDValue "
+    "(src/collector/block/helper.ts:8-23; consumed by "
+    "src/collector/dashboard/stakingReturn.ts:54-93).  uusd: identity; "
+    "uluna: x price(uusd); other: amount/(price(denom)/price(uusd)); 0 "
+    "when prices are missing.  Broadcast joins against the (day, denom) "
+    "price table — the fact side never shuffles.",
+)
+def fcd_rewards_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mr = minute_rewards_silver(gen_blocks(spark))
+    daily = (
+        mr.withColumn("day", F.substring("minute", 1, 10))
+        .groupBy("day", "denom", "rtype")
+        .agg(F.sum("total").alias("total"))
+    )
+    out = with_day_prices(daily, daily_avg_price_e6(gen_prices(spark)))
+    return out.select(
+        "day", "denom", "rtype", "total", usd_value_e6("total").alias("total_usd_e6")
+    )
+
+
+@register(
+    "fcd_rewards_luna",
+    f"""
+    WITH {_DUCK_DAILY_REWARDS},
+    {_DUCK_AVGP}
+    SELECT d.day AS day, d.rtype AS rtype,
+           CAST(SUM(CASE
+               WHEN d.denom = 'uluna' THEN CAST(d.total AS HUGEINT) * 1000000
+               ELSE CAST(d.total AS HUGEINT) * 1000000 * 1000000 // avgp.avg_e6
+               END) AS BIGINT) AS total_luna_e6
+    FROM daily d
+    LEFT JOIN avgp ON d.day = avgp.day AND d.denom = avgp.denom
+    WHERE d.denom = 'uluna' OR avgp.avg_e6 IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="F10 Luna normalization (src/collector/staking/"
+    "rewardAndCommissionSum.ts:56-78): uluna passes through, every other "
+    "denom divides by its own daily avg price; rows without a price are "
+    "dropped exactly as the reference skips them "
+    "(stakingReturn.ts:63-65).  Result: per (day, rtype) total in µLuna.",
+)
+def fcd_rewards_luna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mr = minute_rewards_silver(gen_blocks(spark))
+    daily = (
+        mr.withColumn("day", F.substring("minute", 1, 10))
+        .groupBy("day", "denom", "rtype")
+        .agg(F.sum("total").alias("total"))
+    )
+    priced = with_day_prices(daily, daily_avg_price_e6(gen_prices(spark)))
+    return (
+        priced.filter((F.col("denom") == "uluna") | F.col("p_denom_e6").isNotNull())
+        .select("day", "rtype", luna_value_e6("total").alias("luna_e6"))
+        .groupBy("day", "rtype")
+        .agg(F.sum("luna_e6").cast("long").alias("total_luna_e6"))
+    )
+
+
+@register(
+    "fcd_market_cap",
+    f"""
+    WITH {_DUCK_AVGP},
+    {DUCK_ISSUANCES},
+    days AS (SELECT DISTINCT day FROM avgp)
+    SELECT days.day AS day, i.denom AS denom, i.issuance AS issuance,
+           CAST(CASE
+               WHEN p_uusd_e6 IS NULL THEN 0
+               WHEN i.denom = 'uusd'  THEN CAST(i.issuance AS HUGEINT) * 1000000
+               WHEN i.denom = 'uluna' THEN CAST(i.issuance AS HUGEINT) * p_uusd_e6
+               WHEN avgp.avg_e6 IS NOT NULL
+                    THEN CAST(i.issuance AS HUGEINT) * p_uusd_e6 * 1000000 // avgp.avg_e6
+               ELSE 0 END AS BIGINT) AS market_cap_usd_e6
+    FROM days CROSS JOIN issuances i
+    LEFT JOIN avgp ON days.day = avgp.day AND i.denom = avgp.denom
+    LEFT JOIN uusd ON days.day = uusd.day
+    """,
+    doc="A6 market cap = issuance x USD price per (day, denom) "
+    "(src/collector/block/network.ts:94-98 getMarketCap over F9).  The "
+    "issuance dim is a fixture stand-in for the LCD /supply/total "
+    "snapshot; HUGEINT/DECIMAL(38) intermediates — issuance x e6-price "
+    "overflows int64.",
+)
+def fcd_market_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    avgp = daily_avg_price_e6(gen_prices(spark))
+    days = avgp.select("day").distinct()
+    base = days.crossJoin(F.broadcast(gen_issuances(spark)))
+    out = with_day_prices(base, avgp)
+    return out.select(
+        "day", "denom", "issuance", usd_value_e6("issuance").alias("market_cap_usd_e6")
     )

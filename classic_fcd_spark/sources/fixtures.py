@@ -195,7 +195,15 @@ DUCK_TX_BASE = f"""
 # ---------------------------------------------------------------------------
 # Minute prices (J6/A17 input) and validator dimension.
 # ---------------------------------------------------------------------------
-def gen_prices(spark: SparkSession, n_minutes: int = 80) -> DataFrame:
+# 4500 minutes ≈ 3.125 days — covers every day the 600-block fixture spans
+# (600 × 450 s), so every (day, denom) reward row finds a daily avg price.
+FIXTURE_N_PRICE_MINUTES = 4500
+
+
+def gen_prices(spark: SparkSession, n_minutes: int = FIXTURE_N_PRICE_MINUTES) -> DataFrame:
+    """Minute prices per denom (src/orm/PriceEntity.ts:3-18).  uluna has no
+    price row by design — the reference prices everything *in* Luna/USD and
+    converts uluna itself via the uusd price (F9 in SURVEY §2.8)."""
     m = F.col("id")
     rows = spark.range(0, n_minutes).crossJoin(
         spark.createDataFrame([(d,) for d in DENOMS if d != "uluna"], ["denom"])
@@ -207,6 +215,41 @@ def gen_prices(spark: SparkSession, n_minutes: int = 80) -> DataFrame:
         F.timestamp_seconds(F.lit(EPOCH_START) + m * 60).alias("datetime"),
         (F.lit(1.0) + (m * seed % 100).cast("double") / 100.0).alias("price"),
     )
+
+
+# Mirrors the Spark arithmetic above for the DuckDB oracle; {n} = n_minutes.
+DUCK_PRICES = """
+    prices AS (
+        SELECT denom,
+               strftime(make_timestamp((1609459200 + m * 60) * 1000000), '%Y-%m-%d') AS day,
+               100 + (m * seed) % 100 AS price_e2
+        FROM (SELECT unnest(range(0, {n})) AS m),
+             (SELECT * FROM (VALUES ('ukrw', 17), ('usdr', 29), ('uusd', 41)) AS t(denom, seed))
+    )
+"""
+
+ISSUANCES = {
+    # fixed per-denom total issuance (micro units) — stand-in for the LCD
+    # /supply/total snapshot the reference reads (A6 market cap input).
+    "uluna": 2_000_000_000,
+    "ukrw": 800_000_000,
+    "usdr": 50_000_000,
+    "uusd": 900_000_000,
+}
+
+
+def gen_issuances(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(d, a) for d, a in sorted(ISSUANCES.items())], ["denom", "issuance"]
+    )
+
+
+DUCK_ISSUANCES = """
+    issuances AS (
+        SELECT * FROM (VALUES ('ukrw', 800000000), ('uluna', 2000000000),
+                              ('usdr', 50000000), ('uusd', 900000000)) AS t(denom, issuance)
+    )
+"""
 
 
 def gen_validators(spark: SparkSession, n: int = 20) -> DataFrame:
