@@ -175,6 +175,153 @@ def minute_rewards_silver(blocks: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# silver tax/gas/oracle decomposition — F13 + A2 + A4
+# (src/collector/block/tx.ts:30-138, reward.ts:16-81,123-157).
+# ---------------------------------------------------------------------------
+
+# Fixture tax params (the reference fetches these per height from LCD —
+# lcd.getTaxRate / getTaxCaps, tx.ts:20-28).  Rate is µ-encoded so
+# floor(amount × rate) is exact integer math on both engines.
+TAX_RATE_E6 = 100_000  # 0.1
+TAX_CAPS = {"ukrw": 60}  # binds sometimes on the fixture's <=1005 amounts
+DEFAULT_TAX_CAP = 1_000_000  # tx.ts:42 fallback
+
+
+def _tax_cap() -> F.Column:
+    cap = F.lit(DEFAULT_TAX_CAP)
+    for denom, c in TAX_CAPS.items():
+        cap = F.when(F.col("denom") == denom, F.lit(c)).otherwise(cap)
+    return cap
+
+
+def tax_per_tx_denom(txs: DataFrame) -> DataFrame:
+    """F13 getTax (tx.ts:30-81): per successful tx, per non-uluna coin of
+    its MsgSend amounts / MsgMultiSend input coins:
+    tax = min(floor(amount × taxRate), taxCap(denom)), summed per denom.
+    Failed txs contribute nothing (assignGasAndTax bails before writing
+    tax into logs when logs are absent — tx.ts:119-122)."""
+    msgs = success(txs).select("hash", "timestamp", F.explode("msgs").alias("m"))
+    send = msgs.filter(F.col("m.type") == "bank/MsgSend").select(
+        "hash",
+        "timestamp",
+        F.explode(F.from_json("m.value", SEND_SCHEMA).getField("amount")).alias("coin"),
+    )
+    multi = msgs.filter(F.col("m.type") == "bank/MsgMultiSend").select(
+        "hash",
+        "timestamp",
+        F.explode(
+            F.flatten(
+                F.from_json("m.value", MULTISEND_SCHEMA)
+                .getField("inputs")
+                .getField("coins")
+            )
+        ).alias("coin"),
+    )
+    coins = (
+        send.unionByName(multi)
+        .select(
+            "hash",
+            "timestamp",
+            F.col("coin.denom").alias("denom"),
+            F.col("coin.amount").cast("long").alias("amount"),
+        )
+        .filter(F.col("denom") != "uluna")
+    )
+    taxed = coins.withColumn(
+        "tax",
+        F.least(F.expr(f"amount * {TAX_RATE_E6} div 1000000"), _tax_cap()),
+    )
+    return taxed.groupBy("hash", "timestamp", "denom").agg(F.sum("tax").alias("tax"))
+
+
+def reward_minute_fees(blocks: DataFrame, txs: DataFrame, prices: DataFrame) -> DataFrame:
+    """A2 minute fee rollup + A4 oracle decomposition (reward.ts:123-157):
+
+    - tax  per (minute, denom): getFee sums the per-msg tax CSVs written
+      into logs (reward.ts:32-57) — here the tax_per_tx_denom aggregate.
+    - gas  per (minute, denom): getGas sums fee.amount AFTER
+      assignGasAndTax replaced fee with fee−tax for successful txs
+      (tx.ts:98-135); failed txs keep their original fee and contribute
+      it whole (getFees has no success filter — reward.ts:59-82).
+    - sum  per (minute, denom): the block reward map ('rewards' type).
+    - oracle = max(0, sum − tax − gas), plus USD values via the ACTIVE
+      minute price (getAllActivePrices, not the daily average).
+
+    Shape: three bounded hash-aggregates full-outer-joined on the tiny
+    (minute, denom) key, then a broadcast price join — no scan is read
+    twice, nothing collects.
+    """
+    from classic_fcd_spark.pipeline.prices import (
+        minute_price_e6,
+        usd_value_e6,
+        with_day_prices,
+    )
+
+    taxed = tax_per_tx_denom(txs)
+    tax_minute = taxed.groupBy(
+        _minute("timestamp").alias("minute"), "denom"
+    ).agg(F.sum("tax").alias("tax"))
+
+    fees = txs.select(
+        "hash", "timestamp", "code", F.explode("fee").alias("f")
+    ).select(
+        "hash",
+        "timestamp",
+        "code",
+        F.col("f.denom").alias("denom"),
+        F.col("f.amount").cast("long").alias("fee_amt"),
+    )
+    gas_rows = fees.join(
+        taxed.select("hash", "denom", F.col("tax").alias("msg_tax")),
+        ["hash", "denom"],
+        "left",
+    ).select(
+        "timestamp",
+        "denom",
+        # tax is only ever subtracted from fee denoms the tx actually
+        # taxed (feeObj[denom] check, tx.ts:104-106); failed txs never
+        # appear in `taxed`, so coalesce keeps their full fee.
+        (F.col("fee_amt") - F.coalesce("msg_tax", F.lit(0))).alias("gas"),
+    )
+    gas_minute = gas_rows.groupBy(_minute("timestamp").alias("minute"), "denom").agg(
+        F.sum("gas").alias("gas")
+    )
+
+    sum_minute = (
+        minute_rewards_silver(blocks)
+        .filter(F.col("rtype") == "rewards")
+        .select("minute", "denom", F.col("total").alias("reward_sum"))
+    )
+
+    grid = (
+        tax_minute.join(gas_minute, ["minute", "denom"], "full")
+        .join(sum_minute, ["minute", "denom"], "full")
+        .select(
+            "minute",
+            "denom",
+            F.coalesce("tax", F.lit(0)).alias("tax"),
+            F.coalesce("gas", F.lit(0)).alias("gas"),
+            F.coalesce("reward_sum", F.lit(0)).alias("reward_sum"),
+        )
+        .withColumn(
+            "oracle_amt",
+            F.greatest(F.lit(0), F.col("reward_sum") - F.col("tax") - F.col("gas")),
+        )
+    )
+    priced = with_day_prices(grid, minute_price_e6(prices), day_col="minute")
+    return priced.select(
+        "minute",
+        "denom",
+        "tax",
+        "gas",
+        "reward_sum",
+        "oracle_amt",
+        usd_value_e6("tax").alias("tax_usd_e6"),
+        usd_value_e6("oracle_amt").alias("oracle_usd_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # gold dashboard — A8-A12 + A24 (collectDashboard.ts:15-67).
 # ---------------------------------------------------------------------------
 def dashboard_gold(txs: DataFrame, account_tx: DataFrame, minute_rewards: DataFrame) -> DataFrame:

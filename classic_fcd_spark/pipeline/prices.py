@@ -60,19 +60,34 @@ def daily_avg_price_e6(prices: DataFrame) -> DataFrame:
     )
 
 
+def minute_price_e6(prices: DataFrame) -> DataFrame:
+    """Active price per exact minute (getAllActivePrices — src/collector/
+    block/helper.ts:32-41), µ-unit encoded.  Same column contract as
+    daily_avg_price_e6 so with_day_prices works at either grain."""
+    return prices.select(
+        F.date_format(F.date_trunc("minute", "datetime"), "yyyy-MM-dd HH:mm:ss").alias(
+            "minute"
+        ),
+        "denom",
+        (F.round(F.col("price") * 100).cast("long") * 10000).alias("avg_e6"),
+    )
+
+
 def with_day_prices(
     df: DataFrame, avg_prices: DataFrame, day_col: str = "day", denom_col: str = "denom"
 ) -> DataFrame:
-    """J6: attach (p_denom_e6, p_uusd_e6) per (day, denom) via two
-    broadcast joins against the tiny daily-avg-price table.  Left joins:
+    """J6: attach (p_denom_e6, p_uusd_e6) per (time bucket, denom) via two
+    broadcast joins against the tiny price table (daily_avg_price_e6 or
+    minute_price_e6 — whichever grain `day_col` names).  Left joins:
     uluna has no price row and must survive (F9 prices it via uusd)."""
+    tcol = next(c for c in avg_prices.columns if c not in ("denom", "avg_e6"))
     p_denom = avg_prices.select(
-        F.col("day").alias(day_col),
+        F.col(tcol).alias(day_col),
         F.col("denom").alias(denom_col),
         F.col("avg_e6").alias("p_denom_e6"),
     )
     p_uusd = avg_prices.filter(F.col("denom") == "uusd").select(
-        F.col("day").alias(day_col), F.col("avg_e6").alias("p_uusd_e6")
+        F.col(tcol).alias(day_col), F.col("avg_e6").alias("p_uusd_e6")
     )
     return df.join(F.broadcast(p_denom), [day_col, denom_col], "left").join(
         F.broadcast(p_uusd), day_col, "left"

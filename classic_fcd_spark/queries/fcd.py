@@ -19,6 +19,7 @@ from classic_fcd_spark.pipeline.medallion import (
     account_tx_silver,
     dashboard_gold,
     minute_rewards_silver,
+    reward_minute_fees,
     tx_volume_minute_silver,
     validator_returns_gold,
 )
@@ -370,6 +371,100 @@ def fcd_rewards_luna(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "rtype")
         .agg(F.sum("luna_e6").cast("long").alias("total_luna_e6"))
     )
+
+
+_DUCK_MPRICES = f"""
+    mprices AS (
+        SELECT strftime(make_timestamp((1609459200 + m * 60) * 1000000), '%Y-%m-%d %H:%M:%S') AS minute,
+               denom, CAST((100 + (m * seed) % 100) * 10000 AS BIGINT) AS price_e6
+        FROM (SELECT unnest(range(0, {NP})) AS m),
+             (SELECT * FROM (VALUES ('ukrw', 17), ('usdr', 29), ('uusd', 41)) AS t(denom, seed))
+    ),
+    muusd AS (SELECT minute, price_e6 AS p_uusd_e6 FROM mprices WHERE denom = 'uusd')
+"""
+
+
+@register(
+    "fcd_minute_fees",
+    f"""
+    WITH {_TXBASE},
+    taxcoins AS (
+        SELECT i, h, denom, amt FROM (
+            SELECT i, h, {duck_denom("i")} AS denom, i * 37 % 1000 + 1 AS amt
+            FROM txbase WHERE i % 5 < 2 AND i % 10 <> 0
+            UNION ALL
+            SELECT i, h, {duck_denom("i")}, i * 37 % 1000 + 1
+            FROM txbase WHERE i % 5 = 2 AND i % 10 <> 0
+            UNION ALL
+            SELECT i, h, {duck_denom("i + 1")}, i * 37 % 1000 + 6
+            FROM txbase WHERE i % 5 = 2 AND i % 10 <> 0
+        ) WHERE denom <> 'uluna'
+    ),
+    taxed AS (
+        SELECT i, h, denom,
+               SUM(LEAST(amt * 100000 // 1000000,
+                         CASE WHEN denom = 'ukrw' THEN 60 ELSE 1000000 END)) AS tax
+        FROM taxcoins GROUP BY 1, 2, 3
+    ),
+    tax_minute AS (SELECT {_MINUTE} AS minute, denom, SUM(tax) AS tax FROM taxed GROUP BY 1, 2),
+    fees AS (SELECT i, h, {duck_denom("i + 3")} AS denom, i % 90 + 10 AS fee_amt FROM txbase),
+    gas_rows AS (
+        SELECT f.h AS h, f.denom AS denom, f.fee_amt - COALESCE(t.tax, 0) AS gas
+        FROM fees f LEFT JOIN taxed t ON f.i = t.i AND f.denom = t.denom
+    ),
+    gas_minute AS (SELECT {_MINUTE} AS minute, denom, SUM(gas) AS gas FROM gas_rows GROUP BY 1, 2),
+    blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
+    sum_minute AS (
+        SELECT minute, denom, SUM(amt) AS reward_sum FROM (
+            SELECT {_MINUTE} AS minute, 'ukrw' AS denom, h * 13 % 500 + 1 AS amt FROM blocks
+            UNION ALL
+            SELECT {_MINUTE}, 'uluna', h * 11 % 300 + 1 FROM blocks
+        ) GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT COALESCE(t.minute, g.minute, s.minute) AS minute,
+               COALESCE(t.denom, g.denom, s.denom) AS denom,
+               COALESCE(tax, 0) AS tax, COALESCE(gas, 0) AS gas,
+               COALESCE(reward_sum, 0) AS reward_sum
+        FROM tax_minute t
+        FULL OUTER JOIN gas_minute g ON t.minute = g.minute AND t.denom = g.denom
+        FULL OUTER JOIN sum_minute s
+          ON COALESCE(t.minute, g.minute) = s.minute AND COALESCE(t.denom, g.denom) = s.denom
+    ),
+    grid2 AS (SELECT *, GREATEST(0, reward_sum - tax - gas) AS oracle_amt FROM grid),
+    {_DUCK_MPRICES}
+    SELECT g.minute AS minute, g.denom AS denom,
+           CAST(tax AS BIGINT) AS tax, CAST(gas AS BIGINT) AS gas,
+           CAST(reward_sum AS BIGINT) AS reward_sum,
+           CAST(oracle_amt AS BIGINT) AS oracle_amt,
+           CAST(CASE
+               WHEN p_uusd_e6 IS NULL THEN 0
+               WHEN g.denom = 'uusd'  THEN CAST(tax AS HUGEINT) * 1000000
+               WHEN g.denom = 'uluna' THEN CAST(tax AS HUGEINT) * p_uusd_e6
+               WHEN p.price_e6 IS NOT NULL
+                    THEN CAST(tax AS HUGEINT) * p_uusd_e6 * 1000000 // p.price_e6
+               ELSE 0 END AS BIGINT) AS tax_usd_e6,
+           CAST(CASE
+               WHEN p_uusd_e6 IS NULL THEN 0
+               WHEN g.denom = 'uusd'  THEN CAST(oracle_amt AS HUGEINT) * 1000000
+               WHEN g.denom = 'uluna' THEN CAST(oracle_amt AS HUGEINT) * p_uusd_e6
+               WHEN p.price_e6 IS NOT NULL
+                    THEN CAST(oracle_amt AS HUGEINT) * p_uusd_e6 * 1000000 // p.price_e6
+               ELSE 0 END AS BIGINT) AS oracle_usd_e6
+    FROM grid2 g
+    LEFT JOIN mprices p ON g.minute = p.minute AND g.denom = p.denom
+    LEFT JOIN muusd u ON g.minute = u.minute
+    """,
+    doc="F13 per-msg tax (min(floor(amount x taxRate), taxCap), uluna "
+    "exempt — src/collector/block/tx.ts:30-81) + A2 minute fee rollup "
+    "(gas = fee - tax for successful txs, whole fee for failed — "
+    "tx.ts:98-135 + reward.ts:16-82) + A4 oracle = max(0, sum - tax - "
+    "gas) with USD via the ACTIVE minute price "
+    "(reward.ts:123-157).  The last fixture minute has no price row — "
+    "exercising getUSDValue's missing-price zero branch.",
+)
+def fcd_minute_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reward_minute_fees(gen_blocks(spark), gen_txs(spark), gen_prices(spark))
 
 
 @register(
