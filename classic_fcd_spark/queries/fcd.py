@@ -23,6 +23,7 @@ from classic_fcd_spark.pipeline.medallion import (
     tx_volume_minute_silver,
     validator_returns_gold,
 )
+from classic_fcd_spark.pipeline.governance import vote_tally
 from classic_fcd_spark.pipeline.prices import (
     daily_avg_price_e6,
     luna_value_e6,
@@ -38,16 +39,20 @@ from classic_fcd_spark.sources.fixtures import (
 )
 from classic_fcd_spark.sources.fixtures import (
     BLOCK_SPACING_S,
+    DUCK_DELEGATIONS,
     DUCK_ISSUANCES,
     DUCK_PRICES,
+    DUCK_VOTES,
     duck_addr,
     duck_denom,
     duck_valaddr,
     gen_blocks,
+    gen_delegations,
     gen_issuances,
     gen_prices,
     gen_txs,
     gen_validators,
+    gen_votes,
 )
 
 _TS = f"make_timestamp((1609459200 + h * {BLOCK_SPACING_S}) * 1000000)"
@@ -499,3 +504,62 @@ def fcd_market_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", "denom", "issuance", usd_value_e6("issuance").alias("market_cap_usd_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 + A20 + D6: governance vote tally with voting power.
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_vote_tally",
+    f"""
+    WITH {DUCK_VOTES},
+    {DUCK_DELEGATIONS},
+    vals AS (
+        SELECT {duck_valaddr("x")} AS operator, {duck_addr("x + 1000")} AS acct,
+               x * 1000 + 5000 AS base_power
+        FROM (SELECT unnest(range(0, 20)) AS x)
+    ),
+    latest AS (
+        SELECT proposal_id, voter, option FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY proposal_id, voter ORDER BY vote_id DESC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    ),
+    vdeleg AS (
+        SELECT l.proposal_id, l.voter, deleg.validator, deleg.shares
+        FROM (SELECT DISTINCT proposal_id, voter FROM latest) l
+        JOIN deleg ON l.voter = deleg.delegator
+    ),
+    addp AS (
+        SELECT proposal_id, voter AS acct, SUM(shares) AS add_power
+        FROM vdeleg GROUP BY 1, 2
+    ),
+    subp AS (
+        SELECT proposal_id, vals.acct AS acct, SUM(shares) AS sub_power
+        FROM vdeleg JOIN vals ON vdeleg.validator = vals.operator
+        GROUP BY 1, 2
+    ),
+    power AS (
+        SELECT l.proposal_id, l.voter, l.option,
+               COALESCE(v.base_power, 0) - COALESCE(s.sub_power, 0)
+                 + COALESCE(a.add_power, 0) AS power
+        FROM latest l
+        LEFT JOIN vals v ON l.voter = v.acct
+        LEFT JOIN subp s ON l.proposal_id = s.proposal_id AND l.voter = s.acct
+        LEFT JOIN addp a ON l.proposal_id = a.proposal_id AND l.voter = a.acct
+    )
+    SELECT proposal_id, option,
+           CAST(SUM(power) AS BIGINT) AS power_sum,
+           COUNT(*) AS n_votes
+    FROM power GROUP BY 1, 2
+    """,
+    doc="J8 votes x delegations voting power + A20 power-weighted tally "
+    "+ D6 latest-vote-per-voter dedup, all proposals in one plan "
+    "(src/service/governance/helper/voteSummary.ts:15-152): power(a) = "
+    "validator bonded power − shares delegated by voters to a's "
+    "validator + a's own delegated shares; voters absent from the power "
+    "array contribute 0 exactly like the reference's unset votingPower.",
+)
+def fcd_vote_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vote_tally(gen_votes(spark), gen_delegations(spark), gen_validators(spark))

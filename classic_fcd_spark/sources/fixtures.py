@@ -252,6 +252,63 @@ DUCK_ISSUANCES = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Governance: votes + delegations (J8/A20/D6 inputs).
+# Voter pool overlaps validator accounts (v%7==0 -> validator account) and
+# plain delegators, and each voter votes repeatedly (small voter space) so
+# the latest-vote dedup is actually exercised.
+# ---------------------------------------------------------------------------
+FIXTURE_N_VOTES = 400
+FIXTURE_N_DELEGATIONS = 120
+
+
+def gen_votes(spark: SparkSession, n: int = FIXTURE_N_VOTES) -> DataFrame:
+    v = F.col("id")
+    voter = F.when(v % 7 == 0, _addr(v % 20 + 1000)).otherwise(_addr(v % 40))
+    return spark.range(0, n).select(
+        v.alias("vote_id"),
+        (v % 3).alias("proposal_id"),
+        voter.alias("voter"),
+        F.element_at(
+            F.array(F.lit("Yes"), F.lit("No"), F.lit("NoWithVeto"), F.lit("Abstain")),
+            (v % 4 + 1).cast("int"),
+        ).alias("option"),
+        F.timestamp_seconds(F.lit(EPOCH_START) + v * 30).alias("ts"),
+    )
+
+
+DUCK_VOTES = f"""
+    votes AS (
+        SELECT v AS vote_id, v % 3 AS proposal_id,
+               CASE WHEN v % 7 = 0 THEN {duck_addr("(v % 20) + 1000")}
+                    ELSE {duck_addr("v % 40")} END AS voter,
+               (['Yes','No','NoWithVeto','Abstain'])[(v % 4) + 1] AS option
+        FROM (SELECT unnest(range(0, {FIXTURE_N_VOTES})) AS v)
+    )
+"""
+
+
+def gen_delegations(spark: SparkSession, n: int = FIXTURE_N_DELEGATIONS) -> DataFrame:
+    d = F.col("id")
+    delegator = F.when(d % 5 == 0, _addr(d % 20 + 1000)).otherwise(_addr(d % 40))
+    return spark.range(0, n).select(
+        delegator.alias("delegator_address"),
+        _valaddr(d % 20).alias("validator_address"),
+        (d * 11 % 500 + 10).alias("shares"),
+    )
+
+
+DUCK_DELEGATIONS = f"""
+    deleg AS (
+        SELECT CASE WHEN d % 5 = 0 THEN {duck_addr("(d % 20) + 1000")}
+                    ELSE {duck_addr("d % 40")} END AS delegator,
+               {duck_valaddr("d % 20")} AS validator,
+               d * 11 % 500 + 10 AS shares
+        FROM (SELECT unnest(range(0, {FIXTURE_N_DELEGATIONS})) AS d)
+    )
+"""
+
+
 def gen_validators(spark: SparkSession, n: int = 20) -> DataFrame:
     v = F.col("id")
     return spark.range(0, n).select(
