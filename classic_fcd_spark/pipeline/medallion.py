@@ -37,6 +37,13 @@ DELEGATE_SCHEMA = (
     "delegator_address string, validator_address string, "
     "amount struct<denom:string, amount:string>"
 )
+SWAP_SCHEMA = (
+    "trader string, offer_coin struct<denom:string, amount:string>, ask_denom string"
+)
+LOGS_SCHEMA = (
+    "array<struct<events: array<struct<type:string, "
+    "attributes: array<struct<key:string, value:string>>>>>>"
+)
 
 
 def _minute(col) -> F.Column:
@@ -108,6 +115,72 @@ def tx_volume_minute_silver(txs: DataFrame) -> DataFrame:
     return coins.groupBy("minute", "denom").agg(
         F.sum("amount").alias("volume"),
         F.count("*").alias("n_coins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# silver swap volume — A7 + F19 (src/collector/block/swap.ts:15-207).
+# ---------------------------------------------------------------------------
+def swap_volume_minute_silver(txs: DataFrame) -> DataFrame:
+    """Per (minute, denom): swap in/out/fee sums.
+
+    Reference getSwapValues (swap.ts:78-118): successful txs only; per
+    MsgSwap msg paired with its log — IN from the msg's offer_coin, OUT
+    and FEE from the log's 'swap' event attributes swap_coin/swap_fee
+    ("123denom" strings).  Spread needs a live LCD simulation and is out
+    of engine scope (SURVEY A7 note).
+
+    Spark shape: posexplode pairs msg i with log i exactly like the
+    reference's index walk; F19's lodash filters become array filter()
+    HOFs + get() (NULL-safe under ANSI); one hash aggregate on the
+    bounded (minute, denom) key."""
+    ok = success(txs).withColumn("logs", F.from_json("logs_json", LOGS_SCHEMA))
+    pairs = ok.select(
+        "timestamp", "logs", F.posexplode("msgs").alias("pos", "m")
+    ).filter(F.col("m.type") == "market/MsgSwap")
+    # log for msg i; reference skips the msg when logs[i] is absent
+    pairs = pairs.withColumn("log", F.get("logs", F.col("pos"))).filter(
+        F.col("log").isNotNull()
+    )
+    swap_ev = F.get(F.filter("log.events", lambda e: e["type"] == F.lit("swap")), 0)
+    attr = lambda key: F.get(  # noqa: E731
+        F.filter(swap_ev["attributes"], lambda a: a["key"] == F.lit(key)), 0
+    )["value"]
+    offer = F.from_json("m.value", SWAP_SCHEMA).getField("offer_coin")
+    kinds = pairs.select(
+        _minute("timestamp").alias("minute"),
+        offer.alias("offer"),
+        split_denom_and_amount(attr("swap_coin")).alias("out_coin"),
+        split_denom_and_amount(attr("swap_fee")).alias("fee_coin"),
+    )
+    flat = (
+        kinds.select(
+            "minute",
+            F.col("offer.denom").alias("denom"),
+            F.lit("in").alias("kind"),
+            F.col("offer.amount").cast("long").alias("amt"),
+        )
+        .unionByName(
+            kinds.select(
+                "minute",
+                F.col("out_coin.denom").alias("denom"),
+                F.lit("out").alias("kind"),
+                F.col("out_coin.amount").cast("long").alias("amt"),
+            ).filter(F.col("denom").isNotNull())
+        )
+        .unionByName(
+            kinds.select(
+                "minute",
+                F.col("fee_coin.denom").alias("denom"),
+                F.lit("fee").alias("kind"),
+                F.col("fee_coin.amount").cast("long").alias("amt"),
+            ).filter(F.col("denom").isNotNull())
+        )
+    )
+    return flat.groupBy("minute", "denom").agg(
+        F.coalesce(F.sum(F.when(F.col("kind") == "in", F.col("amt"))), F.lit(0)).alias("swap_in"),
+        F.coalesce(F.sum(F.when(F.col("kind") == "out", F.col("amt"))), F.lit(0)).alias("swap_out"),
+        F.coalesce(F.sum(F.when(F.col("kind") == "fee", F.col("amt"))), F.lit(0)).alias("swap_fee"),
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from classic_fcd_spark.pipeline.medallion import (
     account_tx_silver,
+    swap_volume_minute_silver,
     dashboard_gold,
     minute_rewards_silver,
     reward_minute_fees,
@@ -563,3 +564,36 @@ def fcd_market_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fcd_vote_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vote_tally(gen_votes(spark), gen_delegations(spark), gen_validators(spark))
+
+
+# ---------------------------------------------------------------------------
+# A7 + F19: swap volume from msgs + log events.
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_swap_volume",
+    f"""
+    WITH {_TXBASE},
+    swaps AS (SELECT i, h FROM txbase WHERE i % 5 = 4 AND i % 10 <> 0),
+    flat AS (
+        SELECT h, {duck_denom("i")} AS denom, 'in' AS kind, i * 37 % 1000 + 1 AS amt FROM swaps
+        UNION ALL
+        SELECT h, {duck_denom("i + 2")}, 'out', i * 23 % 800 + 1 FROM swaps
+        UNION ALL
+        SELECT h, {duck_denom("i + 2")}, 'fee', i * 3 % 50 + 1 FROM swaps
+    )
+    SELECT {_MINUTE} AS minute, denom,
+           CAST(COALESCE(SUM(CASE WHEN kind = 'in'  THEN amt END), 0) AS BIGINT) AS swap_in,
+           CAST(COALESCE(SUM(CASE WHEN kind = 'out' THEN amt END), 0) AS BIGINT) AS swap_out,
+           CAST(COALESCE(SUM(CASE WHEN kind = 'fee' THEN amt END), 0) AS BIGINT) AS swap_fee
+    FROM flat GROUP BY 1, 2
+    """,
+    doc="A7 swap in/out/fee minute rollup + F19 swap coin/fee extraction "
+    "from log events (src/collector/block/swap.ts:15-207, "
+    "getSwapCoinFromLog :42-70): IN from the MsgSwap offer_coin, OUT/FEE "
+    "from the 'swap' event's swap_coin/swap_fee '123denom' attributes, "
+    "successful txs only, msg i paired with log i via posexplode.  "
+    "Spread is LCD-simulation-backed in the reference and out of engine "
+    "scope (SURVEY A7).",
+)
+def fcd_swap_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return swap_volume_minute_silver(gen_txs(spark))

@@ -165,6 +165,25 @@ def gen_txs(spark: SparkSession, n: int = FIXTURE_N_BLOCKS) -> DataFrame:
         .when(i % 5 == 3, delegate_value)
         .otherwise(swap_value)
     )
+    # logs mirror the LCD tx shape (src/types/tx.d.ts): one log per msg,
+    # swap msgs carry the 'swap' event with swap_coin/swap_fee "123denom"
+    # attribute values (F19 input — src/collector/block/swap.ts:42-70);
+    # failed txs have no logs at all (isSuccessfulTx gate).
+    swap_out_amt = (i * 23 % 800 + 1).cast("string")
+    swap_fee_amt = (i * 3 % 50 + 1).cast("string")
+    logs_json = (
+        F.when(i % 10 == 0, F.lit(None).cast("string"))
+        .when(
+            i % 5 == 4,
+            F.concat(
+                F.lit('[{"events":[{"type":"swap","attributes":['),
+                F.lit('{"key":"swap_coin","value":"'), swap_out_amt, _denom(i + 2),
+                F.lit('"},{"key":"swap_fee","value":"'), swap_fee_amt, _denom(i + 2),
+                F.lit('"}]}]}]'),
+            ),
+        )
+        .otherwise(F.lit('[{"events":[]}]'))
+    )
     return df.select(
         F.lit(CHAIN_ID).alias("chain_id"),
         F.md5(F.concat(F.lit("tx:"), i.cast("string"))).alias("hash"),
@@ -177,6 +196,7 @@ def gen_txs(spark: SparkSession, n: int = FIXTURE_N_BLOCKS) -> DataFrame:
         F.array(
             F.struct(_denom(i + 3).alias("denom"), (i % 90 + 10).cast("string").alias("amount"))
         ).alias("fee"),
+        logs_json.alias("logs_json"),
     )
 
 
