@@ -102,25 +102,134 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Threshold pair search (embedding near-dup shape).
+# Bucket-probe top-k: the ANN query that actually uses the LSH buckets.
 # ---------------------------------------------------------------------------
 @register(
-    "embedding_similar_pairs",
+    "ann_lsh_search",
     f"""
-    SELECT a.vec_id AS i, b.vec_id AS j,
-           CAST(floor({duck_cosine_sql("a.embedding", "b.embedding", DIM)} * 1000000.0) AS BIGINT) AS cos_e6
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {duck_cosine_sql("a.embedding", "b.embedding", DIM)} >= 0.45
+    WITH t AS (
+        SELECT vec_id, embedding, {bucket_sql("embedding", _WEIGHTS, "duck")} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               {duck_cosine_sql("q.embedding", "c.embedding", DIM)} AS cos
+        FROM t q JOIN t c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+        FROM scored
+    )
+    SELECT qid, nid, rnk, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+    FROM ranked WHERE rnk <= {_TOP_K}
     """,
-    doc="Embedding-cosine near-dup pairs (threshold 0.45 on this corpus): "
-    "the all-pairs shape documents the exact semantics; at 100 TB the "
-    "same predicate runs over ann_lsh_buckets candidates instead of the "
-    "cross join.",
+    doc="ANN bucket-probe search: each query scores ONLY the vectors in "
+    "its own LSH bucket (equi-join on bucket id, collision-bounded) and "
+    "re-ranks them by exact cosine — the scale path that replaces the "
+    "brute-force scan.  One shuffle on bucket id; with a broadcast query "
+    "side even that folds into a broadcast hash join.",
+)
+def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(bucket_sql("embedding", _WEIGHTS, "spark")).alias("bucket"),
+    )
+    q = tagged.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            tagged.select(F.col("vec_id").alias("nid"), "embedding", "bucket"),
+            "bucket",
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", cosine("qe", "embedding").alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "nid", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threshold pair search (embedding near-dup shape) over banded LSH
+# candidates — no all-pairs cross join anywhere in the plan.
+# ---------------------------------------------------------------------------
+# 8 bands x 2 planes from 16 independent hyperplanes.  Recall at a given
+# cosine threshold c: per-plane agreement p = 1 - arccos(c)/pi, candidate
+# probability 1 - (1 - p^2)^8.  At the weak 0.45 threshold this measures
+# 100% recall at sf0.01 / 98.6% at sf0.1; at genuine near-dup thresholds
+# (0.9+) it is ~1.  Band width is the recall/cost dial — at 100 TB use
+# wider bands (higher bits) so per-bucket candidate sets stay bounded.
+_PAIR_PLANES = hyperplane_weights(16, DIM)
+_N_BANDS = 8
+_PAIR_BANDS = [_PAIR_PLANES[i * 2 : (i + 1) * 2] for i in range(_N_BANDS)]
+_PAIR_THRESHOLD = 0.45
+
+
+def _duck_band_arm(band: str) -> str:
+    cos = duck_cosine_sql("a.embedding", "b.embedding", DIM)
+    return f"""
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               CAST(floor({cos} * 1000000.0) AS BIGINT) AS cos_e6
+        FROM t a JOIN t b ON a.{band} = b.{band} AND a.vec_id < b.vec_id
+        WHERE {cos} >= {_PAIR_THRESHOLD}
+    """
+
+
+@register(
+    "embedding_similar_pairs",
+    "WITH t AS (\n        SELECT vec_id, embedding,\n"
+    + ",\n".join(
+        f"               {bucket_sql('embedding', w, 'duck')} AS band{i}"
+        for i, w in enumerate(_PAIR_BANDS)
+    )
+    + "\n        FROM embeddings\n    )\n    "
+    + "\n    UNION\n    ".join(_duck_band_arm(f"band{i}") for i in range(_N_BANDS)),
+    doc="Embedding-cosine near-dup pairs (threshold 0.45) over banded "
+    "hyperplane-LSH candidates: a pair is a candidate iff it agrees on "
+    "every sign of at least one 2-plane band (MinHash-LSH banding applied "
+    "to hyperplane LSH), then exact-cosine verified; UNION dedups pairs "
+    "caught by several bands.  Every band is a shuffle-partitioned "
+    "equi-join on its band id — no BroadcastNestedLoopJoin, no broadcast "
+    "of the corpus (asserted in tests).  The oracle computes the same "
+    "banding, so the gate is exact; recall vs the all-pairs answer is "
+    "measured in the module comment and tunable via band width.",
 )
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
-    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("i") < F.col("j"))
-    cos = cosine("ea", "eb")
-    return pairs.filter(cos >= 0.45).select("i", "j", floor_e6(cos).alias("cos_e6"))
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(bucket_sql("embedding", w, "spark")).alias(f"band{i}")
+            for i, w in enumerate(_PAIR_BANDS)
+        ],
+    )
+    arms = []
+    for i in range(_N_BANDS):
+        band = f"band{i}"
+        a = tagged.select(
+            F.col(band).alias("bb"), F.col("vec_id").alias("i"), F.col("embedding").alias("ea")
+        )
+        b = tagged.select(
+            F.col(band).alias("bb"), F.col("vec_id").alias("j"), F.col("embedding").alias("eb")
+        )
+        cos = cosine("ea", "eb")
+        arms.append(
+            a.join(b, "bb")
+            .filter(F.col("i") < F.col("j"))
+            .filter(cos >= _PAIR_THRESHOLD)
+            .select("i", "j", floor_e6(cos).alias("cos_e6"))
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out.distinct()
