@@ -66,15 +66,23 @@ def duck_word_shingles(text_expr: str = "text", n: int = 3) -> str:
 # ---------------------------------------------------------------------------
 # MinHash.
 # ---------------------------------------------------------------------------
+# Hash-family slice width in hex chars.  4 hex = 16-bit families: narrow
+# enough that TWO md5 calls cover 16 families (CPU halves vs 8-hex), wide
+# enough that chance min-collisions between unrelated docs are rare — and
+# any such collision only ADDS a candidate pair, which exact-Jaccard
+# verification then rejects; it can never lose a true near-dup.
+SLICE_HEX = 4
+
+
 def minhash_sig(shingles: Column, num_hashes: int = 16) -> Column:
-    """Array of `num_hashes` minima; hash family k(s) = 8-hex-char slice k
-    of concat(md5('0:'||s) … md5('3:'||s)).  Fixed-width hex strings
+    """Array of `num_hashes` minima; hash family k(s) = 4-hex-char slice k
+    of concat(md5('0:'||s) || md5('1:'||s)).  Fixed-width hex strings
     compare like integers, so element k is min over the k-th family — a
     full MinHash signature with zero UDFs and zero engine-specific
-    hashing.  Cost: 4 md5 calls per shingle (one inner transform), not
-    `num_hashes`; the 16 minima then slice the precomputed 128-hex string.
+    hashing.  Cost: 2 md5 calls per shingle (one inner transform), not
+    `num_hashes`; the 16 minima then slice the precomputed 64-hex string.
     """
-    n_md5 = (num_hashes * 8 + 31) // 32
+    n_md5 = (num_hashes * SLICE_HEX + 31) // 32
     hs = F.transform(
         shingles,
         lambda s: F.concat(
@@ -87,23 +95,23 @@ def minhash_sig(shingles: Column, num_hashes: int = 16) -> Column:
     # `lambda h, k=k:` closure idiom silently binds k to the array index
     # column and every hash family degenerates to the same value.
     def _slice(k: int):
-        return lambda h: F.substring(h, k * 8 + 1, 8)
+        return lambda h: F.substring(h, k * SLICE_HEX + 1, SLICE_HEX)
 
     minima = [F.array_min(F.transform(hs, _slice(k))) for k in range(num_hashes)]
     return F.array(*minima)
 
 
 def duck_shingle_hashes(shingles_expr: str, num_hashes: int = 16) -> str:
-    """DuckDB expression: per-shingle 128-hex concatenated hash string
-    (bind it in a CTE so the minima below don't recompute the md5s)."""
-    n_md5 = (num_hashes * 8 + 31) // 32
+    """DuckDB expression: per-shingle concatenated hash string (bind it in
+    a CTE so the minima below don't recompute the md5s)."""
+    n_md5 = (num_hashes * SLICE_HEX + 31) // 32
     concat = " || ".join(f"md5('{k}:' || s)" for k in range(n_md5))
     return f"list_transform({shingles_expr}, s -> {concat})"
 
 
 def duck_minhash_from_hashes(hs_expr: str, num_hashes: int = 16) -> str:
     minima = [
-        f"list_aggregate(list_transform({hs_expr}, h -> substr(h, {k * 8 + 1}, 8)), 'min')"
+        f"list_aggregate(list_transform({hs_expr}, h -> substr(h, {k * SLICE_HEX + 1}, {SLICE_HEX})), 'min')"
         for k in range(num_hashes)
     ]
     return "[" + ", ".join(minima) + "]"
@@ -137,12 +145,12 @@ def minhash_sig_table(
     aggregate combines map-side.  This is also the plan that scales: the
     explode shuffles nothing; only the reduced (doc × 16 strings) row
     moves."""
-    n_md5 = (num_hashes * 8 + 31) // 32
+    n_md5 = (num_hashes * SLICE_HEX + 31) // 32
     ex = docs.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("s"))
     h = F.concat(*[F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))) for k in range(n_md5)])
     hashed = ex.select(id_col, h.alias("h"))
     aggs = [
-        F.min(F.substring("h", k * 8 + 1, 8)).alias(f"m{k}")
+        F.min(F.substring("h", k * SLICE_HEX + 1, SLICE_HEX)).alias(f"m{k}")
         for k in range(num_hashes)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -181,8 +189,12 @@ def lsh_candidate_pairs(
     # branches; persist the (tiny: bands rows/doc, ~50 bytes/row) banded
     # table so they are computed exactly once.  At 100 TB banded is
     # still ~1% of corpus size — persist to MEMORY_AND_DISK or a staging
-    # table; the join shuffles only (band, hash, id).
-    banded = banded.persist()
+    # table; the join shuffles only (band, hash, id).  scoped_persist
+    # unpersists the previous run's cache, so a long-lived session holds
+    # one generation, not an ever-growing pile (round-1 leak fix).
+    from classic_fcd_spark.session import scoped_persist
+
+    banded = scoped_persist(banded, "lsh_candidate_pairs:banded")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -203,25 +215,35 @@ def lsh_candidate_pairs(
 def jaccard_pairs(
     pairs: DataFrame, docs: DataFrame, id_col: str, shingle_col: str
 ) -> DataFrame:
-    """Exact Jaccard for candidate (i, j) pairs via array_intersect on the
-    (distinct) shingle arrays — integer arithmetic only."""
-    a = docs.select(
-        F.col(id_col).alias("i"), F.col(shingle_col).alias("sh_i")
+    """Exact Jaccard for candidate (i, j) pairs — integer arithmetic only.
+
+    Exploded-token formulation: intersection = count of shingle tokens
+    shared by i and j, computed by joining the exploded (doc, token)
+    table to the candidate list and grouping — only (pair, token) rows
+    ever move, never the full shingle arrays (the r1 plan shuffled
+    whole arrays to both sides of two joins).  Cost is
+    |candidates| × avg_shingles, independent of corpus width."""
+    ex = docs.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("s"))
+    sizes = docs.select(F.col(id_col), F.size(F.col(shingle_col)).alias("n"))
+    # (i, j, s) for i's tokens restricted to candidate pairs, then keep
+    # the tokens j also has: count = |shingles(i) ∩ shingles(j)|
+    # (shingle arrays are distinct by construction — word_shingles).
+    pi = pairs.join(ex.withColumnRenamed(id_col, "i"), "i")
+    inter = (
+        pi.join(ex.select(F.col(id_col).alias("j"), "s"), ["j", "s"])
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("inter"))
     )
-    b = docs.select(
-        F.col(id_col).alias("j"), F.col(shingle_col).alias("sh_j")
-    )
-    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
-    union = F.size("sh_i") + F.size("sh_j") - inter
+    uni = F.col("sa.n") + F.col("sb.n") - F.col("inter")
     return (
-        pairs.join(a, "i")
-        .join(b, "j")
+        inter.join(sizes.select(F.col(id_col).alias("i"), "n").alias("sa"), "i")
+        .join(sizes.select(F.col(id_col).alias("j"), "n").alias("sb"), "j")
         .select(
             "i",
             "j",
-            inter.alias("inter"),
-            union.alias("uni"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            "inter",
+            uni.alias("uni"),
+            (F.col("inter").cast("double") / uni.cast("double")).alias("jaccard"),
         )
     )
 

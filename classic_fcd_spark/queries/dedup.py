@@ -100,12 +100,14 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work across cores BEFORE the shingle projection, and persist: the
     # shingle table is read by the banding branch and twice by the
     # Jaccard verification join.
+    from classic_fcd_spark.session import scoped_persist
+
     par = spark.sparkContext.defaultParallelism
-    sh = (
+    sh = scoped_persist(
         docs.repartition(par, "doc_id")
         .filter(F.size(ws_tokens("text")) >= 3)
-        .select("doc_id", word_shingles("text").alias("shingles"))
-        .persist()
+        .select("doc_id", word_shingles("text").alias("shingles")),
+        "minhash_lsh_near_dups:shingles",
     )
     cand = lsh_candidate_pairs(sh, "doc_id", "shingles")
     verified = jaccard_pairs(cand, sh, "doc_id", "shingles")

@@ -94,6 +94,24 @@ TABLES = (
 
 _TABLE_CACHE: dict[tuple[int, str], dict] = {}
 
+_SCOPED_PERSISTS: dict[str, list] = {}
+
+
+def scoped_persist(df, scope: str):
+    """Persist ``df``, unpersisting whatever the same ``scope`` persisted
+    on a previous invocation.  Query functions in a long-lived engine
+    session would otherwise accumulate persisted intermediates in
+    executor storage memory forever (round-1 finding); with a scope per
+    query the session holds at most one live generation each."""
+    for old in _SCOPED_PERSISTS.pop(scope, []):
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    df = df.persist()
+    _SCOPED_PERSISTS.setdefault(scope, []).append(df)
+    return df
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load the driver's parquet tables as DataFrames and register temp views.
