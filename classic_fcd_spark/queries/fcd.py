@@ -597,3 +597,175 @@ def fcd_vote_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fcd_swap_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swap_volume_minute_silver(gen_txs(spark))
+
+
+# ---------------------------------------------------------------------------
+# Serving read paths: P6 compaction, P7 hash lookup, J3 block-with-txs,
+# A14 annualized validator return.
+# ---------------------------------------------------------------------------
+from classic_fcd_spark.serving.api import (  # noqa: E402
+    compact_msgs,
+    get_block_with_txs,
+    get_tx_by_hash,
+)
+from classic_fcd_spark.sources.fixtures import addr_str, tx_hash_str  # noqa: E402
+
+_ACCT7 = addr_str(7)
+_TX300 = tx_hash_str(300)
+
+
+@register(
+    "fcd_tx_list_compact",
+    f"""
+    WITH {_TXBASE},
+    txs AS (
+        SELECT i, h, md5('tx:' || CAST(i AS VARCHAR)) AS hash,
+               CASE
+                   WHEN i % 5 < 2 THEN [{duck_addr("i % 50")}, {duck_addr("(i * 7 + 1) % 50")}]
+                   WHEN i % 5 = 2 THEN [{duck_addr("i % 50")}, {duck_addr("(i * 7 + 1) % 50")}, {duck_addr("(i * 7 + 2) % 50")}]
+                   WHEN i % 5 = 3 THEN [{duck_addr("i % 50")}, {duck_valaddr("i % 20")}]
+                   ELSE [{duck_addr("i % 50")}]
+               END AS addrs,
+               CASE WHEN i % 5 < 2 THEN 'bank/MsgSend'
+                    WHEN i % 5 = 2 THEN 'bank/MsgMultiSend'
+                    WHEN i % 5 = 3 THEN 'staking/MsgDelegate'
+                    ELSE 'market/MsgSwap' END AS msg_type
+        FROM txbase
+    )
+    SELECT hash, h AS height, msg_type, 1 AS n_msgs
+    FROM txs WHERE list_contains(addrs, '{_ACCT7}')
+    ORDER BY h DESC, hash DESC LIMIT 20
+    """,
+    doc="P6 per-address msg compaction + L1/J4 account tx page "
+    "(src/service/transaction/getTxList.ts:64-183): keyset-ordered first "
+    "page of txs touching the account, msgs stripped to those mentioning "
+    "it (filter() HOF, no explode).  Every fixture tx has one msg that "
+    "does mention the selected account, so n_msgs = 1; the multi-msg "
+    "strip path is unit-tested (tests/test_fcd_pipeline.py).",
+)
+def fcd_tx_list_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txs = gen_txs(spark)
+    at = account_tx_silver(txs)
+    page = at.filter(F.col("account") == _ACCT7).select("hash", "height")
+    rows = txs.join(F.broadcast(page), ["hash", "height"], "left_semi")
+    compacted = compact_msgs(rows, _ACCT7)
+    return (
+        compacted.orderBy(F.col("height").desc(), F.col("hash").desc())
+        .limit(20)
+        .select(
+            "hash",
+            "height",
+            F.get("msgs", 0)["type"].alias("msg_type"),
+            F.size("msgs").cast("int").alias("n_msgs"),
+        )
+    )
+
+
+@register(
+    "fcd_tx_by_hash",
+    f"""
+    SELECT '{_TX300}' AS hash, 100 AS height,
+           'bank/MsgSend' AS msg_type, FALSE AS success
+    """,
+    doc="P7 case-insensitive tx point lookup (src/service/transaction/"
+    "getTx.ts:6-13: hash = lower(:h) OR hash = upper(:h)) — probed with "
+    "the UPPER-cased hash to exercise the normalization; i=300 is a "
+    "failed tx (code = 4), so success is false.  The oracle is the "
+    "arithmetic expectation for that single tx.",
+)
+def fcd_tx_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txs = gen_txs(spark)
+    return get_tx_by_hash(txs, _TX300.upper()).select(
+        "hash",
+        F.col("height").cast("int").alias("height"),
+        F.get("msgs", 0)["type"].alias("msg_type"),
+        F.col("code").isNull().alias("success"),
+    )
+
+
+@register(
+    "fcd_block_txs",
+    f"""
+    SELECT 'fixture-1' AS chain_id, 35 AS height,
+           strftime(make_timestamp(CAST(1609459200 + 35 * {BLOCK_SPACING_S} AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS timestamp_str,
+           {duck_valaddr("15")} AS proposer,
+           'validator-15' AS proposer_moniker,
+           2 AS n_txs,
+           array_to_string(list_sort(['{tx_hash_str(105)}', '{tx_hash_str(106)}']), ',') AS tx_hashes_csv
+    """,
+    doc="J3 block ⟕ txs with ordered collected children + J5 proposer "
+    "moniker broadcast join (src/service/transaction/getBlock.ts:16-43): "
+    "block 35 carries txs i=105,106; children are collect_list'd and "
+    "sorted for a deterministic page payload.",
+)
+def fcd_block_txs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = get_block_with_txs(gen_blocks(spark), gen_txs(spark), gen_validators(spark), 35)
+    return out.select(
+        "chain_id",
+        F.col("height").cast("int").alias("height"),
+        "timestamp_str",
+        "proposer",
+        "proposer_moniker",
+        F.col("n_txs").cast("int").alias("n_txs"),
+        "tx_hashes_csv",
+    )
+
+
+@register(
+    "fcd_validator_annual_return",
+    f"""
+    WITH blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
+    ev AS (
+        SELECT {_DAY} AS day, {duck_valaddr("h % 20")} AS operator_address,
+               (h * 13 % 500 + 1) + (h * 11 % 300 + 1) AS amt
+        FROM blocks
+        UNION ALL
+        SELECT {_DAY}, {duck_valaddr("(h + 1) % 20")}, h * 7 % 200 + 1 FROM blocks
+    ),
+    daily AS (
+        SELECT day, operator_address, CAST(SUM(amt) AS BIGINT) AS reward_sum
+        FROM ev GROUP BY 1, 2
+    ),
+    vals AS (
+        SELECT {duck_valaddr("v")} AS operator_address, v * 1000 + 5000 AS voting_power
+        FROM (SELECT unnest(range(0, 20)) AS v)
+    ),
+    rets AS (
+        SELECT day, daily.operator_address AS operator_address,
+               reward_sum * 1000000 // voting_power AS return_e6
+        FROM daily JOIN vals ON daily.operator_address = vals.operator_address
+    )
+    SELECT operator_address,
+           CAST(SUM(return_e6) * 365 // COUNT(*) AS BIGINT) AS annual_return_e6,
+           COUNT(*) AS n_days,
+           COUNT(*) < 15 AS is_new_validator
+    FROM rets GROUP BY 1
+    """,
+    doc="A14 annualized validator return "
+    "(src/service/staking/getValidatorReturn.ts:11-43: "
+    "SUM(return/power) * 365 / COUNT(*), isNewValidator when the window "
+    "has < 15 data points, avg_voting_power > 0 guard).  Integer-µ "
+    "encoding replaces the reference's float division for exact "
+    "cross-engine compare; the fixture spans 4 days so every validator "
+    "flags as new — the flag logic still computes.",
+)
+def fcd_validator_annual_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vr = validator_returns_gold(gen_blocks(spark), gen_validators(spark))
+    rets = vr.select(
+        "operator_address",
+        F.expr(
+            "CAST(CAST(reward_sum AS DECIMAL(38,0)) * 1000000 "
+            "div CAST(voting_power AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("return_e6"),
+    )
+    return (
+        rets.groupBy("operator_address")
+        .agg(
+            F.expr("CAST(SUM(return_e6) * 365 div COUNT(*) AS BIGINT)").alias(
+                "annual_return_e6"
+            ),
+            F.count("*").alias("n_days"),
+        )
+        .withColumn("is_new_validator", F.col("n_days") < 15)
+    )

@@ -74,6 +74,69 @@ def get_tx_list(
     }
 
 
+def compact_msgs(txs: DataFrame, address: str) -> DataFrame:
+    """P6 per-address response compaction (src/service/transaction/
+    getTxList.ts:64-127 compactTransactionData): keep only the msgs that
+    mention `address` anywhere in their payload (hasValueInObject walks
+    the object tree; our msg payloads are JSON strings, so exact-value
+    membership is the quoted-string containment), and blank raw_log for
+    successful txs.  Array filter() HOF — no explode, no shuffle."""
+    quoted = f'"{address}"'
+    kept = F.filter("msgs", lambda m: m["value"].contains(quoted))
+    return txs.withColumn("msgs", kept).withColumn(
+        "raw_log",
+        F.when(F.col("code").isNull(), F.lit("")).otherwise(
+            F.coalesce(F.col("logs_json"), F.lit(""))
+        ),
+    )
+
+
+def get_tx_by_hash(txs: DataFrame, txhash: str) -> DataFrame:
+    """P7 case-insensitive point lookup (src/service/transaction/
+    getTx.ts:6-13: hash=lower(:h) OR hash=upper(:h)).  On a hash- or
+    bucket-partitioned tx table this prunes to one partition; the
+    predicate pushes down to the scan."""
+    return txs.filter(
+        (F.col("hash") == txhash.lower()) | (F.col("hash") == txhash.upper())
+    )
+
+
+def get_block_with_txs(
+    blocks: DataFrame, txs: DataFrame, validators: DataFrame, height: int
+) -> DataFrame:
+    """J3 block ⟕ txs with collected, ordered children + proposer moniker
+    (src/service/transaction/getBlock.ts:16-43): the reference's
+    leftJoinAndSelect + per-block validator findOne becomes a groupBy
+    collect (children sorted for determinism) and a broadcast dim join."""
+    b = blocks.filter(F.col("height") == height).select(
+        "chain_id", "height", "timestamp", "proposer"
+    )
+    children = (
+        txs.filter(F.col("height") == height)
+        .groupBy("height")
+        .agg(
+            F.sort_array(F.collect_list("hash")).alias("tx_hashes"),
+            F.count("*").alias("n_txs"),
+        )
+    )
+    val = validators.select(
+        F.col("operator_address").alias("proposer"), "moniker"
+    )
+    return (
+        b.join(children, "height", "left")
+        .join(F.broadcast(val), "proposer", "left")
+        .select(
+            "chain_id",
+            "height",
+            F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("timestamp_str"),
+            "proposer",
+            F.coalesce("moniker", F.lit("")).alias("proposer_moniker"),
+            F.coalesce(F.col("n_txs"), F.lit(0)).alias("n_txs"),
+            F.concat_ws(",", F.coalesce("tx_hashes", F.array())).alias("tx_hashes_csv"),
+        )
+    )
+
+
 def get_dashboard_history(dashboard: DataFrame) -> DataFrame:
     """W1 cumulative accounts + W2 cumulative rewards + W5 trailing MA
     over the gold dashboard — the in-JS window math of

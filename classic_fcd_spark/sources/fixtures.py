@@ -50,6 +50,22 @@ def duck_addr(i_expr: str) -> str:
     )
 
 
+def addr_str(i: int) -> str:
+    """Python-side replica of _addr for fixed lookup parameters."""
+    import hashlib
+
+    h1 = hashlib.md5(f"acct:{i}".encode()).hexdigest()[:32]
+    h2 = hashlib.md5(f"acct2:{i}".encode()).hexdigest()[:6]
+    return f"terra1{h1}{h2}"
+
+
+def tx_hash_str(i: int) -> str:
+    """Python-side replica of the fixture tx hash md5('tx:i')."""
+    import hashlib
+
+    return hashlib.md5(f"tx:{i}".encode()).hexdigest()
+
+
 def _valaddr(i) -> F.Column:
     return F.concat(
         F.lit("terravaloper1"),

@@ -124,3 +124,39 @@ class TestServing:
         assert out
         for r in out:
             assert r["is_new_validator"] == (r["n_days"] < 15)
+
+
+class TestCompaction:
+    def test_compact_msgs_strips_unrelated(self, spark):
+        """P6: a tx with two msgs keeps only the one mentioning the
+        address; raw_log blanks on success (getTxList.ts:64-127)."""
+        from classic_fcd_spark.serving.api import compact_msgs
+
+        rows = [
+            (
+                "h1",
+                None,
+                [
+                    {"type": "bank/MsgSend", "value": '{"to":"terra1aaa"}'},
+                    {"type": "bank/MsgSend", "value": '{"to":"terra1bbb"}'},
+                ],
+                '[{"events":[]}]',
+            ),
+            (
+                "h2",
+                4,
+                [{"type": "bank/MsgSend", "value": '{"to":"terra1aaa"}'}],
+                None,
+            ),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "hash string, code int, "
+            "msgs array<struct<type:string, value:string>>, logs_json string",
+        )
+        out = {r["hash"]: r for r in compact_msgs(df, "terra1aaa").collect()}
+        assert len(out["h1"]["msgs"]) == 1
+        assert out["h1"]["msgs"][0]["value"] == '{"to":"terra1aaa"}'
+        assert out["h1"]["raw_log"] == ""  # success -> blanked
+        assert len(out["h2"]["msgs"]) == 1  # failed tx keeps raw_log
+        assert out["h2"]["raw_log"] == ""
