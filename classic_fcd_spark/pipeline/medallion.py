@@ -248,6 +248,29 @@ def minute_rewards_silver(blocks: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T4: one-block-shifted minute attribution (reward.ts:88-121).
+# ---------------------------------------------------------------------------
+def minute_rewards_shifted_silver(blocks: DataFrame) -> DataFrame:
+    """The reference's getRewards drops the first block of each minute
+    window and appends the block right after it (height+1) — so block h's
+    rewards are attributed to the minute of block h−1, and the first
+    block of the chain is never attributed (reward.ts:99-113).
+
+    Spark-first: a height self-join (h = prev.h + 1) carries the
+    predecessor's timestamp; contiguous heights make this exact.  An
+    equi-join shuffle on height — NOT an unpartitioned lag window, which
+    would single-thread the whole chain at scale."""
+    prev = blocks.select(
+        (F.col("height") + 1).alias("height"),
+        F.col("timestamp").alias("prev_timestamp"),
+    )
+    shifted = blocks.join(prev, "height").select(
+        "height", F.col("prev_timestamp").alias("timestamp"), "reward_events"
+    )
+    return minute_rewards_silver(shifted)
+
+
+# ---------------------------------------------------------------------------
 # silver tax/gas/oracle decomposition — F13 + A2 + A4
 # (src/collector/block/tx.ts:30-138, reward.ts:16-81,123-157).
 # ---------------------------------------------------------------------------

@@ -769,3 +769,39 @@ def fcd_validator_annual_return(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_new_validator", F.col("n_days") < 15)
     )
+
+
+# ---------------------------------------------------------------------------
+# T4: one-block-shifted minute reward attribution.
+# ---------------------------------------------------------------------------
+from classic_fcd_spark.pipeline.medallion import minute_rewards_shifted_silver  # noqa: E402
+
+_TS_PREV = f"make_timestamp((1609459200 + (h - 1) * {BLOCK_SPACING_S}) * 1000000)"
+_MINUTE_PREV = f"strftime(date_trunc('minute', {_TS_PREV}), '%Y-%m-%d %H:%M:%S')"
+
+
+@register(
+    "fcd_minute_rewards_shifted",
+    f"""
+    WITH blocks AS (SELECT unnest(range(2, {N} + 1)) AS h),
+    coins AS (
+        SELECT h, 'rewards' AS rtype, 'ukrw' AS denom, h * 13 % 500 + 1 AS amt FROM blocks
+        UNION ALL
+        SELECT h, 'rewards', 'uluna', h * 11 % 300 + 1 FROM blocks
+        UNION ALL
+        SELECT h, 'commission', 'uusd', h * 7 % 200 + 1 FROM blocks
+    )
+    SELECT {_MINUTE_PREV} AS minute, denom, rtype,
+           CAST(SUM(amt) AS BIGINT) AS total,
+           COUNT(*) AS n_events
+    FROM coins GROUP BY 1, 2, 3
+    """,
+    doc="T4 one-block-shifted minute attribution "
+    "(src/collector/block/reward.ts:99-113: drop the window's first "
+    "block, append the next-height block): block h's rewards land in the "
+    "minute of block h-1, realized as a height self-join (h = prev+1) — "
+    "no unpartitioned lag window.  Chain block 1 is never attributed; "
+    "the oracle shifts the arithmetic by one height.",
+)
+def fcd_minute_rewards_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minute_rewards_shifted_silver(gen_blocks(spark))
