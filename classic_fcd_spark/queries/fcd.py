@@ -805,3 +805,157 @@ _MINUTE_PREV = f"strftime(date_trunc('minute', {_TS_PREV}), '%Y-%m-%d %H:%M:%S')
 )
 def fcd_minute_rewards_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minute_rewards_shifted_silver(gen_blocks(spark))
+
+
+# ---------------------------------------------------------------------------
+# Staking return family: A10 + A15 + A16.
+# ---------------------------------------------------------------------------
+from classic_fcd_spark.sources.fixtures import DUCK_GENERAL, gen_general_info  # noqa: E402
+
+_DUCK_GI = DUCK_GENERAL.format(n=NP)
+_RANGE_MS = N * BLOCK_SPACING_S * 1000
+_YEAR_MS = 365 * 24 * 3600 * 1000
+
+
+@register(
+    "fcd_avg_staking_daily",
+    f"""
+    WITH {_DUCK_GI}
+    SELECT day,
+           CAST(SUM(staking_ratio_e6) // COUNT(*) AS BIGINT) AS avg_staking_ratio_e6,
+           CAST(SUM(bonded_tokens) // COUNT(*) AS BIGINT) AS avg_bonded
+    FROM general_info GROUP BY 1
+    """,
+    doc="A10 AVG(staking_ratio)/AVG(bonded_tokens) by date over the "
+    "general_info minute snapshots (src/collector/dashboard/"
+    "stakingReturn.ts:27-52).  Integer floor-average on both engines.",
+)
+def fcd_avg_staking_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gi = gen_general_info(spark)
+    return (
+        gi.groupBy(F.date_format("datetime", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum("staking_ratio_e6").alias("sr"),
+            F.sum("bonded_tokens").alias("bt"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "day",
+            F.expr("CAST(sr div n AS BIGINT)").alias("avg_staking_ratio_e6"),
+            F.expr("CAST(bt div n AS BIGINT)").alias("avg_bonded"),
+        )
+    )
+
+
+@register(
+    "fcd_airdrop_return",
+    f"""
+    WITH {_DUCK_GI},
+    per_day AS (
+        SELECT day, MIN(m) // 1440 AS day_num,
+               CAST(SUM(bonded_tokens) // COUNT(*) AS BIGINT) AS staked
+        FROM general_info GROUP BY day
+    ),
+    terms AS (
+        SELECT CAST(((day_num + 1) * 1000 + 500) AS HUGEINT) * 1000000000000 // staked AS term_e12
+        FROM per_day WHERE staked <> 0
+    )
+    SELECT CAST(SUM(term_e12) * 365 // COUNT(*) AS BIGINT) AS airdrop_annual_e12
+    FROM terms
+    """,
+    doc="A15 airdrop annual average return: SUM(airdrop/avg_staking) * "
+    "365 / COUNT(*) with the avg_staking != 0 guard "
+    "(src/service/dashboard/getStakingReturn.ts:46-55).  The per-day "
+    "airdrop is the fixture arithmetic (day_num+1)*1000+500; integer-µ "
+    "division order is identical on both engines.",
+)
+def fcd_airdrop_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gi = gen_general_info(spark).withColumn(
+        "m", (F.col("datetime").cast("long") - 1609459200) / 60
+    )
+    per_day = (
+        gi.groupBy(F.date_format("datetime", "yyyy-MM-dd").alias("day"))
+        .agg(
+            (F.min("m").cast("long") / 1440).cast("long").alias("day_num"),
+            F.expr("CAST(SUM(bonded_tokens) div COUNT(*) AS BIGINT)").alias("staked"),
+        )
+        .filter(F.col("staked") != 0)
+    )
+    terms = per_day.select(
+        F.expr(
+            "CAST(CAST((day_num + 1) * 1000 + 500 AS DECIMAL(38,0)) "
+            "* 1000000000000 div staked AS DECIMAL(38,0))"
+        ).alias("term_e12")
+    )
+    return terms.agg(
+        F.expr("CAST(SUM(term_e12) * 365 div COUNT(*) AS BIGINT)").alias(
+            "airdrop_annual_e12"
+        )
+    )
+
+
+@register(
+    "fcd_total_staking_return",
+    f"""
+    WITH blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
+    rsums AS (
+        SELECT denom, CAST(SUM(amt) AS BIGINT) AS reward_sum FROM (
+            SELECT 'ukrw' AS denom, h * 13 % 500 + 1 AS amt FROM blocks
+            UNION ALL SELECT 'uluna', h * 11 % 300 + 1 FROM blocks
+        ) GROUP BY 1
+    ),
+    {DUCK_PRICES.format(n=NP)},
+    avgp AS (
+        SELECT denom, CAST(SUM(price_e2) * 10000 // COUNT(*) AS BIGINT) AS avg_e6
+        FROM prices GROUP BY 1
+    ),
+    luna AS (
+        SELECT CAST(SUM(CASE WHEN r.denom = 'uluna' THEN CAST(reward_sum AS HUGEINT) * 1000000
+                   ELSE CAST(reward_sum AS HUGEINT) * 1000000 * 1000000 // avg_e6 END) AS HUGEINT) AS total_e6
+        FROM rsums r LEFT JOIN avgp ON r.denom = avgp.denom
+        WHERE r.denom = 'uluna' OR avg_e6 IS NOT NULL
+    ),
+    gi AS (
+        SELECT CAST(SUM(1000000 + (m * 7919) % 500000) // COUNT(*) AS BIGINT) AS staked
+        FROM (SELECT unnest(range(0, {NP})) AS m)
+    )
+    SELECT CAST(total_e6 * {_YEAR_MS} // {_RANGE_MS} * 1000 // staked AS BIGINT) AS annual_return_e9
+    FROM luna, gi
+    """,
+    doc="A16 total staking return (src/service/staking/helper.ts:232-272): "
+    "SUM(reward.sum) per denom over the range, Luna-normalized by the "
+    "range-average price, divided by AVG(bonded_tokens), annualized by "
+    "365d/range.  Whole-fixture range; floor-division sequence is "
+    "identical on both engines (HUGEINT / DECIMAL(38) intermediates).",
+)
+def fcd_total_staking_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mr = minute_rewards_silver(gen_blocks(spark)).filter(F.col("rtype") == "rewards")
+    rsums = mr.groupBy("denom").agg(F.sum("total").alias("reward_sum"))
+    avgp = (
+        gen_prices(spark)
+        .select("denom", F.round(F.col("price") * 100).cast("long").alias("p2"))
+        .groupBy("denom")
+        .agg(F.expr("CAST(SUM(p2) * 10000 div COUNT(*) AS BIGINT)").alias("avg_e6"))
+    )
+    luna = (
+        rsums.join(F.broadcast(avgp), "denom", "left")
+        .filter((F.col("denom") == "uluna") | F.col("avg_e6").isNotNull())
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN denom = 'uluna' "
+                    "THEN CAST(reward_sum AS DECIMAL(38,0)) * 1000000 "
+                    "ELSE CAST(reward_sum AS DECIMAL(38,0)) * 1000000 * 1000000 div avg_e6 END"
+                )
+            ).alias("total_e6")
+        )
+    )
+    staked = gen_general_info(spark).agg(
+        F.expr("CAST(SUM(bonded_tokens) div COUNT(*) AS BIGINT)").alias("staked")
+    )
+    return luna.crossJoin(staked).select(
+        F.expr(
+            f"CAST(CAST(total_e6 AS DECIMAL(38,0)) * {_YEAR_MS} div {_RANGE_MS} "
+            "* 1000 div staked AS BIGINT)"
+        ).alias("annual_return_e9")
+    )

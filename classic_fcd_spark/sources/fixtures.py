@@ -289,6 +289,30 @@ DUCK_ISSUANCES = """
 
 
 # ---------------------------------------------------------------------------
+# general_info minute snapshots (A10/A15/A16 inputs) — staking ratio and
+# bonded tokens per minute (src/orm/GeneralInfoEntity.ts:3-36).
+# ---------------------------------------------------------------------------
+def gen_general_info(spark: SparkSession, n_minutes: int = FIXTURE_N_PRICE_MINUTES) -> DataFrame:
+    m = F.col("id")
+    return spark.range(0, n_minutes).select(
+        F.timestamp_seconds(F.lit(EPOCH_START) + m * 60).alias("datetime"),
+        (300000 + m * 31 % 400000).alias("staking_ratio_e6"),
+        (1000000 + m * 7919 % 500000).alias("bonded_tokens"),
+    )
+
+
+DUCK_GENERAL = """
+    general_info AS (
+        SELECT m,
+               strftime(make_timestamp((1609459200 + m * 60) * 1000000), '%Y-%m-%d') AS day,
+               300000 + (m * 31) % 400000 AS staking_ratio_e6,
+               1000000 + (m * 7919) % 500000 AS bonded_tokens
+        FROM (SELECT unnest(range(0, {n})) AS m)
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
 # Governance: votes + delegations (J8/A20/D6 inputs).
 # Voter pool overlaps validator accounts (v%7==0 -> validator account) and
 # plain delegators, and each voter votes repeatedly (small voter space) so
