@@ -959,3 +959,140 @@ def fcd_total_staking_return(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000 div staked AS BIGINT)"
         ).alias("annual_return_e9")
     )
+
+
+# ---------------------------------------------------------------------------
+# P3 compound msg predicates + J7 staking view + A19/F12 last-hour ops.
+# ---------------------------------------------------------------------------
+def delegation_tx_filter(operator: str) -> F.Column:
+    """P3: the OR-of-brackets delegation/claim filter
+    (src/service/staking/helper.ts:21-70): successful txs with a staking
+    msg whose validator/src/dst address is the operator.  exists() HOF
+    over the typed msgs array — the jsonb containment probes become
+    struct-field conjunctions, evaluated without exploding."""
+    def m_pred(m):
+        vaddr = F.get_json_object(m["value"], "$.validator_address")
+        vsrc = F.get_json_object(m["value"], "$.validator_src_address")
+        vdst = F.get_json_object(m["value"], "$.validator_dst_address")
+        return (
+            ((m["type"] == "staking/MsgDelegate") & (vaddr == operator))
+            | ((m["type"] == "staking/MsgCreateValidator") & (vaddr == operator))
+            | ((m["type"] == "staking/MsgBeginRedelegate") & ((vsrc == operator) | (vdst == operator)))
+            | ((m["type"] == "staking/MsgUndelegate") & (vaddr == operator))
+        )
+
+    return F.col("code").isNull() & F.exists("msgs", m_pred)
+
+
+_VAL3 = None  # filled below to avoid import-order clutter
+
+
+@register(
+    "fcd_delegation_txs",
+    f"""
+    WITH {_TXBASE}
+    SELECT md5('tx:' || CAST(i AS VARCHAR)) AS hash, h AS height,
+           'staking/MsgDelegate' AS msg_type
+    FROM txbase
+    WHERE i % 5 = 3 AND i % 10 <> 0 AND i % 20 = 3
+    ORDER BY h DESC, hash DESC LIMIT 50
+    """,
+    doc="P3 compound msg predicates (OR-of-brackets delegation filter, "
+    "src/service/staking/helper.ts:21-70) as an exists() HOF with "
+    "struct-field conjunctions + L2 ORDER BY timestamp DESC page: all "
+    "successful txs delegating to validator 3.  Fixture: delegate msgs "
+    "have validator i%20, so the survivors are i%20==3 (and i%5==3 makes "
+    "that i%20 in {{3}} ∩ delegate-msgs).",
+)
+def fcd_delegation_txs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.sources.fixtures import valaddr_str
+
+    txs = gen_txs(spark)
+    return (
+        txs.filter(delegation_tx_filter(valaddr_str(3)))
+        .orderBy(F.col("height").desc(), F.col("hash").desc())
+        .limit(50)
+        .select("hash", "height", F.get("msgs", 0)["type"].alias("msg_type"))
+    )
+
+
+@register(
+    "fcd_last_hour_ops",
+    f"""
+    WITH {_TXBASE},
+    lasthour AS (
+        SELECT i FROM txbase
+        WHERE (1609459200 + h * {BLOCK_SPACING_S}) >= (1609459200 + {N * BLOCK_SPACING_S} - 3600)
+          AND (1609459200 + h * {BLOCK_SPACING_S}) <= (1609459200 + {N * BLOCK_SPACING_S})
+    )
+    SELECT COUNT(*) AS last_1h_tx,
+           CAST(COUNT(*) + COALESCE(SUM(CASE WHEN i % 5 = 2 THEN 2 END), 0) AS BIGINT) AS last_1h_op
+    FROM lasthour
+    """,
+    doc="A19 last-hour tx + ops count (src/service/dashboard/"
+    "lastHourOpsAndTxs.ts:7-48): ops = tx count + "
+    "SUM(jsonb_array_length(msg[0].outputs)) over MsgMultiSend — F12's "
+    "jsonb_array_length is size() on the parsed struct.  No success "
+    "filter, exactly like the reference's raw count.  Window = the "
+    "fixture's final hour.",
+)
+def fcd_last_hour_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.pipeline.medallion import MULTISEND_SCHEMA
+
+    txs = gen_txs(spark)
+    end = 1609459200 + N * BLOCK_SPACING_S
+    inwin = txs.filter(
+        (F.col("timestamp").cast("long") >= end - 3600)
+        & (F.col("timestamp").cast("long") <= end)
+    )
+    m0 = F.get("msgs", 0)
+    outputs = F.from_json(m0["value"], MULTISEND_SCHEMA).getField("outputs")
+    ops = F.when(m0["type"] == "bank/MsgMultiSend", F.size(outputs))
+    return inwin.agg(
+        F.count("*").alias("last_1h_tx"),
+        (F.count("*") + F.coalesce(F.sum(ops), F.lit(0))).cast("long").alias("last_1h_op"),
+    )
+
+
+@register(
+    "fcd_staking_view",
+    f"""
+    WITH {DUCK_DELEGATIONS},
+    vals AS (
+        SELECT {duck_valaddr("v")} AS operator_address,
+               'validator-' || CAST(v AS VARCHAR) AS moniker,
+               v * 1000 + 5000 AS voting_power
+        FROM (SELECT unnest(range(0, 20)) AS v)
+    ),
+    mine AS (
+        SELECT validator AS operator_address, CAST(SUM(shares) AS BIGINT) AS my_shares
+        FROM deleg WHERE delegator = '{{acct3}}' GROUP BY 1
+    )
+    SELECT vals.operator_address AS operator_address, moniker,
+           CAST(voting_power AS BIGINT) AS voting_power,
+           COALESCE(my_shares, 0) AS my_shares
+    FROM vals LEFT JOIN mine ON vals.operator_address = mine.operator_address
+    """.replace("{acct3}", addr_str(3)),
+    doc="J7 validators ⟕ myDelegations (src/service/staking/"
+    "getStaking.ts:74-90): the reference's in-memory keyBy+map join is a "
+    "left join of the validator dim with the caller's delegations "
+    "grouped by validator; undelegation entries follow the same shape "
+    "(W10 explode+orderBy).",
+)
+def fcd_staking_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mine = (
+        gen_delegations(spark)
+        .filter(F.col("delegator_address") == addr_str(3))
+        .groupBy(F.col("validator_address").alias("operator_address"))
+        .agg(F.sum("shares").cast("long").alias("my_shares"))
+    )
+    return (
+        gen_validators(spark)
+        .join(mine, "operator_address", "left")
+        .select(
+            "operator_address",
+            "moniker",
+            F.col("voting_power").cast("long").alias("voting_power"),
+            F.coalesce("my_shares", F.lit(0)).alias("my_shares"),
+        )
+    )

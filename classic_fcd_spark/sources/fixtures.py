@@ -66,6 +66,15 @@ def tx_hash_str(i: int) -> str:
     return hashlib.md5(f"tx:{i}".encode()).hexdigest()
 
 
+def valaddr_str(i: int) -> str:
+    """Python-side replica of _valaddr for fixed lookup parameters."""
+    import hashlib
+
+    h1 = hashlib.md5(f"val:{i}".encode()).hexdigest()[:32]
+    h2 = hashlib.md5(f"val2:{i}".encode()).hexdigest()[:6]
+    return f"terravaloper1{h1}{h2}"
+
+
 def _valaddr(i) -> F.Column:
     return F.concat(
         F.lit("terravaloper1"),
