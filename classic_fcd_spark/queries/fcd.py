@@ -1096,3 +1096,74 @@ def fcd_staking_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("my_shares", F.lit(0)).alias("my_shares"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L5 latest-50-buckets-reversed + A23 freshness probes.
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_price_buckets_15m",
+    f"""
+    WITH p AS (
+        SELECT m, 100 + (m * 17) % 100 AS price_e2
+        FROM (SELECT unnest(range(0, {NP})) AS m)
+    ),
+    agg AS (
+        SELECT m // 15 AS bucket,
+               strftime(make_timestamp((1609459200 + (m // 15) * 15 * 60) * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               CAST(SUM(price_e2) * 10000 // COUNT(*) AS BIGINT) AS avg_price_e6,
+               COUNT(*) AS n_quotes
+        FROM p GROUP BY 1, 2
+    )
+    SELECT bucket_start, avg_price_e6, n_quotes
+    FROM agg ORDER BY bucket DESC LIMIT 50
+    """,
+    doc="A18 candle interval buckets + L5 latest-50-buckets-reversed "
+    "contract (src/service/market/getPrice.ts:37-90: newest 50 buckets "
+    "fetched DESC then re-sorted ASC for display).  window() 15-minute "
+    "buckets over the ukrw minute prices, integer-mu average.",
+)
+def fcd_price_buckets_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = gen_prices(spark).filter(F.col("denom") == "ukrw")
+    agg = (
+        p.select(
+            F.window("datetime", "15 minutes").alias("w"),
+            F.round(F.col("price") * 100).cast("long").alias("p2"),
+        )
+        .groupBy("w")
+        .agg(
+            F.expr("CAST(SUM(p2) * 10000 div COUNT(*) AS BIGINT)").alias("avg_price_e6"),
+            F.count("*").alias("n_quotes"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "avg_price_e6",
+            "n_quotes",
+        )
+    )
+    # newest 50, then re-sorted ascending (the serving display order)
+    return agg.orderBy(F.col("bucket_start").desc()).limit(50).orderBy("bucket_start")
+
+
+@register(
+    "fcd_freshness",
+    f"""
+    SELECT strftime(make_timestamp(CAST(1609459200 + {N} * {BLOCK_SPACING_S} AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS max_block_ts,
+           strftime(make_timestamp(CAST(1609459200 + ({NP} - 1) * 60 AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS max_price_ts
+    """,
+    doc="A23 MAX(ts) freshness probes (src/collector/dashboard/"
+    "helpers.ts:16-37 getLatestDateOf*): one aggregate per table; on a "
+    "date-partitioned table this reads only the newest partition's "
+    "footer statistics.",
+)
+def fcd_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks_max = gen_blocks(spark).agg(
+        F.date_format(F.max("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("max_block_ts")
+    )
+    prices_max = gen_prices(spark).agg(
+        F.date_format(F.max("datetime"), "yyyy-MM-dd HH:mm:ss").alias("max_price_ts")
+    )
+    return blocks_max.crossJoin(prices_max)

@@ -21,6 +21,9 @@ from classic_fcd_spark.streaming.minute_pipeline import (
 )
 
 
+_PREV_WORKDIR: list[str] = []
+
+
 @register(
     "streaming_minute_rollup",
     """
@@ -32,30 +35,32 @@ from classic_fcd_spark.streaming.minute_pipeline import (
     GROUP BY 1, 2
     """,
     doc="T1-T3/T5: Structured Streaming 1-minute tumbling window with "
-    "10-minute watermark, foreachBatch MERGE keyed (minute, event_type), "
-    "availableNow trigger; checked for exact convergence to the batch "
-    "aggregate (reference validation model, SURVEY §5). Reference: "
-    "src/collector/block/block.ts:142-197 (T1), 168-176 (T3).",
+    "10-minute watermark, foreachBatch partition-scoped MERGE keyed "
+    "(minute, event_type), availableNow trigger; checked for exact "
+    "convergence to the batch aggregate (reference validation model, "
+    "SURVEY §5). Reference: src/collector/block/block.ts:142-197 (T1), "
+    "168-176 (T3).",
 )
 def streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_path = os.path.join(sf_dir, "events.parquet")
+    # the merged output table must outlive this function (the caller
+    # collects the returned lazy DataFrame), so the workdir persists until
+    # the NEXT invocation cleans it — no driver-side collect of the
+    # result (round-1 finding), the sink table itself is the product.
+    while _PREV_WORKDIR:
+        shutil.rmtree(_PREV_WORKDIR.pop(), ignore_errors=True)
     work = tempfile.mkdtemp(prefix="fcd_stream_")
-    try:
-        # file-stream sources need a directory; the driver's tables are
-        # single parquet files → stage via symlink (no data copy)
-        if os.path.isfile(events_path):
-            src_dir = os.path.join(work, "src")
-            os.makedirs(src_dir)
-            os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
-            events_path = src_dir
-        out = run_minute_rollup_available_now(
-            spark,
-            events_path,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            out_dir=os.path.join(work, "out"),
-        )
-        # materialize before the temp dir disappears
-        out = spark.createDataFrame(out.collect(), schema=out.schema)
-        return out
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    _PREV_WORKDIR.append(work)
+    # file-stream sources need a directory; the driver's tables are
+    # single parquet files → stage via symlink (no data copy)
+    if os.path.isfile(events_path):
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
+        events_path = src_dir
+    return run_minute_rollup_available_now(
+        spark,
+        events_path,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        out_dir=os.path.join(work, "out"),
+    )
