@@ -90,3 +90,49 @@ class TestStreamingMinuteRollup:
         }
         assert got == {("m1", "a"): 5, ("m1", "b"): 2, ("m2", "a"): 3}
         shutil.rmtree(out, ignore_errors=True)
+
+
+class TestMempoolTTL:
+    def test_inclusion_and_ttl_eviction(self, spark, workdir):
+        """S5/T10: seen -> state; included -> evict(reason=included);
+        silence past the TTL as the watermark advances -> expired."""
+        import datetime as dt
+
+        from classic_fcd_spark.streaming.mempool import run_mempool_available_now
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ts(s):
+            return t0 + dt.timedelta(seconds=s)
+
+        obs = os.path.join(workdir, "obs")
+        # batch 1: three txs seen
+        spark.createDataFrame(
+            [(ts(0), "aa", "seen"), (ts(1), "bb", "seen"), (ts(2), "cc", "seen")],
+            "ts timestamp, txhash string, kind string",
+        ).coalesce(1).write.parquet(obs, mode="append")
+        # batch 2: bb included; cc seen again (refreshes its TTL)
+        spark.createDataFrame(
+            [(ts(30), "bb", "included"), (ts(30), "cc", "seen")],
+            "ts timestamp, txhash string, kind string",
+        ).coalesce(1).write.parquet(obs, mode="append")
+        # batch 3+4: watermark pushers far past every TTL
+        spark.createDataFrame(
+            [(ts(500), "zz", "seen")],
+            "ts timestamp, txhash string, kind string",
+        ).coalesce(1).write.parquet(obs, mode="append")
+        spark.createDataFrame(
+            [(ts(900), "zz", "seen")],
+            "ts timestamp, txhash string, kind string",
+        ).coalesce(1).write.parquet(obs, mode="append")
+
+        rows = run_mempool_available_now(
+            spark, obs, os.path.join(workdir, "ckpt"), ttl_seconds=60
+        )
+        by_hash = {r["txhash"]: r for r in rows}
+        assert by_hash["bb"]["reason"] == "included"
+        assert by_hash["aa"]["reason"] == "expired"
+        assert by_hash["cc"]["reason"] == "expired"
+        # cc's refresh kept its ORIGINAL first_seen (mempool.ts:88-94)
+        assert by_hash["cc"]["first_seen"].second == 2
+        assert by_hash["cc"]["last_seen"].second == 30
