@@ -1167,3 +1167,143 @@ def fcd_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("datetime"), "yyyy-MM-dd HH:mm:ss").alias("max_price_ts")
     )
     return blocks_max.crossJoin(prices_max)
+
+
+# ---------------------------------------------------------------------------
+# S6/S7 file sources + A22 richlist share + J11 consensus pubkey join.
+# ---------------------------------------------------------------------------
+import base64 as _b64  # noqa: E402
+import hashlib as _hashlib  # noqa: E402
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+from classic_fcd_spark.sources.files import read_richlist_csv, read_vesting_json  # noqa: E402
+from classic_fcd_spark.sources.fixtures import ISSUANCES, valaddr_str  # noqa: E402
+
+_N_RICH = 200
+_FILES_DIR: list[str] = []
+
+
+def _fixture_files_dir() -> str:
+    """Deterministic richlist CSV + vesting JSON staged once per session
+    (the reference's /tmp/tracking-* and /tmp/vesting-* drops)."""
+    if _FILES_DIR:
+        return _FILES_DIR[0]
+    d = _tempfile.mkdtemp(prefix="fcd_files_")
+    with open(_os.path.join(d, "tracking-uluna.csv"), "w") as f:
+        for r in range(_N_RICH):
+            f.write(f"{addr_str(r)},{r * 977 % 100000 + 1000}\n")
+    with open(_os.path.join(d, "vesting.json"), "w") as f:
+        coins = ",".join(
+            f'{{"denom":"{d_}","amount":"{(i + 1) * 12345}"}}'
+            for i, d_ in enumerate(["ukrw", "uluna", "usdr", "uusd"])
+        )
+        f.write(f'{{"datetime":"2021-01-01T00:00:00.000Z","coins":[{coins}]}}\n')
+    _FILES_DIR.append(d)
+    return d
+
+
+@register(
+    "fcd_richlist",
+    f"""
+    WITH rows AS (
+        SELECT {duck_addr("r")} AS account,
+               CAST(r * 977 % 100000 + 1000 AS BIGINT) AS amount
+        FROM (SELECT unnest(range(0, {_N_RICH})) AS r)
+    )
+    SELECT account, amount,
+           CAST(CAST(amount AS HUGEINT) * 1000000000 // {ISSUANCES["uluna"]} AS BIGINT) AS pct_e9
+    FROM rows ORDER BY amount DESC, account LIMIT 20
+    """,
+    doc="S6 CSV richlist source (account,amount lines — "
+    "src/collector/richlist.ts:15-37) + A22 percentage = amount / "
+    "totalSupply against the issuance dim + W11 top-20 ranking "
+    "(src/service/treasury/richList.ts:9-31).  The CSV is staged to a "
+    "temp dir exactly like the reference's /tmp/tracking-* files.",
+)
+def fcd_richlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _os.path.join(_fixture_files_dir(), "tracking-uluna.csv")
+    df = read_richlist_csv(spark, path, "uluna")
+    supply = ISSUANCES["uluna"]
+    return (
+        df.select(
+            "account",
+            F.col("amount").cast("bigint").alias("amount"),
+            F.expr(
+                f"CAST(CAST(CAST(amount AS BIGINT) AS DECIMAL(38,0)) * 1000000000 div {supply} AS BIGINT)"
+            ).alias("pct_e9"),
+        )
+        .orderBy(F.col("amount").desc(), "account")
+        .limit(20)
+    )
+
+
+@register(
+    "fcd_unvested",
+    """
+    SELECT * FROM (VALUES
+        ('ukrw', CAST(12345 AS BIGINT)),
+        ('uluna', 24690),
+        ('usdr', 37035),
+        ('uusd', 49380)
+    ) AS t(denom, amount)
+    """,
+    doc="S7 JSON vesting file source (latest /tmp/vesting-* coins array — "
+    "src/collector/unvested.ts:8-25): schema-on-read JSON, coins "
+    "exploded to one unvested row per denom.",
+)
+def fcd_unvested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _os.path.join(_fixture_files_dir(), "vesting.json")
+    return read_vesting_json(spark, path).select(
+        "denom", F.col("amount").cast("bigint").alias("amount")
+    )
+
+
+def _valset_fixture():
+    """20 (consensus bech32 addr, pubkey value, operator, payload hex)
+    rows; the payload bytes are the ground truth the bech32 decode must
+    round-trip back to."""
+    from classic_fcd_spark.functions.bech32 import _convertbits, bech32_encode
+
+    rows = []
+    for v in range(20):
+        payload = (
+            _hashlib.md5(f"cons:{v}".encode()).digest()
+            + _hashlib.md5(f"cons2:{v}".encode()).digest()[:4]
+        )
+        cons_addr = bech32_encode("terravalcons", _convertbits(list(payload), 8, 5))
+        pubkey_val = _b64.b64encode(_hashlib.md5(f"pk:{v}".encode()).digest()).decode()
+        rows.append((cons_addr, pubkey_val, valaddr_str(v), payload.hex().upper()))
+    return rows
+
+
+@register(
+    "fcd_consensus_map",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{hexaddr}', '{op}')" for _, _, op, hexaddr in _valset_fixture())
+    + ") AS t(hex_address, operator_address)",
+    doc="J11 consensus pubkey -> operator map (src/collector/block/"
+    "block.ts:24-51): validator-set rows equi-joined to the validator dim "
+    "on the consensus pubkey VALUE, consensus address converted to "
+    "uppercase hex via the bech32 decode UDF (F5).  The oracle holds the "
+    "raw payload bytes the decode must round-trip to — an independent "
+    "check of the bech32 path, not a replay of it.",
+)
+def fcd_consensus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.functions.bech32 import bech32_to_hex
+
+    rows = _valset_fixture()
+    valset = spark.createDataFrame(
+        [(c, p) for c, p, _, _ in rows], ["consensus_address", "pub_key_value"]
+    )
+    validators = spark.createDataFrame(
+        [(p, o) for _, p, o, _ in rows], ["consensus_pubkey_value", "operator_address"]
+    )
+    joined = valset.join(
+        F.broadcast(validators),
+        valset.pub_key_value == validators.consensus_pubkey_value,
+    )
+    return joined.select(
+        bech32_to_hex(F.col("consensus_address")).alias("hex_address"),
+        "operator_address",
+    )
