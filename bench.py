@@ -46,10 +46,16 @@ HEADLINE = [
     "simhash_docs",
     "ann_topk_bruteforce",
     "ann_lsh_buckets",
+    "ann_lsh_search",
+    "embedding_similar_pairs",
     # fcd domain pipeline (fixture-driven, scale-independent)
     "fcd_tx_volume_minute",
     "fcd_account_tx_counts",
     "fcd_dashboard",
+    "fcd_minute_fees",
+    "fcd_vote_tally",
+    "fcd_swap_volume",
+    "fcd_rewards_usd",
 ]
 
 

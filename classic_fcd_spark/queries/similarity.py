@@ -207,29 +207,43 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     tagged = emb.select(
         "vec_id",
-        "embedding",
         *[
             F.expr(bucket_sql("embedding", w, "spark")).alias(f"band{i}")
             for i, w in enumerate(_PAIR_BANDS)
         ],
     )
+    # 1) candidate (i, j) id pairs per band — narrow rows, one shuffle per
+    #    band on its band id; distinct() collapses pairs caught by
+    #    multiple bands BEFORE any cosine work
     arms = []
     for i in range(_N_BANDS):
         band = f"band{i}"
-        a = tagged.select(
-            F.col(band).alias("bb"), F.col("vec_id").alias("i"), F.col("embedding").alias("ea")
-        )
-        b = tagged.select(
-            F.col(band).alias("bb"), F.col("vec_id").alias("j"), F.col("embedding").alias("eb")
-        )
-        cos = cosine("ea", "eb")
-        arms.append(
-            a.join(b, "bb")
-            .filter(F.col("i") < F.col("j"))
-            .filter(cos >= _PAIR_THRESHOLD)
-            .select("i", "j", floor_e6(cos).alias("cos_e6"))
-        )
-    out = arms[0]
+        a = tagged.select(F.col(band).alias("bb"), F.col("vec_id").alias("i"))
+        b = tagged.select(F.col(band).alias("bb"), F.col("vec_id").alias("j"))
+        arms.append(a.join(b, "bb").filter(F.col("i") < F.col("j")).select("i", "j"))
+    cands = arms[0]
     for arm in arms[1:]:
-        out = out.unionByName(arm)
-    return out.distinct()
+        cands = cands.unionByName(arm)
+    cands = cands.distinct()
+    # 2) exact-cosine verify ONCE per unique pair, with per-vector squared
+    #    norms hoisted out of the pair loop (the naive form recomputes
+    #    dot(a,a)/dot(b,b) per candidate — 3x the fold work); same
+    #    float expression shape as the oracle: dot/(sqrt*sqrt)
+    from classic_fcd_spark.operators.similarity import dot_sql
+
+    normed = emb.select(
+        "vec_id", "embedding", F.expr(dot_sql("embedding", "embedding")).alias("n2")
+    )
+    pa = normed.select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("ea"), F.col("n2").alias("na2")
+    )
+    pb = normed.select(
+        F.col("vec_id").alias("j"), F.col("embedding").alias("eb"), F.col("n2").alias("nb2")
+    )
+    cos = F.expr(dot_sql("ea", "eb")) / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    return (
+        cands.join(F.broadcast(pa), "i")
+        .join(F.broadcast(pb), "j")
+        .filter(cos >= _PAIR_THRESHOLD)
+        .select("i", "j", floor_e6(cos).alias("cos_e6"))
+    )

@@ -136,3 +136,26 @@ class TestMempoolTTL:
         # cc's refresh kept its ORIGINAL first_seen (mempool.ts:88-94)
         assert by_hash["cc"]["first_seen"].second == 2
         assert by_hash["cc"]["last_seen"].second == 30
+
+
+class TestDimRefresh:
+    def test_throttled_refresh_dedups_per_batch(self, spark, workdir):
+        """T7: each micro-batch drains its distinct address set into one
+        refresh call (watcher.ts:17-53); duplicates within a batch
+        collapse, across batches re-fire (the reference refreshes again
+        on the next drain too)."""
+        from classic_fcd_spark.streaming.dim_refresh import run_dim_refresh
+
+        src = os.path.join(workdir, "val_events")
+        spark.createDataFrame(
+            [("v1",), ("v2",), ("v1",)], "operator string"
+        ).coalesce(1).write.parquet(src, mode="append")
+        spark.createDataFrame(
+            [("v2",), ("v3",)], "operator string"
+        ).coalesce(1).write.parquet(src, mode="append")
+
+        calls = []
+        run_dim_refresh(
+            spark, src, os.path.join(workdir, "ckpt_dim"), "operator", calls.append
+        )
+        assert sorted(map(tuple, calls)) == [("v1", "v2"), ("v2", "v3")]
