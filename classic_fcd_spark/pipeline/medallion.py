@@ -84,6 +84,12 @@ def tx_volume_minute_silver(txs: DataFrame) -> DataFrame:
     reference's jsonb containment filter P2 becomes exists() on the
     parsed struct)."""
     ok = success(txs)
+    # P2: the reference's jsonb containment probe (msg @> '[{"type":
+    # "bank/MsgSend"}]') is an exists() HOF on the typed array — txs with
+    # no send/multisend msg are dropped BEFORE the explode ever runs
+    ok = ok.filter(
+        F.exists("msgs", lambda m: m["type"].isin("bank/MsgSend", "bank/MsgMultiSend"))
+    )
     msgs = ok.select(
         "timestamp", F.explode("msgs").alias("m")
     )

@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 
 from classic_fcd_spark.operators.windows import cumulative, moving_avg
 
+# P9: route/address validation regexes (src/lib/constant.ts:7-9)
+ACCOUNT_REGEX = r"^terra1[a-z0-9]{38}$"
+OPERATOR_REGEX = r"^terravaloper1[a-z0-9]{38}$"
+
+
+def validate_account(account: str) -> bool:
+    import re
+
+    return re.match(ACCOUNT_REGEX, account) is not None
+
 
 def get_tx_list(
     txs: DataFrame,
@@ -35,6 +45,8 @@ def get_tx_list(
     unique serial tx id; (height, hash) is our equivalent unique monotone
     key, and no boundary row is ever skipped between pages.
     """
+    if not validate_account(account):
+        raise ValueError(f"invalid account address: {account!r}")  # P9
     page = account_tx.filter(F.col("account") == account)
     if offset is not None:
         oh, ohash = offset

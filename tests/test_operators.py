@@ -6,6 +6,8 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMALL
+
 from classic_fcd_spark.operators.asof import asof_join
 from classic_fcd_spark.operators.pagination import keyset_page_df
 from classic_fcd_spark.operators.topk import top_k, with_share_of_total
@@ -103,3 +105,32 @@ class TestPaginationTopK:
         assert abs(got["c"] - 0.6) < 1e-12
         top = top_k(shared, "amt", 2, "acct").collect()
         assert [r["acct"] for r in top] == ["c", "b"]
+
+
+class TestPlanQuality:
+    """Plan audits: the properties that make these queries scale must be
+    visible in the physical plan, not assumed (brief: '.explain' the plan
+    and iterate until it's the plan you'd want)."""
+
+    def _plan(self, spark, name):
+        from classic_fcd_spark.queries import query_fn_map
+
+        df = query_fn_map()[name](spark, SF_SMALL)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_filter_pushes_to_parquet_scan(self, spark):
+        plan = self._plan(spark, "pricing_summary")
+        assert "PushedFilters: [" in plan
+        assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+    def test_dim_joins_broadcast(self, spark):
+        plan = self._plan(spark, "revenue_by_nation")
+        assert "BroadcastHashJoin" in plan
+
+    def test_scan_prunes_columns(self, spark):
+        # pricing_summary touches 7 of lineitem's 16 columns; the scan's
+        # ReadSchema must not include untouched ones like l_comment
+        plan = self._plan(spark, "pricing_summary")
+        read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+        assert "l_comment" not in read_schema
+        assert "l_quantity" in read_schema
