@@ -1307,3 +1307,87 @@ def fcd_consensus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         bech32_to_hex(F.col("consensus_address")).alias("hex_address"),
         "operator_address",
     )
+
+
+# ---------------------------------------------------------------------------
+# W2/W3 cumulative series + A21 delegator weights.
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_cumulative_rewards",
+    f"""
+    WITH blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
+    coins AS (
+        SELECT h, 'ukrw' AS denom, h * 13 % 500 + 1 AS amt FROM blocks
+        UNION ALL SELECT h, 'uluna', h * 11 % 300 + 1 FROM blocks
+    ),
+    daily AS (
+        SELECT {_DAY} AS day, denom, CAST(SUM(amt) AS BIGINT) AS reward
+        FROM coins GROUP BY 1, 2
+    )
+    SELECT day, denom, reward,
+           CAST(SUM(reward) OVER (PARTITION BY denom ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_reward
+    FROM daily
+    """,
+    doc="W2 cumulative block rewards + W3 per-denom cumulative series "
+    "(src/service/dashboard/getBlockRewards.ts:5-27, "
+    "getTransactionVol.ts:5-36): the reference's in-JS running sums as a "
+    "denom-partitioned Window — distributes per key instead of "
+    "single-threading the series.",
+)
+def fcd_cumulative_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.windows import cumulative
+
+    daily = (
+        minute_rewards_silver(gen_blocks(spark))
+        .filter(F.col("rtype") == "rewards")
+        .withColumn("day", F.substring("minute", 1, 10))
+        .groupBy("day", "denom")
+        .agg(F.sum("total").alias("reward"))
+    )
+    out = cumulative(daily, "day", "reward", "cumulative_reward", partition_cols=["denom"])
+    return out.withColumn("cumulative_reward", F.col("cumulative_reward").cast("long"))
+
+
+@register(
+    "fcd_delegator_weights",
+    f"""
+    WITH {DUCK_DELEGATIONS},
+    mine AS (
+        SELECT delegator, CAST(SUM(shares) AS BIGINT) AS shares
+        FROM deleg WHERE validator = '{{val3}}'
+        GROUP BY 1
+    )
+    SELECT delegator, shares,
+           CAST(CAST(shares AS HUGEINT) * 1000000
+                // (SELECT SUM(shares) FROM mine) AS BIGINT) AS weight_e6,
+           ROW_NUMBER() OVER (ORDER BY shares DESC, delegator) AS rnk
+    FROM mine
+    """.replace("{val3}", valaddr_str(3)),
+    doc="A21 delegator weights (src/service/staking/getDelegators.ts:18-48): "
+    "weight = shares / total via an unpartitioned window over the "
+    "per-validator delegator set (bounded by delegator count), ranked "
+    "desc — W11 ordering contract.",
+)
+def fcd_delegator_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    mine = (
+        gen_delegations(spark)
+        .filter(F.col("validator_address") == valaddr_str(3))
+        .groupBy(F.col("delegator_address").alias("delegator"))
+        .agg(F.sum("shares").cast("long").alias("shares"))
+    )
+    total = F.sum("shares").over(Window.partitionBy())
+    w = Window.orderBy(F.col("shares").desc(), "delegator")
+    return (
+        mine.withColumn("__tot", total)
+        .select(
+            "delegator",
+            "shares",
+            F.expr(
+                "CAST(CAST(shares AS DECIMAL(38,0)) * 1000000 div __tot AS BIGINT)"
+            ).alias("weight_e6"),
+            F.row_number().over(w).alias("rnk"),
+        )
+    )
