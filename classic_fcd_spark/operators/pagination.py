@@ -22,21 +22,18 @@ def keyset_page(
     limit: int,
     before: int | None = None,
     descending: bool = True,
-) -> tuple[DataFrame, int | None]:
-    """Return (page_df, next_cursor). Fetches limit+1 rows to detect more."""
-    page = df
-    if before is not None:
-        page = page.filter(F.col(key_col) < before if descending else F.col(key_col) > before)
-    order = F.col(key_col).desc() if descending else F.col(key_col).asc()
-    rows = page.orderBy(order).limit(limit + 1)
-    spark = df.sparkSession
-    collected = rows.collect()
+) -> tuple[list, int | None]:
+    """Serving-edge variant: return (page_rows, next_cursor).  The
+    limit+1 collect is page-sized by construction — this is the terminal
+    response materialization, so it returns ROWS, not a re-parallelized
+    DataFrame (the r1 version round-tripped the page through
+    createDataFrame for no consumer)."""
+    rows = keyset_page_df(df, key_col, limit, before, descending).collect()
     next_cursor = None
-    if len(collected) > limit:
-        next_cursor = collected[limit - 1][key_col]
-        collected = collected[:limit]
-    page_df = spark.createDataFrame(collected, schema=rows.schema) if collected else rows.limit(0)
-    return page_df, next_cursor
+    if len(rows) > limit:
+        next_cursor = rows[limit - 1][key_col]
+        rows = rows[:limit]
+    return rows, next_cursor
 
 
 def keyset_page_df(

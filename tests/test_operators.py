@@ -134,3 +134,18 @@ class TestPlanQuality:
         read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
         assert "l_comment" not in read_schema
         assert "l_quantity" in read_schema
+
+
+class TestKeysetServingVariant:
+    def test_keyset_page_rows_and_cursor(self, spark):
+        from classic_fcd_spark.operators.pagination import keyset_page
+
+        df = spark.range(1, 101).withColumnRenamed("id", "k")
+        rows, cursor = keyset_page(df, "k", 10, before=50, descending=True)
+        assert [r["k"] for r in rows] == list(range(49, 39, -1))
+        assert cursor == 40
+        rows2, cursor2 = keyset_page(df, "k", 10, before=cursor, descending=True)
+        assert [r["k"] for r in rows2] == list(range(39, 29, -1))
+        # exhausted tail: fewer than limit rows -> no cursor
+        rows3, cursor3 = keyset_page(df, "k", 10, before=5, descending=True)
+        assert [r["k"] for r in rows3] == [4, 3, 2, 1] and cursor3 is None
