@@ -1,0 +1,88 @@
+"""Property-based check of asof_join (J10) against a brute-force Python
+reference — randomized inputs catch boundary cases example tests miss
+(equal timestamps, NULL right values, keys with no match, duplicates).
+
+One Spark session per module; hypothesis drives the DATA, not the
+session, so each example is a fast local collect.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from classic_fcd_spark.operators.asof import asof_join
+
+_T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: int) -> dt.datetime:
+    return _T0 + dt.timedelta(seconds=s)
+
+
+_keys = st.sampled_from(["k1", "k2", "k3"])
+_times = st.integers(min_value=0, max_value=50)
+_vals = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+
+_left_rows = st.lists(st.tuples(_keys, _times), min_size=1, max_size=12)
+_right_rows = st.lists(st.tuples(_keys, _times, _vals), min_size=0, max_size=12)
+
+
+def _expected(left, right):
+    """Brute force: latest right row with ts <= left ts; ties broken by
+    the greatest (tiebreak-struct) — here value sorts last NULLS FIRST,
+    mirroring the operator's struct ordering (nulls sort first asc, so
+    last() sees the max non-null-ish struct)."""
+    out = {}
+    for li, (k, lt) in enumerate(left):
+        cands = [(rt, (v is not None, v if v is not None else 0), v)
+                 for (rk, rt, v) in right if rk == k and rt <= lt]
+        if not cands:
+            out[li] = None
+        else:
+            cands.sort(key=lambda c: (c[0], c[1]))
+            out[li] = cands[-1][2]
+    return out
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_left_rows, right=_right_rows)
+def test_asof_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, (k, t) in enumerate(left)], "lid int, k string, lts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), v) for (k, t, v) in right] or [("__none__", _ts(0), 0)],
+        "k string, rts timestamp, v int",
+    )
+    if not right:
+        rdf = rdf.filter("k <> '__none__'")
+    got = {
+        r["lid"]: r["v_asof"]
+        for r in asof_join(ldf, rdf, ["k"], "lts", "rts", ["v"]).collect()
+    }
+    exp = _expected(left, right)
+    assert got == exp
+
+
+_page_keys = st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40, unique=True)
+_limits = st.integers(min_value=1, max_value=7)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=_page_keys, limit=_limits)
+def test_keyset_pagination_walk_is_complete_and_disjoint(spark, keys, limit):
+    """L1 property: walking pages via the cursor visits every row exactly
+    once, in global descending order, regardless of limit."""
+    from classic_fcd_spark.operators.pagination import keyset_page
+
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    seen, cursor = [], None
+    for _ in range(len(keys) + 2):  # bounded walk
+        rows, cursor = keyset_page(df, "k", limit, before=cursor, descending=True)
+        seen.extend(r["k"] for r in rows)
+        if cursor is None:
+            break
+    assert seen == sorted(keys, reverse=True)
