@@ -247,3 +247,111 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _PAIR_THRESHOLD)
         .select("i", "j", floor_e6(cos).alias("cos_e6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantization by nearest centroid, probe = the
+# query's own cell (the brief's "IVF or LSH-bucketed variant").
+# ---------------------------------------------------------------------------
+_N_CENTROIDS = 16
+
+# Deterministic "training" stand-in: the first K corpus vectors act as
+# centroids.  Production IVF trains k-means; the ASSIGN + PROBE plumbing
+# below — the part that runs at 100 TB — is identical either way, and a
+# deterministic codebook is what makes the oracle exact.
+_ASSIGN_ENC = (
+    # argmax over centroids of cosine, encoded monotonically so GREATEST
+    # picks (best cos, then highest centroid id): floor(cos*1e9)*100 + cid
+    "GREATEST({terms})"
+)
+
+
+def _centroid_terms(vec: str, fold: str) -> str:
+    """Per-centroid encoded score terms; centroid embeddings come from a
+    correlated lookup in SQL, so both engines share the same codebook."""
+    terms = []
+    for cid in range(_N_CENTROIDS):
+        if fold == "spark":
+            cos = f"""(aggregate(zip_with({vec}, __c{cid}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                / (sqrt(aggregate(zip_with({vec}, {vec}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                 * sqrt(aggregate(zip_with(__c{cid}, __c{cid}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))))"""
+        else:
+            dot = f"list_sum([CAST({vec}[i] AS DOUBLE) * CAST(__c{cid}[i] AS DOUBLE) for i in range(1, {DIM + 1})])"
+            na = f"list_sum([CAST({vec}[i] AS DOUBLE) * CAST({vec}[i] AS DOUBLE) for i in range(1, {DIM + 1})])"
+            nb = f"list_sum([CAST(__c{cid}[i] AS DOUBLE) * CAST(__c{cid}[i] AS DOUBLE) for i in range(1, {DIM + 1})])"
+            cos = f"({dot} / (sqrt({na}) * sqrt({nb})))"
+        terms.append(f"(CAST(floor({cos} * 1000000000.0) AS BIGINT) * 100 + {cid})")
+    return ", ".join(terms)
+
+
+@register(
+    "ann_ivf_search",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < {_N_CENTROIDS}
+    ),
+    wide AS (
+        SELECT e.vec_id, e.embedding,
+               {", ".join(f"(SELECT ce FROM cents WHERE cid = {c}) AS __c{c}" for c in range(_N_CENTROIDS))}
+        FROM embeddings e
+    ),
+    assigned AS (
+        SELECT vec_id, embedding,
+               GREATEST({_centroid_terms("embedding", "duck")}) % 100 AS cell
+        FROM wide
+    ),
+    scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               {duck_cosine_sql("q.embedding", "c.embedding", DIM)} AS cos
+        FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+        FROM scored
+    )
+    SELECT qid, nid, rnk, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+    FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+    doc="IVF-style ANN: every vector is assigned to its nearest of 16 "
+    "deterministic centroids (argmax cosine, encoded floor(cos*1e9)*100+"
+    "cid so GREATEST breaks ties identically on both engines); a query "
+    "probes only its own cell and re-ranks by exact cosine.  The "
+    "assignment is a projection against a broadcast codebook — no "
+    "shuffle; the probe is one equi-join on the cell id.  Production "
+    "swaps the codebook for k-means centroids; plumbing is unchanged.",
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < _N_CENTROIDS).collect()
+    }
+    wide = emb
+    for cid in range(_N_CENTROIDS):
+        arr = F.array(*[F.lit(float(x)) for x in cents[cid]])
+        wide = wide.withColumn(f"__c{cid}", arr)
+    assigned = wide.select(
+        "vec_id",
+        "embedding",
+        (F.expr(f"GREATEST({_centroid_terms('embedding', 'spark')})") % 100).alias("cell"),
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            assigned.select(F.col("vec_id").alias("nid"), "embedding", "cell"), "cell"
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", cosine("qe", "embedding").alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "nid", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
+    )
