@@ -47,7 +47,9 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_buckets",
     "ann_lsh_search",
+    "ann_ivf_search",
     "embedding_similar_pairs",
+    "simhash_near_dups",
     # fcd domain pipeline (fixture-driven, scale-independent)
     "fcd_tx_volume_minute",
     "fcd_account_tx_counts",

@@ -200,7 +200,9 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash near-duplicates: hamming <= k via byte-band LSH (the query that
 # actually USES the simhash signatures — r1 shipped only the signatures).
 # ---------------------------------------------------------------------------
-_SIMHASH_K = 3  # 4 byte-bands guarantee recall for hamming <= 3 (pigeonhole)
+_SIMHASH_K = 1  # 4 byte-bands guarantee recall up to hamming <= 3 (pigeonhole);
+# k=1 keeps 'near-dup' strict — 32-bit fingerprints collide broadly on this
+# corpus (hamming<=3 yields 1.5M pairs at sf0.1, nearly all false kin)
 
 
 @register(
