@@ -315,3 +315,64 @@ def _bit_sql_from_md5(md5_col: str, j: int) -> str:
 
 def duck_simhash32(tokens_expr: str) -> str:
     return simhash32_sql(tokens_expr, "list_transform", "list_filter", "len")
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs: keeper assignment.
+# ---------------------------------------------------------------------------
+def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """(node, label) with label = min doc id of the node's connected
+    component — the keeper-assignment step that turns a near-dup PAIR
+    list into dedup GROUPS.
+
+    Iterative min-label propagation (the standard distributed CC): each
+    round every node takes the min of its own label and its neighbors';
+    rounds = graph diameter (near-dup clusters are near-cliques, so 1-2).
+    localCheckpoint truncates the growing lineage each round — without it
+    the plan doubles per iteration.  Scales as iterations x one shuffle
+    on node id; no driver-side graph."""
+    edges = pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    # materialize the edge list once — every iteration joins against it,
+    # and a lazy plan would re-run the upstream pair generation per round;
+    # then right-size partitioning to the GRAPH (≈500k edges/partition),
+    # not the session default — iteration cost is dominated by per-stage
+    # overhead when the dup graph is orders smaller than the corpus
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    n_parts = max(1, n_edges // 500_000 + 1)
+    edges = edges.repartition(n_parts, "a").localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    spark = pairs.sparkSession
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                labels.join(edges, labels.node == edges.a)
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.min("label").alias("nl"))
+            )
+            new_labels = (
+                labels.join(neigh, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+    return labels

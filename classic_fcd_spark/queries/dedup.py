@@ -267,3 +267,48 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.expr("CAST(bit_count(sa ^ sb) AS INT)")
     return cand.filter(hamming <= _SIMHASH_K).select("i", "j", hamming.alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup GROUPS: connected components + keeper over the simhash pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "near_dup_groups",
+    f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {duck_simhash32(f"list_distinct({_D_TOKS})")} AS simhash
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, simhash, b, (simhash // d) % 256 AS byte
+        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS b, unnest([1, 256, 65536, 16777216]) AS d)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+        FROM banded l JOIN banded r ON l.b = r.b AND l.byte = r.byte AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 1
+    ),
+    edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, reach.label FROM reach JOIN edges e ON reach.node = e.a
+    )
+    SELECT node AS doc_id, MIN(label) AS keeper_doc_id
+    FROM reach GROUP BY node
+    """,
+    doc="Near-dup group/keeper assignment: connected components over the "
+    "simhash hamming<=1 pair graph; keeper = min doc id per component — "
+    "the step that turns pair lists into actionable dedup decisions.  "
+    "Spark side is iterative min-label propagation (shuffle per round, "
+    "rounds = diameter, lineage truncated via localCheckpoint); the "
+    "oracle is a recursive transitive-closure CTE — an independent "
+    "algorithm arriving at the same labeling.",
+)
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.dedup import connected_components
+
+    pairs = simhash_near_dups(spark, sf_dir).select("i", "j")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc_id")
+    )
