@@ -86,3 +86,49 @@ def test_keyset_pagination_walk_is_complete_and_disjoint(spark, keys, limit):
         if cursor is None:
             break
     assert seen == sorted(keys, reverse=True)
+
+
+# unique (key, ts): with duplicate timestamps of differing values, the
+# tail segment's owner is tie-order dependent in ANY formulation (the
+# reference's JS walk included) — not a property worth pinning
+_twa_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 80), st.integers(-10, 10)),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_twa_rows)
+def test_time_weighted_avg_matches_bruteforce(spark, rows):
+    """W9 property: the windowed lead()-segment formulation must equal a
+    Python step-function integral for arbitrary event layouts (duplicate
+    timestamps, single events, unsorted input)."""
+    from classic_fcd_spark.operators.windows import time_weighted_avg
+    from pyspark.sql import functions as F
+
+    range_end = 100
+    df = spark.createDataFrame(
+        [(k, _ts(t), float(v)) for (k, t, v) in rows], "k string, ts timestamp, v double"
+    )
+    got = {
+        r["k"]: r["twavg"]
+        for r in time_weighted_avg(
+            df, ["k"], "ts", "v", F.lit(_ts(range_end))
+        ).collect()
+    }
+    # brute force: step-function integral per key
+    expected = {}
+    for k in {r[0] for r in rows}:
+        evs = sorted([(t, v) for (kk, t, v) in rows if kk == k], key=lambda e: e[0])
+        num = den = 0.0
+        for idx, (t, v) in enumerate(evs):
+            end = evs[idx + 1][0] if idx + 1 < len(evs) else range_end
+            num += v * (end - t)
+            den += end - t
+        expected[k] = num / den if den else None
+    for k, e in expected.items():
+        if e is None:
+            continue
+        assert abs(got[k] - e) < 1e-9, (k, got[k], e)
