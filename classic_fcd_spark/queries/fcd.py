@@ -1391,3 +1391,32 @@ def fcd_delegator_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L3: in-memory page/limit contract (votes page).
+# ---------------------------------------------------------------------------
+@register(
+    "fcd_votes_page",
+    f"""
+    WITH {DUCK_VOTES}
+    SELECT vote_id, voter, option
+    FROM votes WHERE proposal_id = 1
+    ORDER BY vote_id DESC
+    LIMIT 10 OFFSET 10
+    """,
+    doc="L3 page/limit (drop/take) over sorted votes "
+    "(src/service/governance/getVotes.ts:70-79, getDeposits.ts:119-137): "
+    "the reference slices an in-memory array; here ORDER BY + OFFSET + "
+    "LIMIT push into the plan (LimitPushDown) — page 2 of proposal 1's "
+    "votes, newest first.",
+)
+def fcd_votes_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        gen_votes(spark)
+        .filter(F.col("proposal_id") == 1)
+        .orderBy(F.col("vote_id").desc())
+        .offset(10)
+        .limit(10)
+        .select("vote_id", "voter", "option")
+    )
