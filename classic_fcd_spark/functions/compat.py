@@ -66,7 +66,13 @@ def sync_msg_type(serialized_tx: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 def scrub_null_bytes(raw: Column | str) -> Column:
     c = F.col(raw) if isinstance(raw, str) else raw
-    # literal backslash sequences first (longest first), then the real NUL
+    # the reference's tx.ts:172 regex strips the 4-backslash, 2-backslash
+    # and 1-backslash textual forms; longest-first so each erases as a
+    # unit (a shorter match inside the 4-backslash form would leave '\\'
+    # residue).  The raw-NUL strip is a deliberate extension beyond the
+    # reference: parquet/UTF-8 sinks reject embedded NULs just like
+    # postgres JSONB rejects the textual forms.
+    c = F.replace(c, F.lit("\\\\\\\\u0000"), F.lit(""))
     c = F.replace(c, F.lit("\\\\u0000"), F.lit(""))
     c = F.replace(c, F.lit("\\u0000"), F.lit(""))
     c = F.replace(c, F.lit("\x00"), F.lit(""))
@@ -126,10 +132,36 @@ def _converted_col1_schedules(path_col: Column) -> Column:
     )
 
 
+def _schedules_to_ms(parsed: Column) -> Column:
+    """Scale second-valued LCD schedule start/end to milliseconds.
+
+    The reference's convertSchedules (calculate.ts:27-29) multiplies
+    schedule times by 1000 before comparing with latestBlockTimestamp
+    (ms).  columbus-3/4/5 LCD payloads carry seconds; columbus-1
+    schedules are converted to ms during window conversion
+    (_converted_col1_schedules).  Normalizing here means every account
+    shape hands freed_rate one unit: milliseconds."""
+    return F.transform(
+        parsed,
+        lambda vs: F.struct(
+            vs["denom"].alias("denom"),
+            F.transform(
+                vs["schedules"],
+                lambda s: F.struct(
+                    (s["start_time"].cast("long") * 1000).cast("string").alias("start_time"),
+                    (s["end_time"].cast("long") * 1000).cast("string").alias("end_time"),
+                    s["ratio"].alias("ratio"),
+                ),
+            ).alias("schedules"),
+        ),
+    )
+
+
 def normalize_account(raw: Column | str) -> Column:
     """Six LCD account variants -> struct(address, coins,
     original_vesting, delegated_free, delegated_vesting,
-    vesting_schedules, name, permissions)."""
+    vesting_schedules, name, permissions).  vesting_schedules times are
+    always milliseconds (see _schedules_to_ms)."""
     c = F.col(raw) if isinstance(raw, str) else raw
     typ = F.get_json_object(c, "$.type")
     j = lambda p: F.get_json_object(c, p)  # noqa: E731
@@ -148,7 +180,9 @@ def normalize_account(raw: Column | str) -> Column:
             (
                 _converted_col1_schedules(j(vs))
                 if vs_old
-                else F.from_json(j(vs) if vs else _null_s, _VESTING_DENOM_DDL)
+                else _schedules_to_ms(
+                    F.from_json(j(vs) if vs else _null_s, _VESTING_DENOM_DDL)
+                )
             ).alias("vesting_schedules"),
             (j(name) if name else _null_s).alias("name"),
             F.from_json(j(perms) if perms else _null_s, "array<string>").alias(
@@ -220,13 +254,21 @@ def freed_rate(schedules: Column, now_ms: Column | int) -> Column:
     """Σ over schedule windows of ratio × clamp((min(end, now) − start)
     / (end − start)); windows whose rate ≤ 0 contribute nothing
     (calculate.ts:50-54 reduceFreedRate).  Double math mirrors the
-    reference's BigNumber-on-float behavior for these small ratios."""
+    reference's BigNumber-on-float behavior for these small ratios.
+
+    Schedule times must be MILLISECONDS (normalize_account guarantees
+    it) so the comparison with now_ms is unit-consistent.  try_divide
+    keeps a zero-length window from aborting the job under ANSI mode
+    (session default): the reference's BigNumber div yields NaN/Inf
+    there and its `rate > 0` guard drops it — NULL > 0 is equally
+    false, so the semantics match."""
     now = F.lit(now_ms).cast("double") if isinstance(now_ms, int) else now_ms.cast("double")
 
     def _contrib(s):
-        rate = (
-            F.least(s["end_time"].cast("double"), now) - s["start_time"].cast("double")
-        ) / (s["end_time"].cast("double") - s["start_time"].cast("double"))
+        rate = F.try_divide(
+            F.least(s["end_time"].cast("double"), now) - s["start_time"].cast("double"),
+            s["end_time"].cast("double") - s["start_time"].cast("double"),
+        )
         # the reference adds ratio*rate only when rate > 0 and does NOT
         # clamp at 1 (min(end, now) already bounds it)
         return F.when(rate > 0, rate * s["ratio"].cast("double")).otherwise(F.lit(0.0))

@@ -320,7 +320,7 @@ def duck_simhash32(tokens_expr: str) -> str:
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs: keeper assignment.
 # ---------------------------------------------------------------------------
-def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """(node, label) with label = min doc id of the node's connected
     component — the keeper-assignment step that turns a near-dup PAIR
     list into dedup GROUPS.
@@ -350,6 +350,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     spark = pairs.sparkSession
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    changed = 0
     try:
         for _ in range(max_iter):
             neigh = (
@@ -375,4 +376,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+    if changed != 0:
+        # partially-propagated labels would silently split one component
+        # into several keepers (chain-shaped graphs with diameter >
+        # max_iter); fail loudly — the caller can raise max_iter or
+        # switch to a pointer-doubling variant for pathological graphs
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels

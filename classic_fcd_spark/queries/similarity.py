@@ -259,11 +259,6 @@ _N_CENTROIDS = 16
 # centroids.  Production IVF trains k-means; the ASSIGN + PROBE plumbing
 # below — the part that runs at 100 TB — is identical either way, and a
 # deterministic codebook is what makes the oracle exact.
-_ASSIGN_ENC = (
-    # argmax over centroids of cosine, encoded monotonically so GREATEST
-    # picks (best cos, then highest centroid id): floor(cos*1e9)*100 + cid
-    "GREATEST({terms})"
-)
 
 
 def _centroid_terms(vec: str, fold: str) -> str:
@@ -280,7 +275,13 @@ def _centroid_terms(vec: str, fold: str) -> str:
             na = f"list_sum([CAST({vec}[i] AS DOUBLE) * CAST({vec}[i] AS DOUBLE) for i in range(1, {DIM + 1})])"
             nb = f"list_sum([CAST(__c{cid}[i] AS DOUBLE) * CAST(__c{cid}[i] AS DOUBLE) for i in range(1, {DIM + 1})])"
             cos = f"({dot} / (sqrt({na}) * sqrt({nb})))"
-        terms.append(f"(CAST(floor({cos} * 1000000000.0) AS BIGINT) * 100 + {cid})")
+        # +2e9 keeps the encoded score strictly positive even at cos = -1,
+        # so `% 100` extracts cid identically on both engines (trunc-modulo
+        # of a negative encoding would yield cid-100 and split a centroid's
+        # cell by the sign of its best cosine — a deterministic recall hole)
+        terms.append(
+            f"((CAST(floor({cos} * 1000000000.0) AS BIGINT) + 2000000000) * 100 + {cid})"
+        )
     return ", ".join(terms)
 
 
@@ -316,8 +317,9 @@ def _centroid_terms(vec: str, fold: str) -> str:
     FROM ranked WHERE rnk <= {_TOP_K}
     """,
     doc="IVF-style ANN: every vector is assigned to its nearest of 16 "
-    "deterministic centroids (argmax cosine, encoded floor(cos*1e9)*100+"
-    "cid so GREATEST breaks ties identically on both engines); a query "
+    "deterministic centroids (argmax cosine, encoded (floor(cos*1e9)+2e9)"
+    "*100+cid — strictly positive so %100 extracts cid on both engines "
+    "and GREATEST breaks ties identically); a query "
     "probes only its own cell and re-ranks by exact cosine.  The "
     "assignment is a projection against a broadcast codebook — no "
     "shuffle; the probe is one equi-join on the cell id.  Production "

@@ -50,6 +50,12 @@ class TestNullScrub:
         raw = 'a\\\\u0000b\\u0000c\x00d'
         assert _one(spark, scrub_null_bytes(F.col("raw")), raw) == "abcd"
 
+    def test_four_backslash_form_erases_as_unit(self, spark):
+        # tx.ts:172's longest variant: four literal backslashes + u0000
+        # must vanish entirely, not leave '\\' residue
+        raw = "a" + "\\" * 4 + "u0000" + "b"
+        assert _one(spark, scrub_null_bytes(F.col("raw")), raw) == "ab"
+
 
 class TestNormalizeAccount:
     def test_base_account(self, spark):
@@ -91,7 +97,9 @@ class TestNormalizeAccount:
         assert out["address"] == "terra1v5"
         assert out["coins"][0]["amount"] == "7"
         assert out["original_vesting"][0]["amount"] == "100"
-        assert out["vesting_schedules"][0]["schedules"][0]["end_time"] == "2000"
+        # LCD second-valued schedule times are normalized to ms
+        # (calculate.ts:27-29 convertSchedules)
+        assert out["vesting_schedules"][0]["schedules"][0]["end_time"] == "2000000"
 
     def test_lazy_vesting_columbus4_flat(self, spark):
         acc = json.dumps(
@@ -190,6 +198,50 @@ class TestVestingMath:
             ("5000", "9000", "0.3"),  # future: rate < 0 -> 0
         ]
         assert abs(self._rate(spark, scheds, 2000) - 0.75) < 1e-12
+
+    def test_freed_rate_zero_length_window_under_ansi(self, spark):
+        # end == start would be DIVIDE_BY_ZERO under the session's ANSI
+        # default; the reference's BigNumber yields NaN and its rate > 0
+        # guard drops it — try_divide gives the same zero contribution
+        scheds = [("1000", "1000", "0.4"), ("0", "1000", "0.6")]
+        assert abs(self._rate(spark, scheds, 2000) - 0.6) < 1e-12
+
+    def test_columbus5_second_schedules_mid_window(self, spark):
+        """End-to-end unit consistency (the r2 advice finding): a
+        columbus-5 account with second-encoded schedules, evaluated at a
+        mid-window block time in ms, must yield a partial rate — not
+        saturate to fully-freed."""
+        acc = json.dumps(
+            {
+                "type": "core/LazyGradedVestingAccount",
+                "value": {
+                    "base_vesting_account": {
+                        "base_account": {"address": "terra1mid"},
+                        "original_vesting": [{"denom": "uluna", "amount": "100"}],
+                        "delegated_free": [],
+                        "delegated_vesting": [],
+                    },
+                    "coins": [],
+                    "vesting_schedules": [
+                        {
+                            "denom": "uluna",
+                            "schedules": [
+                                # seconds: 2020-09-13..2023-11-14
+                                {"start_time": "1600000000", "end_time": "1700000000", "ratio": "1.0"}
+                            ],
+                        }
+                    ],
+                },
+            }
+        )
+        now_ms = 1650000000 * 1000  # exact midpoint, in ms
+        df = spark.createDataFrame([(acc,)], "raw string").select(
+            normalize_account(F.col("raw")).alias("a")
+        )
+        rate = df.select(
+            freed_rate(F.col("a.vesting_schedules")[0]["schedules"], now_ms).alias("r")
+        ).first()["r"]
+        assert abs(rate - 0.5) < 1e-9
 
     def test_balance_formula(self, spark):
         df = spark.createDataFrame([(100.0, 40.0, 10.0, 0.25, True)],
