@@ -1,10 +1,11 @@
-"""Ordered/temporal analytics inventory: as-of join, pivot tally,
-time-weighted average, candle buckets, JSON extraction, union-merge.
+"""Ordered/temporal analytics inventory: as-of join and time-weighted
+average — the two operator families no fcd-shaped query covers.
 
-These cover the reference operator families that the core module doesn't:
-J10 (price-at-boundary), A20 (vote tally pivot), W9 (time-weighted voting
-power — the hardest reference operator), A18 (candle price buckets),
-F11/P2 (jsonb path access), D2/A5 (union + re-aggregate).
+r3 consolidation (driver 50-row gate): daily_event_tally folded into
+fcd_vote_tally (A20 pivot), candle_buckets_15m into fcd_price_buckets_15m
+(A18), props_json_rollup into fcd_last_hour_ops + fcd_delegation_txs
+(F11/F12 json paths), union_merge_volumes into fcd_tx_volume_minute
+(D2 Send+MultiSend merge).
 """
 
 from __future__ import annotations
@@ -15,17 +16,6 @@ from pyspark.sql import functions as F
 from classic_fcd_spark.operators.asof import asof_join
 from classic_fcd_spark.queries.registry import register
 from classic_fcd_spark.session import load_tables
-
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-def _dec(col, prec=28, scale=6):
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({prec},{scale})")
-
-
-def _day(col):
-    return F.date_format(col, "yyyy-MM-dd")
 
 
 # ---------------------------------------------------------------------------
@@ -57,37 +47,6 @@ def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.col("pvalue_asof").alias("last_purchase_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A20: tally pivot — the vote-count-by-option shape as groupBy().pivot().
-# ---------------------------------------------------------------------------
-@register(
-    "daily_event_tally",
-    """
-    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
-           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
-           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
-    FROM events
-    GROUP BY 1
-    """,
-    doc="A20 vote tally (count by option, pivoted) — "
-    "src/service/governance/helper/voteSummary.ts:15-78; explicit pivot "
-    "value list keeps the plan a single pass (no distinct-values pre-scan)",
-)
-def daily_event_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir)["events"]
-    out = (
-        ev.groupBy(_day("ts").alias("day"))
-        .pivot("event_type", _EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
-    )
-    return out.select(
-        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
 
 
@@ -143,120 +102,4 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("dur_us").alias("n_segments"),
         )
         .filter(F.col("n_segments") > 0)
-    )
-
-
-# ---------------------------------------------------------------------------
-# A18: candle-style interval buckets (15-minute), per event type.
-# ---------------------------------------------------------------------------
-@register(
-    "candle_buckets_15m",
-    """
-    SELECT strftime(make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 * 1000000 AS BIGINT)),
-                    '%Y-%m-%d %H:%M:%S') AS bucket_start,
-           event_type,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value,
-           strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_ts,
-           COUNT(*) AS n
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="A18 candle price buckets (DATE_TRUNC hour + TRUNC(minute/N), "
-    "src/service/market/getPrice.ts:37-90) as tumbling window(ts, 15 min); "
-    "groupBy on the window start is a plain hash aggregate",
-)
-def candle_buckets_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir)["events"]
-    return (
-        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
-        .agg(
-            (F.sum(_dec("value")).cast("double") / F.count("*")).alias("avg_value"),
-            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "bucket_start"
-            ),
-            "event_type",
-            "avg_value",
-            "first_ts",
-            "n",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# F11/P2: JSON path extraction + predicate on extracted field.
-# ---------------------------------------------------------------------------
-@register(
-    "props_json_rollup",
-    """
-    SELECT event_type,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k,
-           COUNT(*) AS n
-    FROM events
-    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
-    GROUP BY event_type
-    """,
-    doc="F11 jsonb path access (data->'tx'->'value'->'msg', e.g. "
-    "rewardAndCommissionSum.ts:12-16) + P2 containment predicate on the "
-    "extracted field; get_json_object stays JVM-side (no UDF)",
-)
-def props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir)["events"]
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .filter(F.col("k") >= 50)
-        .groupBy("event_type")
-        .agg(
-            F.sum("k").alias("sum_k"),
-            F.countDistinct("k").alias("distinct_k"),
-            F.count("*").alias("n"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# D2 + A5: union of two aggregates, then merge (re-aggregate).
-# ---------------------------------------------------------------------------
-@register(
-    "union_merge_volumes",
-    """
-    WITH a AS (
-        SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS vol
-        FROM events WHERE event_type = 'purchase' GROUP BY 1
-    ), b AS (
-        SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS vol
-        FROM events WHERE event_type = 'click' GROUP BY 1
-    )
-    SELECT day, CAST(SUM(vol) AS DOUBLE) AS total_vol, COUNT(*) AS n_sources
-    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
-    GROUP BY day
-    """,
-    doc="D2 union+merge of DenomMaps (Send + MultiSend volumes, "
-    "src/collector/block/network.ts:100-107) as unionByName → re-aggregate",
-)
-def union_merge_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir)["events"]
-
-    def daily(event_type: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == event_type)
-            .groupBy(_day("ts").alias("day"))
-            .agg(F.sum(_dec("value")).cast("decimal(28,6)").alias("vol"))
-        )
-
-    return (
-        daily("purchase")
-        .unionByName(daily("click"))
-        .groupBy("day")
-        .agg(
-            F.sum("vol").cast("double").alias("total_vol"),
-            F.count("*").alias("n_sources"),
-        )
     )

@@ -170,21 +170,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash signatures (single-pass projection).
+# SimHash signatures (single-pass projection).  Unregistered since r3:
+# simhash_near_dups recomputes the identical signatures inside its gated
+# plan (its oracle regenerates them in SQL), so a separate signature-only
+# registry row was a pattern-twin; the function stays for tests/bench.
 # ---------------------------------------------------------------------------
-@register(
-    "simhash_docs",
-    f"""
-    SELECT doc_id,
-           {duck_simhash32(f"list_distinct({_D_TOKS})")} AS simhash
-    FROM documents
-    """,
-    doc="SimHash-32 fingerprinting: bit j = majority vote of md5-derived "
-    "bit j over distinct tokens; pure projection (no shuffle), near-dup "
-    "search = hamming distance on the 32-bit value. Hex-digit bit "
-    "extraction keeps Spark and the SQL oracle bit-identical.",
-)
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 fingerprinting: bit j = majority vote of md5-derived
+    bit j over distinct tokens; pure projection (no shuffle).  Hex-digit
+    bit extraction keeps Spark and the SQL oracle bit-identical."""
     from classic_fcd_spark.operators.dedup import simhash32_table
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -231,7 +225,9 @@ _SIMHASH_K = 1  # 4 byte-bands guarantee recall up to hamming <= 3 (pigeonhole);
     "agree on at least one whole band (pigeonhole), so the band equi-join "
     "finds EVERY such pair — exact recall, collision-bounded cost, never "
     "n² (the same banding argument as MinHash-LSH).  Verification is "
-    "bit_count(xor) on the two fingerprints — one long op per candidate.".format(
+    "bit_count(xor) on the two fingerprints — one long op per candidate. "
+    "Also the SimHash signature gate: the oracle regenerates the "
+    "fingerprints in SQL, so a hash match proves simhash32_table too.".format(
         k=_SIMHASH_K
     ),
 )

@@ -136,34 +136,6 @@ def fcd_account_tx_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A1-A3: block reward CSV decode → minute rollup.
-# ---------------------------------------------------------------------------
-@register(
-    "fcd_minute_rewards",
-    f"""
-    WITH blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
-    coins AS (
-        SELECT h, 'rewards' AS rtype, 'ukrw' AS denom, h * 13 % 500 + 1 AS amt FROM blocks
-        UNION ALL
-        SELECT h, 'rewards', 'uluna', h * 11 % 300 + 1 FROM blocks
-        UNION ALL
-        SELECT h, 'commission', 'uusd', h * 7 % 200 + 1 FROM blocks
-    )
-    SELECT {_MINUTE} AS minute, denom, rtype,
-           CAST(SUM(amt) AS BIGINT) AS total,
-           COUNT(*) AS n_events
-    FROM coins GROUP BY 1, 2, 3
-    """,
-    doc="A1 per-block reward decode ('123ukrw,4uluna' CSV split — "
-    "src/collector/block/block.ts:88-140) + A2/A3 minute rollup "
-    "(reward.ts:16-121). Spark splits the CSV with split_denom_and_amount "
-    "(F3 regex); oracle recomputes from arithmetic.",
-)
-def fcd_minute_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minute_rewards_silver(gen_blocks(spark))
-
-
-# ---------------------------------------------------------------------------
 # A13/A14 + J5: validator returns with broadcast dim join.
 # ---------------------------------------------------------------------------
 @register(
@@ -294,19 +266,7 @@ _DUCK_DAILY_REWARDS = f"""
 
 
 @register(
-    "fcd_avg_price_daily",
-    f"WITH {_DUCK_AVGP} SELECT day, denom, avg_e6 FROM avgp",
-    doc="A17 AVG(price) by (date, denom) — the reference's price-history "
-    "rollup every conversion reads (src/service/dashboard/"
-    "getPriceHistory.ts:16-33, src/service/staking/helper.ts:213-230). "
-    "Integer µ-unit average: exact on any engine/partitioning.",
-)
-def fcd_avg_price_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return daily_avg_price_e6(gen_prices(spark))
-
-
-@register(
-    "fcd_rewards_usd",
+    "fcd_rewards_converted",
     f"""
     WITH {_DUCK_DAILY_REWARDS},
     {_DUCK_AVGP}
@@ -317,19 +277,28 @@ def fcd_avg_price_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN d.denom = 'uluna' THEN CAST(d.total AS HUGEINT) * p_uusd_e6
                WHEN avgp.avg_e6 IS NOT NULL
                     THEN CAST(d.total AS HUGEINT) * p_uusd_e6 * 1000000 // avgp.avg_e6
-               ELSE 0 END AS BIGINT) AS total_usd_e6
+               ELSE 0 END AS BIGINT) AS total_usd_e6,
+           CAST(CASE
+               WHEN d.denom = 'uluna' THEN CAST(d.total AS HUGEINT) * 1000000
+               WHEN avgp.avg_e6 IS NOT NULL
+                    THEN CAST(d.total AS HUGEINT) * 1000000 * 1000000 // avgp.avg_e6
+               ELSE NULL END AS BIGINT) AS total_luna_e6
     FROM daily d
     LEFT JOIN avgp ON d.day = avgp.day AND d.denom = avgp.denom
     LEFT JOIN uusd ON d.day = uusd.day
     """,
-    doc="J6 rewards x daily-avg-price join + F9 getUSDValue "
-    "(src/collector/block/helper.ts:8-23; consumed by "
-    "src/collector/dashboard/stakingReturn.ts:54-93).  uusd: identity; "
-    "uluna: x price(uusd); other: amount/(price(denom)/price(uusd)); 0 "
-    "when prices are missing.  Broadcast joins against the (day, denom) "
+    doc="The full price-conversion family in one gated query (folds the "
+    "r2 fcd_rewards_usd + fcd_rewards_luna + fcd_avg_price_daily rows): "
+    "A1-A3 reward CSV decode → daily rollup, A17 daily avg price "
+    "(regenerated in the oracle's avgp CTE), J6 rewards x price broadcast "
+    "join, F9 getUSDValue (src/collector/block/helper.ts:8-23 — uusd "
+    "identity, uluna x price(uusd), other via price ratio, 0 when prices "
+    "missing) and F10 Luna normalization (rewardAndCommissionSum.ts:56-78 "
+    "— NULL when the denom has no price, which the reference skips: "
+    "stakingReturn.ts:63-65).  Broadcast joins against the (day, denom) "
     "price table — the fact side never shuffles.",
 )
-def fcd_rewards_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fcd_rewards_converted(spark: SparkSession, sf_dir: str) -> DataFrame:
     mr = minute_rewards_silver(gen_blocks(spark))
     daily = (
         mr.withColumn("day", F.substring("minute", 1, 10))
@@ -338,44 +307,14 @@ def fcd_rewards_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = with_day_prices(daily, daily_avg_price_e6(gen_prices(spark)))
     return out.select(
-        "day", "denom", "rtype", "total", usd_value_e6("total").alias("total_usd_e6")
-    )
-
-
-@register(
-    "fcd_rewards_luna",
-    f"""
-    WITH {_DUCK_DAILY_REWARDS},
-    {_DUCK_AVGP}
-    SELECT d.day AS day, d.rtype AS rtype,
-           CAST(SUM(CASE
-               WHEN d.denom = 'uluna' THEN CAST(d.total AS HUGEINT) * 1000000
-               ELSE CAST(d.total AS HUGEINT) * 1000000 * 1000000 // avgp.avg_e6
-               END) AS BIGINT) AS total_luna_e6
-    FROM daily d
-    LEFT JOIN avgp ON d.day = avgp.day AND d.denom = avgp.denom
-    WHERE d.denom = 'uluna' OR avgp.avg_e6 IS NOT NULL
-    GROUP BY 1, 2
-    """,
-    doc="F10 Luna normalization (src/collector/staking/"
-    "rewardAndCommissionSum.ts:56-78): uluna passes through, every other "
-    "denom divides by its own daily avg price; rows without a price are "
-    "dropped exactly as the reference skips them "
-    "(stakingReturn.ts:63-65).  Result: per (day, rtype) total in µLuna.",
-)
-def fcd_rewards_luna(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mr = minute_rewards_silver(gen_blocks(spark))
-    daily = (
-        mr.withColumn("day", F.substring("minute", 1, 10))
-        .groupBy("day", "denom", "rtype")
-        .agg(F.sum("total").alias("total"))
-    )
-    priced = with_day_prices(daily, daily_avg_price_e6(gen_prices(spark)))
-    return (
-        priced.filter((F.col("denom") == "uluna") | F.col("p_denom_e6").isNotNull())
-        .select("day", "rtype", luna_value_e6("total").alias("luna_e6"))
-        .groupBy("day", "rtype")
-        .agg(F.sum("luna_e6").cast("long").alias("total_luna_e6"))
+        "day",
+        "denom",
+        "rtype",
+        "total",
+        usd_value_e6("total").alias("total_usd_e6"),
+        # luna_value_e6 divides by p_denom_e6: NULL price -> NULL result,
+        # matching the oracle's explicit NULL branch
+        luna_value_e6("total").alias("total_luna_e6"),
     )
 
 
@@ -801,7 +740,10 @@ _MINUTE_PREV = f"strftime(date_trunc('minute', {_TS_PREV}), '%Y-%m-%d %H:%M:%S')
     "block, append the next-height block): block h's rewards land in the "
     "minute of block h-1, realized as a height self-join (h = prev+1) — "
     "no unpartitioned lag window.  Chain block 1 is never attributed; "
-    "the oracle shifts the arithmetic by one height.",
+    "the oracle shifts the arithmetic by one height.  Also the A1-A3 "
+    "gate (the r2 fcd_minute_rewards row folded in): the plan runs the "
+    "same '123ukrw,4uluna' CSV decode (F3 split_denom_and_amount) and "
+    "minute/denom/rtype rollup, only shifted.",
 )
 def fcd_minute_rewards_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minute_rewards_shifted_silver(gen_blocks(spark))
@@ -982,9 +924,6 @@ def delegation_tx_filter(operator: str) -> F.Column:
         )
 
     return F.col("code").isNull() & F.exists("msgs", m_pred)
-
-
-_VAL3 = None  # filled below to avoid import-order clutter
 
 
 @register(
@@ -1259,28 +1198,45 @@ def fcd_unvested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _valset_fixture():
-    """20 (consensus bech32 addr, pubkey value, operator, payload hex)
-    rows; the payload bytes are the ground truth the bech32 decode must
-    round-trip back to."""
-    from classic_fcd_spark.functions.bech32 import _convertbits, bech32_encode
-
+def _consensus_payloads():
+    """20 (payload bytes, pubkey value, operator) rows; the payload bytes
+    are the ground truth the bech32 decode must round-trip back to.
+    hashlib-only — the bech32 ENCODING happens at query time
+    (_valset_fixture) so module import does no bech32 work."""
     rows = []
     for v in range(20):
         payload = (
             _hashlib.md5(f"cons:{v}".encode()).digest()
             + _hashlib.md5(f"cons2:{v}".encode()).digest()[:4]
         )
-        cons_addr = bech32_encode("terravalcons", _convertbits(list(payload), 8, 5))
         pubkey_val = _b64.b64encode(_hashlib.md5(f"pk:{v}".encode()).digest()).decode()
-        rows.append((cons_addr, pubkey_val, valaddr_str(v), payload.hex().upper()))
+        rows.append((payload, pubkey_val, valaddr_str(v)))
     return rows
+
+
+def _valset_fixture():
+    """(consensus bech32 addr, pubkey value, operator, payload hex) rows —
+    bech32-encodes the payloads at call time (not import time)."""
+    from classic_fcd_spark.functions.bech32 import _convertbits, bech32_encode
+
+    return [
+        (
+            bech32_encode("terravalcons", _convertbits(list(payload), 8, 5)),
+            pubkey_val,
+            op,
+            payload.hex().upper(),
+        )
+        for payload, pubkey_val, op in _consensus_payloads()
+    ]
 
 
 @register(
     "fcd_consensus_map",
     "SELECT * FROM (VALUES "
-    + ", ".join(f"('{hexaddr}', '{op}')" for _, _, op, hexaddr in _valset_fixture())
+    + ", ".join(
+        f"('{payload.hex().upper()}', '{op}')"
+        for payload, _, op in _consensus_payloads()
+    )
     + ") AS t(hex_address, operator_address)",
     doc="J11 consensus pubkey -> operator map (src/collector/block/"
     "block.ts:24-51): validator-set rows equi-joined to the validator dim "

@@ -32,6 +32,13 @@ def register(name: str, oracle: str | None, doc: str):
     return deco
 
 
+# The external driver gates exactly the FIRST 50 registered queries
+# (CORRECTNESS_r02 proved it: 66 registered -> only the first 50 got
+# rows).  Keep the inventory at <= 50 so every entry is driver-checked;
+# merge pattern-twins instead of appending past the window.
+MAX_GATED = 50
+
+
 def _load_all() -> None:
     # import for side-effect registration; keep alphabetical
     from classic_fcd_spark.queries import (  # noqa: F401
@@ -44,6 +51,13 @@ def _load_all() -> None:
         streaming_q,
         text,
     )
+
+    if len(QUERIES) > MAX_GATED:
+        raise RuntimeError(
+            f"{len(QUERIES)} queries registered but the driver gates only "
+            f"the first {MAX_GATED}; fold pattern-twins (see COVERAGE.md) "
+            "instead of exceeding the correctness window"
+        )
 
 
 def query_fn_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -75,22 +75,14 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WEIGHTS = hyperplane_weights(8, DIM)
 
 
-@register(
-    "ann_lsh_buckets",
-    f"""
-    WITH b AS (
-        SELECT vec_id, {bucket_sql("embedding", _WEIGHTS, "duck")} AS bucket
-        FROM embeddings
-    )
-    SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
-    FROM b GROUP BY bucket
-    """,
-    doc="ANN scale path: 8-bit random-hyperplane LSH bucketing with "
-    "deterministic md5-derived integer planes (shared literally with the "
-    "oracle). Bucket assignment is a projection; ANN then probes only "
-    "matching buckets — shuffle on bucket id, collision-bounded.",
-)
+# Unregistered since r3: ann_lsh_search computes the identical bucket
+# assignment inside its gated plan (oracle included), so the bucket-only
+# registry row was a pattern-twin; the function stays for tests/bench.
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: 8-bit random-hyperplane LSH bucketing with
+    deterministic md5-derived integer planes.  Bucket assignment is a
+    projection; ANN then probes only matching buckets — shuffle on
+    bucket id, collision-bounded."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return (
         emb.select(
@@ -129,7 +121,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its own LSH bucket (equi-join on bucket id, collision-bounded) and "
     "re-ranks them by exact cosine — the scale path that replaces the "
     "brute-force scan.  One shuffle on bucket id; with a broadcast query "
-    "side even that folds into a broadcast hash join.",
+    "side even that folds into a broadcast hash join.  Also the bucket-"
+    "assignment gate: the oracle recomputes the md5-derived hyperplane "
+    "buckets in SQL (the r2 ann_lsh_buckets row folded in here).",
 )
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]

@@ -4,6 +4,10 @@ LLM-training-pipeline extensions (brief): language-ID, quality scoring,
 token counting, fingerprinting.  All pure Column algebra from
 classic_fcd_spark.functions.text — no UDFs, fully codegen'd, and each has
 an exact DuckDB oracle.
+
+`text_features` is the per-document pass (quality + language-ID +
+fingerprint in one projection — one scan, one oracle row per doc);
+`token_stats_by_source` is the grouped vocabulary-build pass.
 """
 
 from __future__ import annotations
@@ -24,12 +28,30 @@ def _in_list(words):
     return ", ".join(f"'{w}'" for w in words)
 
 
+_PROFILE_LANGS = sorted(T.LANG_PROFILES)  # deterministic tiebreak: alpha order
+
+_D_PRED = "CASE {} END".format(
+    " ".join(
+        f"WHEN hits_{lang} = greatest({', '.join('hits_' + x for x in _PROFILE_LANGS)}) THEN '{lang}'"
+        for lang in _PROFILE_LANGS
+    )
+)
+
+
 # ---------------------------------------------------------------------------
-# Quality scoring.
+# Per-document text features: quality scoring + language-ID + fingerprint.
 # ---------------------------------------------------------------------------
 @register(
-    "text_quality",
+    "text_features",
     f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text, n_chars,
+               {", ".join(
+                   f"len(list_filter({_D_TOKENS}, t -> t IN ({_in_list(T.LANG_PROFILES[lang])}))) AS hits_{lang}"
+                   for lang in _PROFILE_LANGS
+               )}
+        FROM documents
+    )
     SELECT doc_id,
            {_D_NTOK} AS n_tokens,
            CAST(len(list_distinct({_D_TOKENS})) AS DOUBLE) / {_D_NTOK} AS uniq_ratio,
@@ -39,67 +61,29 @@ def _in_list(words):
            least(1.0, CAST({_D_NTOK} AS DOUBLE) / 50.0) * 0.4
              + (CAST(len(list_distinct({_D_TOKENS})) AS DOUBLE) / {_D_NTOK}) * 0.3
              + (1.0 - CAST(len(list_filter({_D_TOKENS}, t -> t IN ({_in_list(T.EN_STOPWORDS)}))) AS DOUBLE)
-                / {_D_NTOK}) * 0.3 AS quality
-    FROM documents
-    """,
-    doc="LLM-pipeline quality scoring: length saturation, lexical "
-    "diversity, stopword density — single-pass Column algebra (split/"
-    "filter HOFs), no shuffle, trivially scales per-partition",
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    return docs.select(
-        "doc_id",
-        T.n_tokens("text").alias("n_tokens"),
-        T.uniq_token_ratio("text").alias("uniq_ratio"),
-        T.stopword_ratio("text").alias("stop_ratio"),
-        T.mean_token_len("text").alias("mean_token_len"),
-        (
-            F.least(F.lit(1.0), T.n_tokens("text").cast("double") / F.lit(50.0))
-            * F.lit(0.4)
-            + T.uniq_token_ratio("text") * F.lit(0.3)
-            + (F.lit(1.0) - T.stopword_ratio("text")) * F.lit(0.3)
-        ).alias("quality"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Language identification (stopword-profile heuristic).
-# ---------------------------------------------------------------------------
-_PROFILE_LANGS = sorted(T.LANG_PROFILES)  # deterministic tiebreak: alpha order
-
-
-@register(
-    "lang_id",
-    f"""
-    WITH scored AS (
-        SELECT doc_id, lang,
-               {", ".join(
-                   f"len(list_filter({_D_TOKENS}, t -> t IN ({_in_list(T.LANG_PROFILES[lang])}))) AS hits_{lang}"
-                   for lang in _PROFILE_LANGS
-               )}
-        FROM documents
-    )
-    SELECT doc_id, lang,
-           CASE {" ".join(
-               f"WHEN hits_{lang} = greatest({', '.join('hits_' + x for x in _PROFILE_LANGS)}) THEN '{lang}'"
-               for lang in _PROFILE_LANGS
-           )} END AS pred_lang,
-           greatest({", ".join("hits_" + x for x in _PROFILE_LANGS)}) AS best_hits,
-           (CASE {" ".join(
-               f"WHEN hits_{lang} = greatest({', '.join('hits_' + x for x in _PROFILE_LANGS)}) THEN '{lang}'"
-               for lang in _PROFILE_LANGS
-           )} END = lang) AS is_correct
+                / {_D_NTOK}) * 0.3 AS quality,
+           {_D_PRED} AS pred_lang,
+           ({_D_PRED} = lang) AS is_correct,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           (length(text) = n_chars) AS meta_consistent
     FROM scored
     """,
-    doc="LLM-pipeline language-ID: stopword-profile scoring with "
-    "deterministic alphabetical tiebreak; one projection pass, no UDF",
+    doc="LLM-pipeline per-document text features in ONE projection pass "
+    "(no shuffle, trivially per-partition at 100 TB): quality scoring "
+    "(length saturation, lexical diversity, stopword density — split/"
+    "filter HOFs), stopword-profile language-ID with deterministic "
+    "alphabetical tiebreak, and the md5 fingerprint over normalized text "
+    "(the exact-dedup key).  Merges the r2 text_quality / lang_id / "
+    "doc_fingerprints inventory entries so the whole family fits the "
+    "driver gate with one row per doc.",
 )
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     scored = docs.select(
         "doc_id",
         "lang",
+        "text",
+        "n_chars",
         *[
             T.stopword_hits("text", T.LANG_PROFILES[lang]).alias(f"hits_{lang}")
             for lang in _PROFILE_LANGS
@@ -111,10 +95,20 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
     return scored.select(
         "doc_id",
-        "lang",
+        T.n_tokens("text").alias("n_tokens"),
+        T.uniq_token_ratio("text").alias("uniq_ratio"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.mean_token_len("text").alias("mean_token_len"),
+        (
+            F.least(F.lit(1.0), T.n_tokens("text").cast("double") / F.lit(50.0))
+            * F.lit(0.4)
+            + T.uniq_token_ratio("text") * F.lit(0.3)
+            + (F.lit(1.0) - T.stopword_ratio("text")) * F.lit(0.3)
+        ).alias("quality"),
         pred.alias("pred_lang"),
-        best.alias("best_hits"),
         (pred == F.col("lang")).alias("is_correct"),
+        T.fingerprint("text").alias("fingerprint"),
+        (F.length("text") == F.col("n_chars")).alias("meta_consistent"),
     )
 
 
@@ -167,28 +161,3 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("t").alias("vocab_size"))
     )
     return counts.join(vocab, "source")
-
-
-# ---------------------------------------------------------------------------
-# Document fingerprinting (exact-dedup key).
-# ---------------------------------------------------------------------------
-@register(
-    "doc_fingerprints",
-    """
-    SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
-           length(text) AS n_chars_calc,
-           (length(text) = n_chars) AS meta_consistent
-    FROM documents
-    """,
-    doc="LLM-pipeline document fingerprinting: md5 over normalized text — "
-    "the exact-dedup key; pure projection, no shuffle",
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    return docs.select(
-        "doc_id",
-        T.fingerprint("text").alias("fingerprint"),
-        F.length("text").alias("n_chars_calc"),
-        (F.length("text") == F.col("n_chars")).alias("meta_consistent"),
-    )

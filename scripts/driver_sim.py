@@ -30,6 +30,6 @@ missing = [k for k in o if k not in q]
 assert not missing, missing
 
 # run one events-based query under the driver-like session (ns timestamps)
-out = q["minute_rollup"](spark, "/root/testdata/sf0.001")
-print("minute_rollup rows at sf0.001:", out.count())
+out = q["daily_volume_ma"](spark, "/root/testdata/sf0.001")
+print("daily_volume_ma rows at sf0.001:", out.count())
 print("OK")

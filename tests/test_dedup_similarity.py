@@ -31,11 +31,12 @@ class TestDedup:
 
     def test_simhash_similar_docs_close(self, spark):
         from classic_fcd_spark.queries import query_fn_map
+        from classic_fcd_spark.queries.dedup import simhash_docs
 
         qmap = query_fn_map()
         sim = {
             r["doc_id"]: r["simhash"]
-            for r in qmap["simhash_docs"](spark, SF_SMALL).collect()
+            for r in simhash_docs(spark, SF_SMALL).collect()
         }
         near = _pairs(qmap["ngram_jaccard_pairs"](spark, SF_SMALL))
         if near:
@@ -63,11 +64,11 @@ class TestSimilarity:
             assert cos == sorted(cos, reverse=True)
 
     def test_lsh_bucket_partitioning(self, spark):
-        from classic_fcd_spark.queries import query_fn_map
+        from classic_fcd_spark.queries.similarity import ann_lsh_buckets
         from classic_fcd_spark.session import load_tables
 
         n_vecs = load_tables(spark, SF_SMALL)["embeddings"].count()
-        buckets = query_fn_map()["ann_lsh_buckets"](spark, SF_SMALL).collect()
+        buckets = ann_lsh_buckets(spark, SF_SMALL).collect()
         assert sum(r["n_vecs"] for r in buckets) == n_vecs
         assert all(0 <= r["bucket"] < 256 for r in buckets)
 

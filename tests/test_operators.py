@@ -124,7 +124,12 @@ class TestPlanQuality:
         assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
 
     def test_dim_joins_broadcast(self, spark):
-        plan = self._plan(spark, "revenue_by_nation")
+        # revenue_by_nation is the unregistered bench workload (heaviest
+        # multi-way join) — audit its plan directly
+        from classic_fcd_spark.queries.core import revenue_by_nation
+
+        df = revenue_by_nation(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
 
     def test_scan_prunes_columns(self, spark):
