@@ -54,6 +54,7 @@ HEADLINE = [
     "fcd_vote_tally",
     "fcd_swap_volume",
     "fcd_rewards_converted",
+    "fcd_proposals",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
     "simhash_docs",

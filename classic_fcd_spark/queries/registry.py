@@ -46,6 +46,7 @@ def _load_all() -> None:
         core,
         dedup,
         fcd,
+        fcd_read,
         multimodal_q,
         similarity,
         streaming_q,

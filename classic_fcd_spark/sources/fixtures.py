@@ -307,6 +307,7 @@ def gen_general_info(spark: SparkSession, n_minutes: int = FIXTURE_N_PRICE_MINUT
         F.timestamp_seconds(F.lit(EPOCH_START) + m * 60).alias("datetime"),
         (300000 + m * 31 % 400000).alias("staking_ratio_e6"),
         (1000000 + m * 7919 % 500000).alias("bonded_tokens"),
+        (m * 53 % 100000).alias("seigniorage"),
     )
 
 
@@ -315,7 +316,8 @@ DUCK_GENERAL = """
         SELECT m,
                strftime(make_timestamp((1609459200 + m * 60) * 1000000), '%Y-%m-%d') AS day,
                300000 + (m * 31) % 400000 AS staking_ratio_e6,
-               1000000 + (m * 7919) % 500000 AS bonded_tokens
+               1000000 + (m * 7919) % 500000 AS bonded_tokens,
+               (m * 53) % 100000 AS seigniorage
         FROM (SELECT unnest(range(0, {n})) AS m)
     )
 """
@@ -374,6 +376,66 @@ DUCK_DELEGATIONS = f"""
                {duck_valaddr("d % 20")} AS validator,
                d * 11 % 500 + 10 AS shares
         FROM (SELECT unnest(range(0, {FIXTURE_N_DELEGATIONS})) AS d)
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Proposals dim (governance read surface — getProposals.ts:24-36) and the
+# on-chain listing used by the removeDeletedProposals anti-join (D1,
+# src/collector/gov/removeDeletedProposals.ts:10-33): proposal 5 exists in
+# the store but is gone from the chain and must disappear from results.
+# ---------------------------------------------------------------------------
+FIXTURE_N_PROPOSALS = 8
+
+PROPOSAL_STATUSES = ["VotingPeriod", "DepositPeriod", "Passed", "Rejected"]
+PROPOSAL_TYPES = [
+    "gov/TextProposal",
+    "treasury/TaxRateUpdateProposal",
+    "treasury/RewardWeightUpdateProposal",
+    "distribution/CommunityPoolSpendProposal",
+    "params/ParameterChangeProposal",
+    "custom/FancyProposal",  # unknown type: display falls through verbatim
+]
+
+
+def gen_proposals(spark: SparkSession, n: int = FIXTURE_N_PROPOSALS) -> DataFrame:
+    p = F.col("id")
+    return spark.range(0, n).select(
+        p.alias("proposal_id"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in PROPOSAL_STATUSES]), (p % 4 + 1).cast("int")
+        ).alias("status"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in PROPOSAL_TYPES]), (p * 5 % 6 + 1).cast("int")
+        ).alias("ptype"),
+        F.concat(F.lit("proposal-"), p.cast("string")).alias("title"),
+        _addr(p + 500).alias("proposer"),
+        (p * 1700 % 9000 + 100).alias("deposit_total"),
+    )
+
+
+def gen_chain_proposal_ids(spark: SparkSession, n: int = FIXTURE_N_PROPOSALS) -> DataFrame:
+    """The LCD's current on-chain proposal listing: id 5 was removed on
+    chain (deposit-period expiry burns it) — the D1 delete target."""
+    return spark.range(0, n).filter(F.col("id") % 7 != 5).select(
+        F.col("id").alias("chain_proposal_id")
+    )
+
+
+DUCK_PROPOSALS = f"""
+    proposals AS (
+        SELECT p AS proposal_id,
+               (['VotingPeriod','DepositPeriod','Passed','Rejected'])[(p % 4) + 1] AS status,
+               (['gov/TextProposal','treasury/TaxRateUpdateProposal',
+                 'treasury/RewardWeightUpdateProposal',
+                 'distribution/CommunityPoolSpendProposal',
+                 'params/ParameterChangeProposal','custom/FancyProposal'])[(p * 5 % 6) + 1] AS ptype,
+               'proposal-' || CAST(p AS VARCHAR) AS title,
+               {duck_addr("p + 500")} AS proposer,
+               p * 1700 % 9000 + 100 AS deposit_total
+        FROM (SELECT unnest(range(0, {FIXTURE_N_PROPOSALS})) AS p)
+        WHERE p % 7 <> 5
     )
 """
 

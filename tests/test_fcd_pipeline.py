@@ -160,3 +160,48 @@ class TestCompaction:
         assert out["h1"]["raw_log"] == ""  # success -> blanked
         assert len(out["h2"]["msgs"]) == 1  # failed tx keeps raw_log
         assert out["h2"]["raw_log"] == ""
+
+
+class TestFcdReadSurfaces:
+    """r3 serving read surfaces (queries/fcd_read.py) — semantic checks
+    the oracle hash can't express on its own."""
+
+    def test_proposals_chain_removal_and_zero_nonvoting(self, spark):
+        from classic_fcd_spark.queries.fcd_read import fcd_proposals
+
+        rows = {r["proposal_id"]: r for r in fcd_proposals(spark, "").collect()}
+        # D1: proposal 5 is off-chain and must be deleted from the view
+        assert 5 not in rows and len(rows) == 7
+        # proposal 0's voter arithmetic covers all 20 validator accounts:
+        # the J9 anti-join must yield an explicit zero, not a dropped row
+        assert rows[0]["n_nonvoting_validators"] == 0
+        # proposals without votes: all 20 validators are non-voting
+        assert rows[3]["n_nonvoting_validators"] == 20
+        assert rows[3]["yes"] == 0
+        # F20 display maps
+        assert rows[0]["status_display"] == "Voting"
+        by_type = {r["type_display"] for r in rows.values()}
+        assert "Text Proposal" in by_type
+        assert "custom/FancyProposal" in by_type  # unknown passes through
+
+    def test_general_info_daily_picks_earliest_snapshot(self, spark):
+        from classic_fcd_spark.queries.fcd_read import fcd_general_info_daily
+
+        rows = {r["day"]: r for r in fcd_general_info_daily(spark, "").collect()}
+        # day 1 starts at minute m=0: seigniorage = 0, ratio = 300000
+        assert rows["2021-01-01"]["seigniorage"] == 0
+        assert rows["2021-01-01"]["staking_ratio_e6"] == 300000
+        # every later day reports its first minute (m = k*1440), not an avg
+        assert rows["2021-01-02"]["seigniorage"] == (1440 * 53) % 100000
+
+    def test_bank_balance_negative_available_allowed(self, spark):
+        from classic_fcd_spark.queries.fcd_read import fcd_bank_balance
+
+        rows = {
+            (r["address"], r["denom"]): r
+            for r in fcd_bank_balance(spark, "").collect()
+        }
+        # calculate.ts's min() can go negative when vesting exceeds
+        # liquid + delegated_vesting — preserved, not clamped
+        assert rows[("terra1lazy5", "uluna")]["available"] == -50.0
+        assert rows[("terra1grad1", "uluna")]["freed_vesting"] == 50.0
