@@ -64,6 +64,14 @@ def minute_rollup_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 PARTITION_COL = "day_pt"
 
 
+def _existing_touched(spark: SparkSession, out_dir: str, touched: list[str]) -> DataFrame:
+    """The MERGE's read side: ONLY the touched day partitions.  The isin
+    filter is on the partition column, so it resolves to PartitionFilters
+    on the scan (partition pruning — asserted in tests/test_streaming.py);
+    untouched partitions contribute zero files to the read."""
+    return spark.read.parquet(out_dir).filter(F.col(PARTITION_COL).isin(touched))
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,
@@ -75,39 +83,46 @@ def merge_upsert(
     parquet table.  Production target: Delta `MERGE INTO` (S9 — the
     reference's INSERT … ON CONFLICT UPDATE, tx.ts:240-247).
 
-    Round-1 version rewrote the whole table per micro-batch (O(table));
-    now only the day partitions the batch touches are read (partition
-    pruning on the scan), anti-joined, and dynamically overwritten —
-    O(touched partitions) per batch, which is what keeps a years-long
-    minute table mergeable at 100x."""
+    Round-1 rewrote the whole table per micro-batch (O(table)); round-2
+    scoped reads AND writes to the touched day partitions but staged
+    through an unpartitioned temp dir and re-wrote — 2x write
+    amplification.  Now the merged rows are written ONCE, partitioned,
+    into a staging dir, and the touched partition directories are
+    promoted into the table by rename — one data write per batch plus
+    O(partitions) metadata moves, which is exactly the shape of a Delta
+    MERGE commit (write new files, swap the manifest)."""
     if partition_expr is None:
         partition_expr = F.substring(keys[0], 1, 10)  # minute -> day prefix
     # keep partition values opaque strings; date/number inference would
     # flip the column type between first write and later reads
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     updates = updates.withColumn(PARTITION_COL, partition_expr).cache()
     try:
         touched = [r[0] for r in updates.select(PARTITION_COL).distinct().collect()]
         if os.path.exists(out_dir) and any(
             f.startswith(f"{PARTITION_COL}=") for f in os.listdir(out_dir)
         ):
-            existing = spark.read.parquet(out_dir).filter(
-                F.col(PARTITION_COL).isin(touched)
-            )
+            existing = _existing_touched(spark, out_dir, touched)
             cond = [existing[k] == updates[k] for k in keys]
             keep = existing.join(updates, cond, "left_anti")
             merged = keep.unionByName(updates)
         else:
             merged = updates
-        # stage the touched partitions, then dynamic-overwrite: partitions
-        # outside `touched` are never read or written
-        tmp = out_dir.rstrip("/") + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(out_dir)
+        # single partitioned write to staging, then promote each touched
+        # partition dir by rename — untouched partitions are never read,
+        # written, or moved
         import shutil
 
+        tmp = out_dir.rstrip("/") + "__tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(tmp)
+        os.makedirs(out_dir, exist_ok=True)
+        for pt in touched:
+            src = os.path.join(tmp, f"{PARTITION_COL}={pt}")
+            dst = os.path.join(out_dir, f"{PARTITION_COL}={pt}")
+            if os.path.exists(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
     finally:
         updates.unpersist()

@@ -91,6 +91,65 @@ class TestStreamingMinuteRollup:
         assert got == {("m1", "a"): 5, ("m1", "b"): 2, ("m2", "a"): 3}
         shutil.rmtree(out, ignore_errors=True)
 
+    def test_merge_upsert_scopes_to_touched_partitions(self, spark, workdir):
+        """S9 scale invariant: a batch touching day d2 must neither read
+        nor rewrite day d1's files — the read prunes partitions (checked
+        on the physical plan) and the write promotes only touched
+        partition dirs (checked via file inodes/mtimes)."""
+        from classic_fcd_spark.streaming.minute_pipeline import (
+            PARTITION_COL,
+            _existing_touched,
+        )
+
+        out = os.path.join(workdir, "scoped_out")
+        d1 = spark.createDataFrame(
+            [("2021-01-01 00:01:00", "a", 1, 1.0)],
+            ["minute", "event_type", "n_events", "sum_value"],
+        )
+        d2 = spark.createDataFrame(
+            [("2021-01-02 00:01:00", "a", 2, 2.0)],
+            ["minute", "event_type", "n_events", "sum_value"],
+        )
+        merge_upsert(spark, d1, out, ["minute", "event_type"])
+        merge_upsert(spark, d2, out, ["minute", "event_type"])
+        p1 = os.path.join(out, f"{PARTITION_COL}=2021-01-01")
+        before = {
+            f: os.stat(os.path.join(p1, f)) for f in os.listdir(p1)
+        }
+
+        # the read side prunes: only d2's partition reaches the scan
+        plan = (
+            _existing_touched(spark, out, ["2021-01-02"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert "2021-01-02" in pf
+
+        # merge an update into d2 only; d1's files must be untouched
+        upd = spark.createDataFrame(
+            [("2021-01-02 00:01:00", "a", 9, 9.0)],
+            ["minute", "event_type", "n_events", "sum_value"],
+        )
+        merge_upsert(spark, upd, out, ["minute", "event_type"])
+        after = {f: os.stat(os.path.join(p1, f)) for f in os.listdir(p1)}
+        assert before.keys() == after.keys()
+        for f in before:
+            assert (before[f].st_ino, before[f].st_mtime_ns) == (
+                after[f].st_ino,
+                after[f].st_mtime_ns,
+            ), f"untouched partition file rewritten: {f}"
+        # no staging leftovers, and the merge landed
+        assert not os.path.exists(out.rstrip("/") + "__tmp")
+        got = {
+            (r["minute"], r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got[("2021-01-02 00:01:00", "a")] == 9
+        assert got[("2021-01-01 00:01:00", "a")] == 1
+
 
 class TestMempoolTTL:
     def test_inclusion_and_ttl_eviction(self, spark, workdir):
