@@ -19,10 +19,19 @@ Shapes follow the reference (citations):
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FIXTURE_N_BLOCKS = 600
+# Scale knob for the fcd fixture family: every row count (and every DUCK_*
+# oracle CTE, which embeds the same constants at import) multiplies by
+# this, so correctness holds at ANY scale — used to demonstrate the fcd
+# plans stay flat at 10x (SPARK_GRAFT_FIXTURE_SCALE=10 bench run,
+# BENCH_NOTES.md).
+FIXTURE_SCALE = max(1, int(_os.environ.get("SPARK_GRAFT_FIXTURE_SCALE", "1")))
+
+FIXTURE_N_BLOCKS = 600 * FIXTURE_SCALE
 BLOCK_SPACING_S = 450  # ~4 day-boundaries across the fixture (FIXTURES.md wants >=3)
 CHAIN_ID = "fixture-1"
 EPOCH_START = 1609459200  # 2021-01-01 00:00:00 UTC
@@ -241,8 +250,9 @@ DUCK_TX_BASE = f"""
 # Minute prices (J6/A17 input) and validator dimension.
 # ---------------------------------------------------------------------------
 # 4500 minutes ≈ 3.125 days — covers every day the 600-block fixture spans
-# (600 × 450 s), so every (day, denom) reward row finds a daily avg price.
-FIXTURE_N_PRICE_MINUTES = 4500
+# (600 × 450 s), so every (day, denom) reward row finds a daily avg price;
+# both sides scale by FIXTURE_SCALE so the ratio is scale-invariant.
+FIXTURE_N_PRICE_MINUTES = 4500 * FIXTURE_SCALE
 
 
 def gen_prices(spark: SparkSession, n_minutes: int = FIXTURE_N_PRICE_MINUTES) -> DataFrame:
@@ -329,8 +339,8 @@ DUCK_GENERAL = """
 # plain delegators, and each voter votes repeatedly (small voter space) so
 # the latest-vote dedup is actually exercised.
 # ---------------------------------------------------------------------------
-FIXTURE_N_VOTES = 400
-FIXTURE_N_DELEGATIONS = 120
+FIXTURE_N_VOTES = 400 * FIXTURE_SCALE
+FIXTURE_N_DELEGATIONS = 120 * FIXTURE_SCALE
 
 
 def gen_votes(spark: SparkSession, n: int = FIXTURE_N_VOTES) -> DataFrame:
