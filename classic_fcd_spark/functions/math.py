@@ -54,8 +54,14 @@ def times(a, b) -> Column:
 
 
 def div(a, b) -> Column:
-    """a / b with divisor defaulting to 1 when null (math.ts:8-9)."""
-    return _z(a) / F.coalesce(dec(b), F.lit(1).cast(DECIMAL_T))
+    """a / b with divisor defaulting to 1 when null (math.ts:8-9).
+
+    Divisor 0: the reference's BigNumber yields Infinity, which
+    decimal(38,10) cannot represent; try_divide maps it to NULL instead
+    of aborting the job under the session's ANSI default (the r2 advice
+    audit: every decimal division must be zero-divisor-safe).  Callers
+    that need the reference's `isFinite` guard can test for NULL."""
+    return F.try_divide(_z(a), F.coalesce(dec(b), F.lit(1).cast(DECIMAL_T)))
 
 
 def get_integer_portion(x) -> Column:

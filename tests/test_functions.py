@@ -48,6 +48,11 @@ class TestMathSemantics:
         assert _one(spark, m.div(F.lit(None), F.lit(4))) == Decimal("0")
         assert _one(spark, m.div(F.lit(9), F.lit(2))) == Decimal("4.5")
 
+    def test_div_zero_divisor_is_null_under_ansi(self, spark):
+        # BigNumber div(0) yields Infinity; decimal can't represent it —
+        # try_divide maps it to NULL instead of an ANSI DIVIDE_BY_ZERO
+        assert _one(spark, m.div(F.lit(5), F.lit(0))) is None
+
     def test_integer_portion_truncates_toward_zero(self, spark):
         assert _one(spark, m.get_integer_portion(F.lit("3.99"))) == Decimal("3")
         assert _one(spark, m.get_integer_portion(F.lit("-3.99"))) == Decimal("-3")
