@@ -38,9 +38,7 @@ HEADLINE = [
     "token_stats_by_source",
     "exact_dedup_groups",
     "minhash_lsh_near_dups",
-    # ngram_jaccard_pairs is deliberately NOT benched: it is the exact
-    # O(collisions^2) verification oracle (30 s at sf0.1), documented as
-    # the small-scale path — minhash_lsh_near_dups is the scale path.
+    "ngram_jaccard_pairs",
     "simhash_near_dups",
     "near_dup_groups",
     "multimodal_features",
