@@ -1,0 +1,64 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus job cannot use `rand()`-based sampling: re-runs must
+select the SAME rows (resumable pipelines, reproducible ablations), and
+per-stratum rates must hold exactly without a shuffle.  Both operators
+here hash a stable key instead of drawing randomness — pure projections
+(no shuffle, no state), so they run at scan speed on any partitioning
+and give bit-identical output on every re-run.
+
+Public technique: hash-mod sampling (e.g. the classic A/B bucketing
+pattern); md5 is used for engine portability (same digest in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16 hex chars -> 64-bit space; modulus below keeps values exact in a long
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Stable bucket in [0, 1e6): md5 of (salt || key), first 15 hex
+    digits (60 bits — conv() stays exact), mod 1e6.  Deterministic
+    across engines: DuckDB computes the identical value via
+    ``CAST(('0x' || substr(md5(..), 1, 15)) AS UBIGINT) % 1000000``."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BUCKETS).alias(
+        "bucket"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~rate of rows, chosen by key hash — stable under re-runs,
+    retries, and repartitioning (rand()-based sampling is none of those).
+    """
+    threshold = int(rate * _BUCKETS)
+    return df.filter(hash_bucket(key, salt) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum_col: str, rates: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the quality-tier downsampling
+    step of a training-data mix (e.g. keep 100% of high-quality docs, 10%
+    of boilerplate).  Strata absent from ``rates`` are dropped, matching
+    the mix-spec-is-exhaustive convention.  Still a pure projection:
+    the rate lookup is a literal CASE over the stratum column."""
+    thr = F.lit(-1)
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, int(rate * _BUCKETS)).otherwise(thr)
+    return df.filter(hash_bucket(key, salt) < thr)
+
+
+def duck_hash_bucket(key_expr: str, salt: str = "") -> str:
+    """DuckDB expression mirroring hash_bucket for oracle checks."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 15)) "
+        f"AS UBIGINT) % {_BUCKETS}"
+    )

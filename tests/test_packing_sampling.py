@@ -1,0 +1,159 @@
+"""Training-data pipeline extras: deterministic sampling + sequence
+packing.  Sampling is cross-checked against DuckDB computing the same
+md5-bucket arithmetic (oracle-style, inside pytest); packing is checked
+against an independent Python reference walk.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.functions.text import n_tokens
+from classic_fcd_spark.operators.packing import (
+    pack_concat_and_cut,
+    pack_greedy_next_fit,
+    packing_stats,
+)
+from classic_fcd_spark.operators.sampling import (
+    deterministic_sample,
+    duck_hash_bucket,
+    stratified_sample,
+)
+from classic_fcd_spark.session import load_tables
+from tests.conftest import SF_SMALL
+
+
+class TestDeterministicSampling:
+    def test_matches_duckdb_bucket_arithmetic(self, spark):
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        got = sorted(
+            r["doc_id"]
+            for r in deterministic_sample(docs, "doc_id", 0.2, salt="s1")
+            .select("doc_id")
+            .collect()
+        )
+        con = duckdb.connect()
+        path = os.path.join(SF_SMALL, "documents.parquet")
+        want = [
+            r[0]
+            for r in con.sql(
+                f"SELECT doc_id FROM read_parquet('{path}') "
+                f"WHERE {duck_hash_bucket('doc_id', 's1')} < 200000 ORDER BY doc_id"
+            ).fetchall()
+        ]
+        assert got == want
+        assert 0 < len(got) < docs.count()  # non-trivial subset
+
+    def test_stable_under_repartition_and_rerun(self, spark):
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        a = sorted(
+            r["doc_id"]
+            for r in deterministic_sample(docs, "doc_id", 0.1).select("doc_id").collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in deterministic_sample(docs.repartition(7), "doc_id", 0.1)
+            .select("doc_id")
+            .collect()
+        )
+        assert a == b
+
+    def test_stratified_rates_and_drops(self, spark):
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        strata = [r["source"] for r in docs.select("source").distinct().collect()]
+        keep, drop = strata[0], strata[1]
+        out = stratified_sample(docs, "doc_id", "source", {keep: 1.0})
+        srcs = {r["source"] for r in out.select("source").distinct().collect()}
+        assert srcs == {keep}  # absent strata dropped
+        # rate 1.0 keeps the whole stratum
+        assert out.count() == docs.filter(F.col("source") == keep).count()
+        assert drop not in srcs
+
+
+def _py_greedy(rows, budget):
+    """Independent reference: greedy next-fit walk."""
+    out, cur_bin, fill = {}, -1, 0
+    for key, t in rows:
+        if cur_bin >= 0 and fill + t <= budget:
+            out[key] = (cur_bin, fill)
+            fill += t
+        else:
+            cur_bin += 1
+            out[key] = (cur_bin, 0)
+            fill = t
+    return out
+
+
+class TestSequencePacking:
+    BUDGET = 64
+
+    def _docs(self, spark):
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        return docs.select("source", "doc_id", n_tokens("text").alias("n_tokens"))
+
+    def test_concat_and_cut_is_prefix_sum(self, spark):
+        packed = pack_concat_and_cut(
+            self._docs(spark), "source", "doc_id", "n_tokens", self.BUDGET
+        )
+        rows = sorted(
+            packed.collect(), key=lambda r: (r["source"], r["doc_id"])
+        )
+        run = {}
+        for r in rows:
+            before = run.get(r["source"], 0)
+            assert r["bin_id"] == before // self.BUDGET
+            assert r["offset"] == before % self.BUDGET
+            assert r["spans_boundary"] == (r["offset"] + r["n_tokens"] > self.BUDGET)
+            run[r["source"]] = before + r["n_tokens"]
+
+    def test_greedy_matches_python_reference(self, spark):
+        packed = pack_greedy_next_fit(
+            self._docs(spark), "source", "doc_id", "n_tokens", self.BUDGET
+        )
+        got = {
+            (r["source"], r["doc_id"]): (r["bin_id"], r["offset"])
+            for r in packed.collect()
+        }
+        docs = sorted(
+            self._docs(spark).collect(), key=lambda r: (r["source"], r["doc_id"])
+        )
+        for source in {r["source"] for r in docs}:
+            rows = [(r["doc_id"], r["n_tokens"]) for r in docs if r["source"] == source]
+            want = _py_greedy(rows, self.BUDGET)
+            for doc_id, (b, off) in want.items():
+                assert got[(source, doc_id)] == (b, off), (source, doc_id)
+
+    def test_greedy_never_overfills_and_no_gaps(self, spark):
+        packed = pack_greedy_next_fit(
+            self._docs(spark), "source", "doc_id", "n_tokens", self.BUDGET
+        )
+        fills = (
+            packed.filter(~F.col("truncated"))
+            .groupBy("source", "bin_id")
+            .agg(F.sum("n_tokens").alias("fill"))
+            .collect()
+        )
+        assert fills and all(r["fill"] <= self.BUDGET for r in fills)
+        # bin ids are dense per group (0..n_bins-1)
+        per_group = (
+            packed.groupBy("source")
+            .agg(F.max("bin_id").alias("mx"), F.countDistinct("bin_id").alias("n"))
+            .collect()
+        )
+        assert all(r["mx"] == r["n"] - 1 for r in per_group)
+
+    def test_packing_stats_fill_ratio_bounds(self, spark):
+        packed = pack_greedy_next_fit(
+            self._docs(spark), "source", "doc_id", "n_tokens", self.BUDGET
+        )
+        stats = packing_stats(packed, "source", self.BUDGET).collect()
+        assert stats
+        for r in stats:
+            assert 0.0 < r["fill_ratio"] <= 1.0
+            # greedy next-fit guarantee: every bin but possibly the last
+            # is > half full when docs fit the budget -> ratio well above 0.4
+            assert r["fill_ratio"] > 0.4
