@@ -69,6 +69,33 @@ class TestStreamingMinuteRollup:
         got = run_minute_rollup_available_now(spark, src, ckpt, out)  # resume (T2)
         assert _as_dict(got) == _as_dict(_batch_expected(spark))
 
+    def test_late_event_within_watermark_merges(self, spark, workdir):
+        """T5: an event arriving a later trigger but within the 10-minute
+        watermark must update its (already emitted) minute window — the
+        reference's trailing-window dashboard corrections
+        (collectDashboard.ts:15)."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        src = os.path.join(workdir, "late_src")
+        ckpt, out = os.path.join(workdir, "lckpt"), os.path.join(workdir, "lout")
+        spark.createDataFrame(
+            [(t0 + dt.timedelta(seconds=10), "e1", "click", 1.0),
+             (t0 + dt.timedelta(minutes=8), "e2", "click", 2.0)],
+            "ts timestamp, event_id string, event_type string, value double",
+        ).coalesce(1).write.parquet(src, mode="append")
+        run_minute_rollup_available_now(spark, src, ckpt, out)
+        # late by ~8 minutes relative to max event time — inside the
+        # 10-minute watermark, so the 00:00 window must re-emit merged
+        spark.createDataFrame(
+            [(t0 + dt.timedelta(seconds=40), "e3", "click", 4.0)],
+            "ts timestamp, event_id string, event_type string, value double",
+        ).coalesce(1).write.parquet(src, mode="append")
+        got = run_minute_rollup_available_now(spark, src, ckpt, out)
+        rows = {r["minute"]: (r["n_events"], r["sum_value"]) for r in got.collect()}
+        assert rows["2024-01-01 00:00:00"] == (2, 5.0)
+        assert rows["2024-01-01 00:08:00"] == (1, 2.0)
+
     def test_merge_upsert_idempotent(self, spark, workdir):
         out = os.path.join(workdir, "merge_out")
         df1 = spark.createDataFrame(
