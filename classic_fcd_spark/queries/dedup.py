@@ -288,14 +288,16 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     left = banded.select("b", "byte", F.col("doc_id").alias("i"), F.col("simhash").alias("sa"))
     right = banded.select("b", "byte", F.col("doc_id").alias("j"), F.col("simhash").alias("sb"))
-    cand = (
+    hamming = F.expr("CAST(bit_count(sa ^ sb) AS INT)")
+    # hamming verify BEFORE the distinct: the xor/bit_count is a per-row
+    # JVM op inside the join stage, so only true near-dup pairs (not every
+    # band collision) reach the dedup shuffle
+    return (
         left.join(right, ["b", "byte"])
-        .filter(F.col("i") < F.col("j"))
-        .select("i", "j", "sa", "sb")
+        .filter((F.col("i") < F.col("j")) & (hamming <= _SIMHASH_K))
+        .select("i", "j", hamming.alias("hamming"))
         .distinct()
     )
-    hamming = F.expr("CAST(bit_count(sa ^ sb) AS INT)")
-    return cand.filter(hamming <= _SIMHASH_K).select("i", "j", hamming.alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
