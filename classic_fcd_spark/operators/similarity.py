@@ -96,3 +96,91 @@ def bucket_sql(vec: str, weights: list[list[int]], fold: str) -> str:
             )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {2**j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means — the IVF codebook trainer.
+# ---------------------------------------------------------------------------
+def kmeans_train(
+    emb,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    n_iter: int = 5,
+):
+    """Train an IVF codebook with Lloyd iterations, Spark-first.
+
+    Per round: ASSIGN is a broadcast of the k centroids against the full
+    corpus (k·n cosine rows, combined map-side to n via max(struct(cos,
+    cid)) — one shuffle of n narrow rows); UPDATE is posexplode →
+    groupBy (cell, dim) mean — one shuffle of n·dim narrow rows; only
+    the k×dim centroid table is collected to the driver per round (the
+    model state, bounded, exactly like MLlib's own KMeans).  Centroids
+    are L2-normalized each round (spherical k-means) because IVF cells
+    here partition by COSINE, not Euclidean distance.
+
+    Returns (centroids, mean_cos_history): `centroids` is a list of k
+    dim-length float lists usable as the `ann_ivf_search`-style codebook;
+    `history[i]` is the corpus mean best-cosine after round i — it must
+    be non-decreasing up to float noise (asserted in tests).
+    """
+    import math
+
+    from pyspark.sql import DataFrame  # noqa: F401 — signature doc only
+
+    spark = emb.sparkSession
+    # hash-ordered init: the k smallest md5(id) rows — deterministic,
+    # pseudo-randomly spread across the corpus (unlike "first k", which
+    # can land every seed in one region), and a distributed TakeOrdered
+    # rather than a global-window scan; production can swap in k-means++
+    # without touching the iteration below
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    cents = [list(map(float, r[vec_col])) for r in seeds]
+    history: list[float] = []
+
+    def _norm(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cents = [_norm(c) for c in cents]
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(cid, c) for cid, c in enumerate(cents)], ["cid", "ce"]
+        )
+        scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cdf)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.struct(
+                F.expr(cosine_sql(vec_col, "ce")).alias("cos"), F.col("cid")
+            ).alias("sc"),
+        )
+        assigned = scored.groupBy(id_col, vec_col).agg(F.max("sc").alias("best"))
+        stats = assigned.agg(F.avg("best.cos").alias("m")).collect()[0]
+        history.append(float(stats["m"]))
+        # UPDATE: element-wise mean per cell — narrow (cell, pos, val)
+        # rows, map-side combined; k*dim result rows collected (the model)
+        new_rows = (
+            assigned.select(
+                F.col("best.cid").alias("cell"),
+                F.posexplode(vec_col).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        dim = len(cents[0])
+        cents = [
+            _norm([by_cell[cid].get(p, cents[cid][p]) for p in range(dim)])
+            if cid in by_cell
+            else cents[cid]  # empty cell keeps its centroid (standard)
+            for cid in range(k)
+        ]
+    return cents, history

@@ -317,7 +317,10 @@ def _centroid_terms(vec: str, fold: str) -> str:
     "probes only its own cell and re-ranks by exact cosine.  The "
     "assignment is a projection against a broadcast codebook — no "
     "shuffle; the probe is one equi-join on the cell id.  Production "
-    "swaps the codebook for k-means centroids; plumbing is unchanged.",
+    "swaps the codebook for trained centroids via "
+    "operators/similarity.kmeans_train (distributed spherical Lloyd "
+    "iterations, unit-tested); plumbing is unchanged — the oracle stays "
+    "exact because the registered query pins the deterministic codebook.",
 )
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]

@@ -103,3 +103,50 @@ class TestAnnPlans:
         for r in probed:
             if (r["qid"], r["nid"]) in brute:
                 assert brute[(r["qid"], r["nid"])] == r["cos_e6"]
+
+
+class TestKMeansCodebook:
+    def test_spherical_kmeans_recovers_planted_clusters(self, spark):
+        """Distributed Lloyd iterations (operators/similarity.kmeans_train)
+        on three planted directions: mean best-cosine must improve
+        monotonically (up to float noise) and the final assignment must
+        give pure clusters."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.similarity import cosine_sql, kmeans_train
+
+        rng = random.Random(7)
+        dim, per = 8, 40
+        # three orthogonal-ish planted directions + small noise
+        base = [[1.0 if i == c else 0.0 for i in range(dim)] for c in (0, 3, 6)]
+        rows = []
+        for c, b in enumerate(base):
+            for n in range(per):
+                v = [x + rng.uniform(-0.15, 0.15) for x in b]
+                rows.append((c * per + n, c, v))
+        emb = spark.createDataFrame(rows, ["vec_id", "truth", "embedding"])
+
+        cents, hist = kmeans_train(emb, k=3, n_iter=4)
+        assert len(cents) == 3 and all(len(c) == dim for c in cents)
+        # monotone improvement (tiny float tolerance)
+        assert all(b >= a - 1e-9 for a, b in zip(hist, hist[1:])), hist
+        assert hist[-1] > 0.95  # tight clusters -> near-perfect fit
+
+        # final assignment purity: each truth group lands in one cell
+        cdf = spark.createDataFrame(
+            [(cid, c) for cid, c in enumerate(cents)], ["cid", "ce"]
+        )
+        best = (
+            emb.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                "truth",
+                F.struct(F.expr(cosine_sql("embedding", "ce")).alias("cos"), "cid").alias("sc"),
+            )
+            .groupBy("vec_id", "truth")
+            .agg(F.max("sc.cid").alias("cell"))
+        )
+        purity = best.groupBy("truth").agg(F.countDistinct("cell").alias("n")).collect()
+        assert all(r["n"] == 1 for r in purity)
