@@ -59,6 +59,7 @@ HEADLINE = [
     "revenue_by_nation",
     "simhash_docs",
     "ann_lsh_buckets",
+    "ann_ivf_search_trained",
 ]
 
 
@@ -68,12 +69,16 @@ def _extra_workloads():
     signature/bucket projections."""
     from classic_fcd_spark.queries.core import revenue_by_nation
     from classic_fcd_spark.queries.dedup import simhash_docs
-    from classic_fcd_spark.queries.similarity import ann_lsh_buckets
+    from classic_fcd_spark.queries.similarity import (
+        ann_ivf_search_trained,
+        ann_lsh_buckets,
+    )
 
     return {
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
         "ann_lsh_buckets": ann_lsh_buckets,
+        "ann_ivf_search_trained": ann_ivf_search_trained,
     }
 
 

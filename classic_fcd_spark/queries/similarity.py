@@ -354,3 +354,46 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("qid", "nid", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-codebook IVF (unregistered bench workload): the full production
+# path — spherical k-means training + cell-probe search.  The registered
+# ann_ivf_search keeps a deterministic codebook so its DuckDB oracle is
+# exact; this variant exercises the trainer end-to-end at bench scale.
+# ---------------------------------------------------------------------------
+def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.similarity import kmeans_train
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents, _ = kmeans_train(emb, k=_N_CENTROIDS, n_iter=3)
+    cdf = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(cents)], ["cid", "ce"]
+    )
+    from classic_fcd_spark.operators.similarity import cosine_sql
+
+    assigned = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "embedding",
+            F.struct(F.expr(cosine_sql("embedding", "ce")).alias("cos"), "cid").alias("sc"),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(F.max("sc.cid").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(assigned.select(F.col("vec_id").alias("nid"), "embedding", "cell"), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", cosine("qe", "embedding").alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "nid", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
+    )

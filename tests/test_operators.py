@@ -154,3 +154,48 @@ class TestKeysetServingVariant:
         # exhausted tail: fewer than limit rows -> no cursor
         rows3, cursor3 = keyset_page(df, "k", 10, before=5, descending=True)
         assert [r["k"] for r in rows3] == [4, 3, 2, 1] and cursor3 is None
+
+
+class TestRegistryGate:
+    def test_inventory_fits_driver_window(self):
+        """The external driver checks exactly the first MAX_GATED
+        registered queries; the registry must hold the line so no entry
+        silently escapes the correctness gate (the r2 finding)."""
+        from classic_fcd_spark.queries.registry import (
+            MAX_GATED,
+            QUERIES,
+            QueryDef,
+            query_fn_map,
+        )
+
+        n = len(query_fn_map())
+        assert n <= MAX_GATED
+        # pushing past the cap must fail loudly, not silently ungate
+        try:
+            for i in range(MAX_GATED - n + 1):
+                QUERIES[f"__overflow_{i}"] = QueryDef(
+                    fn=lambda s, d: None, oracle="SELECT 1", doc="overflow probe"
+                )
+            try:
+                query_fn_map()
+                raise AssertionError("registry accepted > MAX_GATED entries")
+            except RuntimeError as e:
+                assert "gates only" in str(e)
+        finally:
+            for k in [k for k in QUERIES if k.startswith("__overflow_")]:
+                del QUERIES[k]
+
+    def test_proposals_dims_broadcast(self, spark):
+        """fcd_proposals joins two bounded dims (chain listing, validator
+        accounts) — both must broadcast, never shuffle the vote side."""
+        from classic_fcd_spark.queries.fcd_read import fcd_proposals
+
+        plan = (
+            fcd_proposals(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the 7x20 proposal-x-validator expansion is an explicit broadcast
+        # cross join (bounded dims); the vote-side joins must be hash joins
+        assert "BroadcastHashJoin" in plan
