@@ -245,3 +245,36 @@ class TestDimRefresh:
             spark, src, os.path.join(workdir, "ckpt_dim"), "operator", calls.append
         )
         assert sorted(map(tuple, calls)) == [("v1", "v2"), ("v2", "v3")]
+
+
+class TestMergeUpsertProperty:
+    def test_random_batch_sequences_match_dict_reference(self, spark, workdir):
+        """S9 as a property: any sequence of upsert batches (including
+        replays) must leave the table equal to a dict applied in the same
+        order — MERGE semantics, partition layout irrelevant."""
+        import itertools
+        import random
+
+        rng = random.Random(11)
+        minutes = [f"2021-01-0{d} 00:0{m}:00" for d in (1, 2) for m in (1, 2)]
+        types = ["a", "b"]
+        out = os.path.join(workdir, "prop_out")
+        ref: dict = {}
+        for step in range(6):
+            keys = rng.sample(
+                list(itertools.product(minutes, types)), rng.randint(1, 4)
+            )
+            batch = [(m, t, step, float(step)) for (m, t) in keys]
+            for m, t, n, v in batch:
+                ref[(m, t)] = (n, v)
+            df = spark.createDataFrame(
+                batch, ["minute", "event_type", "n_events", "sum_value"]
+            )
+            merge_upsert(spark, df, out, ["minute", "event_type"])
+            if rng.random() < 0.4:  # replay the same batch (restart)
+                merge_upsert(spark, df, out, ["minute", "event_type"])
+        got = {
+            (r["minute"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == ref
