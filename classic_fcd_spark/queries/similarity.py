@@ -199,26 +199,35 @@ def _duck_band_arm(band: str) -> str:
 )
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
-    tagged = emb.select(
-        "vec_id",
+    # 1) candidate (i, j) id pairs: all 8 band signatures are computed in
+    #    ONE projection pass and exploded to (band_idx, band_val) rows, so
+    #    candidate generation is a SINGLE equi-join on the composite band
+    #    key — not 8 separate join/shuffle arms (the r2 shape) unioned
+    #    after the fact; distinct() still collapses pairs caught by
+    #    multiple bands BEFORE any cosine work.  The candidate set is
+    #    identical to the oracle's 8-arm UNION by construction.
+    bands = F.array(
         *[
-            F.expr(bucket_sql("embedding", w, "spark")).alias(f"band{i}")
+            F.struct(
+                F.lit(i).alias("b"),
+                F.expr(bucket_sql("embedding", w, "spark")).alias("v"),
+            )
             for i, w in enumerate(_PAIR_BANDS)
-        ],
+        ]
     )
-    # 1) candidate (i, j) id pairs per band — narrow rows, one shuffle per
-    #    band on its band id; distinct() collapses pairs caught by
-    #    multiple bands BEFORE any cosine work
-    arms = []
-    for i in range(_N_BANDS):
-        band = f"band{i}"
-        a = tagged.select(F.col(band).alias("bb"), F.col("vec_id").alias("i"))
-        b = tagged.select(F.col(band).alias("bb"), F.col("vec_id").alias("j"))
-        arms.append(a.join(b, "bb").filter(F.col("i") < F.col("j")).select("i", "j"))
-    cands = arms[0]
-    for arm in arms[1:]:
-        cands = cands.unionByName(arm)
-    cands = cands.distinct()
+    # single-file scans arrive as one partition; spread the 8x64-dim fold
+    # work across cores before computing the signatures
+    par = spark.sparkContext.defaultParallelism
+    tagged = (
+        emb.repartition(par, "vec_id")
+        .select("vec_id", F.explode(bands).alias("bd"))
+        .select("vec_id", F.col("bd.b").alias("b"), F.col("bd.v").alias("v"))
+    )
+    a = tagged.select("b", "v", F.col("vec_id").alias("i"))
+    b = tagged.select("b", "v", F.col("vec_id").alias("j"))
+    cands = (
+        a.join(b, ["b", "v"]).filter(F.col("i") < F.col("j")).select("i", "j").distinct()
+    )
     # 2) exact-cosine verify ONCE per unique pair, with per-vector squared
     #    norms hoisted out of the pair loop (the naive form recomputes
     #    dot(a,a)/dot(b,b) per candidate — 3x the fold work); same
