@@ -337,7 +337,9 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"]: r["embedding"]
         for r in emb.filter(F.col("vec_id") < _N_CENTROIDS).collect()
     }
-    wide = emb
+    # the 16-centroid assignment is the heavy projection (16 cosine folds
+    # per row) — spread the single-file scan across cores first
+    wide = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     for cid in range(_N_CENTROIDS):
         arr = F.array(*[F.lit(float(x)) for x in cents[cid]])
         wide = wide.withColumn(f"__c{cid}", arr)

@@ -150,3 +150,37 @@ class TestKMeansCodebook:
         )
         purity = best.groupBy("truth").agg(F.countDistinct("cell").alias("n")).collect()
         assert all(r["n"] == 1 for r in purity)
+
+
+class TestBandedPairRecall:
+    def test_banded_pairs_recall_vs_bruteforce(self, spark):
+        """Lock the module-comment recall claim: at sf0.001 the 8x2-band
+        hyperplane LSH must recover EVERY pair with cosine >= threshold
+        (banded ⊆ exact always holds by the verify step; recall == 1.0 is
+        the measured property on this corpus)."""
+        from classic_fcd_spark.operators.similarity import cosine, floor_e6
+        from classic_fcd_spark.queries.similarity import (
+            _PAIR_THRESHOLD,
+            embedding_similar_pairs,
+        )
+        from classic_fcd_spark.session import load_tables
+
+        banded = {
+            (r["i"], r["j"]): r["cos_e6"]
+            for r in embedding_similar_pairs(spark, SF_SMALL).collect()
+        }
+        emb = load_tables(spark, SF_SMALL)["embeddings"]
+        a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+        exact = {
+            (r["i"], r["j"]): r["cos_e6"]
+            for r in a.crossJoin(b)
+            .filter(F.col("i") < F.col("j"))
+            .select("i", "j", cosine("ea", "eb").alias("cos"))
+            .filter(F.col("cos") >= _PAIR_THRESHOLD)
+            .select("i", "j", floor_e6(F.col("cos")).alias("cos_e6"))
+            .collect()
+        }
+        assert exact, "corpus must contain threshold pairs"
+        assert set(banded) <= set(exact)  # verify step kills false positives
+        assert banded == exact  # full recall on this corpus (measured)
