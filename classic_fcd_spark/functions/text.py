@@ -85,3 +85,55 @@ def fingerprint(text) -> Column:
     text — the exact-dedup key (deterministic, portable to any engine)."""
     norm = F.lower(F.trim(F.regexp_replace(_c(text), r"\s+", " ")))
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (the MassiveText/Gopher-style quality rules, public:
+# Rae et al. 2021 §A1.1) — boilerplate and crawler-loop detection.  Pure
+# Column algebra over line/token arrays; no UDFs.
+# ---------------------------------------------------------------------------
+def lines(text) -> Column:
+    return F.split(_c(text), "\n")
+
+
+def dup_line_fraction(text) -> Column:
+    """Fraction of lines that are duplicates of an earlier line:
+    1 - distinct/total.  High values flag menu/boilerplate pages."""
+    ls = lines(text)
+    return (
+        F.size(ls) - F.size(F.array_distinct(ls))
+    ).cast("double") / F.size(ls)
+
+
+def top_ngram_fraction(text, n: int = 2) -> Column:
+    """Fraction of all tokens covered by occurrences of the single most
+    frequent word n-gram — crawler traps repeat one phrase over and over.
+    aggregate() over the n-gram array finds the mode count JVM-side."""
+    toks = ws_tokens(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # mode count = max over distinct grams of occurrence count
+    top = F.aggregate(
+        F.array_distinct(grams),
+        F.lit(0),
+        lambda acc, g: F.greatest(acc, F.size(F.filter(grams, lambda x: x == g))),
+    )
+    return F.when(
+        F.size(grams) > 0,
+        (top * n).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def passes_repetition_filter(
+    text, max_dup_line_frac: float = 0.3, max_top_ngram_frac: float = 0.2
+) -> Column:
+    """The composed keep/drop rule a curation pipeline applies before
+    tokenization (thresholds are the published defaults' shape)."""
+    return (dup_line_fraction(text) <= max_dup_line_frac) & (
+        top_ngram_fraction(text, 2) <= max_top_ngram_frac
+    )

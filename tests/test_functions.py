@@ -135,3 +135,38 @@ class TestAddressExtraction:
         payload = f'{{"from":"{acct}","to":"{acct}","val":"{val}"}}'
         got = _one(spark, extract_addresses(F.lit(payload)))
         assert sorted(got) == sorted([acct, val])
+
+
+class TestRepetitionFilters:
+    def _one(self, spark, col, text):
+        return (
+            spark.createDataFrame([(text,)], "text string")
+            .select(col.alias("v"))
+            .first()["v"]
+        )
+
+    def test_dup_line_fraction(self, spark):
+        from classic_fcd_spark.functions.text import dup_line_fraction
+
+        assert self._one(spark, dup_line_fraction("text"), "a\nb\nc") == 0.0
+        # 4 lines, 2 distinct -> 0.5 duplicated
+        assert self._one(spark, dup_line_fraction("text"), "a\na\nb\nb") == 0.5
+
+    def test_top_ngram_fraction_flags_loops(self, spark):
+        from classic_fcd_spark.functions.text import top_ngram_fraction
+
+        looped = "click here " * 10 + "end"  # 'click here' dominates
+        clean = "the quick brown fox jumps over a lazy dog tonight"
+        assert self._one(spark, top_ngram_fraction("text"), looped.strip()) > 0.8
+        assert self._one(spark, top_ngram_fraction("text"), clean) < 0.3
+
+    def test_composed_filter(self, spark):
+        from classic_fcd_spark.functions.text import passes_repetition_filter
+
+        assert self._one(
+            spark, passes_repetition_filter("text"),
+            "one two three four five six seven eight nine ten",
+        )
+        assert not self._one(
+            spark, passes_repetition_filter("text"), ("spam ham " * 20).strip()
+        )
