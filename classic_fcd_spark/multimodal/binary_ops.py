@@ -151,3 +151,68 @@ def synthetic_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize (the brief's decode → transform → re-encode shape).
+# ---------------------------------------------------------------------------
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("content", BinaryType(), False),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def resize_stub(
+    content: bytes, w: int, h: int, deterministic_fake: bool = False
+) -> bytes:
+    """Codec boundary for resize.  Real deployments decode with
+    Pillow/pyav, resample, re-encode; this container has no codecs, so
+    either fail loudly or produce a stable fake whose SIZE scales with
+    the target dims (so downstream byte accounting is exercised)."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "no image codec available in this environment; "
+            "pass deterministic_fake=True for pipeline testing"
+        )
+    digest = hashlib.md5(content + f":{w}x{h}".encode()).digest()
+    n = max(1, (w * h) // 64)
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, deterministic_fake: bool = True
+) -> DataFrame:
+    """Image resize through the mapInPandas boundary: bytes transform in
+    the Arrow batch, metadata rewritten to the target dims.  Non-image
+    rows pass through untouched (the transform is kind-scoped, like a
+    real pipeline's per-modality stages).  Output schema == input schema,
+    so resize stages compose/chain."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            content = pdf["content"].copy()
+            content[is_img] = [
+                resize_stub(bytes(b), width, height, deterministic_fake)
+                for b in content[is_img]
+            ]
+            meta = []
+            for m, img in zip(pdf["meta"], is_img):
+                if img and m is not None:
+                    m = dict(m)
+                    m["width"], m["height"] = width, height
+                meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": content,
+                    "meta": meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

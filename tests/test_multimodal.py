@@ -61,3 +61,52 @@ class TestMediaPipeline:
         for r in one:
             assert r["mx"] < r["duration_ms"]
             assert r["n"] == (r["duration_ms"] + 999) // 1000
+
+
+class TestResize:
+    def test_resize_rewrites_images_only(self, spark):
+        from classic_fcd_spark.multimodal.binary_ops import (
+            resize_images,
+            resize_stub,
+            synthetic_media_from_documents,
+        )
+        from tests.conftest import SF_SMALL
+
+        media = synthetic_media_from_documents(spark, SF_SMALL).limit(30)
+        out = resize_images(media, 64, 32).collect()
+        src = {r["media_id"]: r for r in media.collect()}
+        assert out
+        for r in out:
+            if r["kind"] == "image":
+                # bytes rewritten deterministically, meta pinned to target
+                assert bytes(r["content"]) == resize_stub(
+                    bytes(src[r["media_id"]]["content"]), 64, 32, True
+                )
+                assert (r["meta"]["width"], r["meta"]["height"]) == (64, 32)
+                assert len(bytes(r["content"])) == (64 * 32) // 64
+            else:
+                # non-image rows pass through untouched
+                assert bytes(r["content"]) == bytes(src[r["media_id"]]["content"])
+
+    def test_resize_stub_raises_without_fake(self):
+        import pytest
+
+        from classic_fcd_spark.multimodal.binary_ops import resize_stub
+
+        with pytest.raises(NotImplementedError):
+            resize_stub(b"xx", 8, 8, deterministic_fake=False)
+
+    def test_resize_composes(self, spark):
+        """Output schema == input schema: chained resizes must run."""
+        from classic_fcd_spark.multimodal.binary_ops import (
+            resize_images,
+            synthetic_media_from_documents,
+        )
+        from tests.conftest import SF_SMALL
+
+        media = synthetic_media_from_documents(spark, SF_SMALL).limit(10)
+        out = resize_images(resize_images(media, 128, 64), 64, 32)
+        imgs = [r for r in out.collect() if r["kind"] == "image"]
+        assert imgs and all(
+            (r["meta"]["width"], r["meta"]["height"]) == (64, 32) for r in imgs
+        )
