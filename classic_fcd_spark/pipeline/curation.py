@@ -1,0 +1,159 @@
+"""End-to-end training-corpus curation: the pipeline the LLM-data
+operators exist for, composed as one lazy DataFrame graph.
+
+Stage order follows the public large-corpus recipes (C4, MassiveText,
+RefinedWeb): cheap per-document filters first (pure projections — no
+shuffle), then exact dedup (one shuffle), then fuzzy dedup (banded LSH +
+connected components), then the mix/sampling step, then sequence packing
+for the training loader.  Each stage only shrinks the data, so the
+expensive stages see the smallest possible input.
+
+Everything is a composition of the operators this repo already gates:
+functions.text (quality/lang/repetition/fingerprint), operators.dedup
+(simhash + connected components), operators.sampling (deterministic
+stratified sample), operators.packing (concat-and-cut bins).  No
+collect() anywhere in the data path — stats come back as one small
+aggregated DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.functions import text as T
+from classic_fcd_spark.functions.text import passes_repetition_filter
+from classic_fcd_spark.operators.dedup import connected_components, simhash32_table
+from classic_fcd_spark.operators.packing import pack_concat_and_cut
+from classic_fcd_spark.operators.sampling import stratified_sample
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] = ("en",),
+    simhash_hamming: int = 1,
+    sample_rates: dict[str, float] | None = None,
+    pack_budget: int = 512,
+) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → packed training
+    rows (doc_id, source, n_tokens, bin_id, offset, spans_boundary,
+    stage column dropped).  Lazy end to end; call curation_stats for the
+    per-stage funnel."""
+    staged = _with_stages(
+        docs, min_quality, keep_langs, simhash_hamming, sample_rates
+    )
+    kept = staged.filter(F.col("__stage") == "kept")
+    packed = pack_concat_and_cut(
+        kept.select("doc_id", "source", T.n_tokens("text").alias("n_tokens")),
+        "source",
+        "doc_id",
+        "n_tokens",
+        pack_budget,
+    )
+    return packed
+
+
+def _with_stages(
+    docs: DataFrame,
+    min_quality: float,
+    keep_langs: tuple[str, ...],
+    simhash_hamming: int,
+    sample_rates: dict[str, float] | None,
+) -> DataFrame:
+    """Tag every document with the FIRST stage that drops it (or 'kept').
+
+    Tagging instead of filtering keeps one lineage for both the output
+    and the funnel stats — the classic data-quality audit shape."""
+    q = T.quality_score("text")
+    lang_ok = F.col("lang").isin(*keep_langs)
+    rep_ok = passes_repetition_filter("text")
+
+    base = docs.select("doc_id", "text", "lang", "source", "n_chars")
+
+    # exact dedup: keeper = min doc_id per bag-of-words key — the same
+    # content key the gated exact_dedup_groups query uses (order-invariant
+    # normalized token set), so the pipeline and the standalone operator
+    # agree on what "exact duplicate" means
+    from classic_fcd_spark.operators.dedup import ws_tokens
+
+    bow = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens("text")))))
+    fp = base.select("doc_id", bow.alias("fp"))
+    exact_keeper = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    exact = fp.join(exact_keeper, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper")).alias("exact_keep")
+    )
+
+    # near-dup groups over simhash hamming<=k pairs; keeper = min of the
+    # connected component (only computed for exact-survivors — the
+    # expensive stage sees the smallest input)
+    survivors = base.join(exact.filter("exact_keep"), "doc_id", "left_semi")
+    sh = simhash32_table(
+        survivors.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        ),
+        "doc_id",
+        F.array_distinct(F.split(F.trim("text"), " +")),
+    )
+    bands = F.array(
+        *[F.struct(F.lit(b).alias("b"), F.lit(256**b).alias("d")) for b in range(4)]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(bands).alias("bd")
+    ).select("doc_id", "simhash", "bd.b", F.expr("(simhash div bd.d) % 256").alias("byte"))
+    left = banded.select("b", "byte", F.col("doc_id").alias("i"), F.col("simhash").alias("sa"))
+    right = banded.select("b", "byte", F.col("doc_id").alias("j"), F.col("simhash").alias("sb"))
+    ham = F.expr("CAST(bit_count(sa ^ sb) AS INT)")
+    pairs = (
+        left.join(right, ["b", "byte"])
+        .filter((F.col("i") < F.col("j")) & (ham <= simhash_hamming))
+        .select("i", "j")
+        .distinct()
+    )
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), (F.col("node") == F.col("label")).alias("near_keep")
+    )
+
+    sampled = (
+        stratified_sample(base, "doc_id", "source", sample_rates)
+        if sample_rates
+        else base
+    ).select("doc_id", F.lit(True).alias("in_sample"))
+
+    out = (
+        base.join(exact, "doc_id", "left")
+        .join(cc, "doc_id", "left")
+        .join(sampled, "doc_id", "left")
+        .withColumn(
+            "__stage",
+            F.when(q < min_quality, "drop:quality")
+            .when(~lang_ok, "drop:lang")
+            .when(~rep_ok, "drop:repetition")
+            .when(~F.col("exact_keep"), "drop:exact_dup")
+            # nodes absent from the pair graph have no cc row -> keepers
+            .when(~F.coalesce("near_keep", F.lit(True)), "drop:near_dup")
+            .when(F.col("in_sample").isNull(), "drop:sampled_out")
+            .otherwise("kept"),
+        )
+    )
+    return out
+
+
+def curation_stats(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] = ("en",),
+    simhash_hamming: int = 1,
+    sample_rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """The funnel: documents and tokens dropped per stage — what a
+    data-mix owner reviews before a training run."""
+    staged = _with_stages(docs, min_quality, keep_langs, simhash_hamming, sample_rates)
+    return (
+        staged.groupBy("__stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(T.n_tokens("text")).alias("n_tokens"),
+        )
+        .withColumnRenamed("__stage", "stage")
+    )

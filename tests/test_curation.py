@@ -1,0 +1,74 @@
+"""End-to-end corpus curation pipeline (pipeline/curation.py): the
+composition of quality/lang/repetition filters, exact + near dedup,
+stratified sampling, and packing must behave as a funnel with exactly-one
+keeper semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.pipeline.curation import (
+    _with_stages,
+    curate_corpus,
+    curation_stats,
+)
+from classic_fcd_spark.session import load_tables
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return load_tables(spark, SF_SMALL)["documents"]
+
+
+class TestCurationPipeline:
+    def test_funnel_partitions_the_corpus(self, spark):
+        docs = _docs(spark)
+        stats = {r["stage"]: r["n_docs"] for r in curation_stats(docs).collect()}
+        assert sum(stats.values()) == docs.count()  # every doc lands somewhere
+        assert stats.get("kept", 0) > 0
+        # the synthetic corpus plants dup groups -> dedup stages must fire
+        assert stats.get("drop:exact_dup", 0) + stats.get("drop:near_dup", 0) > 0
+
+    def test_exact_dups_keep_exactly_one(self, spark):
+        docs = _docs(spark)
+        staged = _with_stages(docs, 0.0, ("en", "de", "fr"), 1, None)
+        from classic_fcd_spark.operators.dedup import ws_tokens
+
+        bow = F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens("text"))))
+        )
+        kept = staged.filter(F.col("__stage") == "kept").select(
+            "doc_id", bow.alias("fp")
+        )
+        per_fp = kept.groupBy("fp").count().agg(F.max("count")).collect()[0][0]
+        assert per_fp == 1  # no fingerprint survives twice
+
+    def test_no_quality_drops_when_threshold_zero(self, spark):
+        docs = _docs(spark)
+        stats = {
+            r["stage"]: r["n_docs"]
+            for r in curation_stats(docs, min_quality=0.0).collect()
+        }
+        assert "drop:quality" not in stats
+
+    def test_packed_output_contract(self, spark):
+        docs = _docs(spark)
+        packed = curate_corpus(docs, pack_budget=128)
+        rows = packed.collect()
+        assert rows
+        for r in rows:
+            assert r["bin_id"] >= 0 and 0 <= r["offset"] < 128
+        # packed docs are exactly the kept set
+        staged = _with_stages(docs, 0.5, ("en",), 1, None)
+        n_kept = staged.filter("__stage = 'kept'").count()
+        assert len(rows) == n_kept
+
+    def test_sampling_stage_drops_unlisted_sources(self, spark):
+        docs = _docs(spark)
+        src = docs.select("source").distinct().collect()[0]["source"]
+        stats = {
+            r["stage"]: r["n_docs"]
+            for r in curation_stats(docs, sample_rates={src: 1.0}).collect()
+        }
+        assert stats.get("drop:sampled_out", 0) > 0
