@@ -303,6 +303,42 @@ def simhash32_table(docs: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     return agg.select(F.col(id_col), total.cast("bigint").alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame, id_col: str, tokens: Column, max_hamming: int = 1
+) -> DataFrame:
+    """Near-dup (i, j, hamming) pairs with hamming(simhash) <= k via
+    byte-band LSH: the 32-bit fingerprint splits into 4 byte bands; any
+    pair within hamming <= 3 agrees on at least one whole band
+    (pigeonhole), so the band equi-join finds EVERY such pair — exact
+    recall, collision-bounded cost, never n².  The hamming verify runs
+    inside the join stage so only true pairs reach the dedup shuffle.
+    Shared by the simhash_near_dups / near_dup_groups queries and the
+    curation pipeline."""
+    sh = simhash32_table(docs, id_col, tokens)
+    bands = F.array(
+        *[F.struct(F.lit(b).alias("b"), F.lit(256**b).alias("d")) for b in range(4)]
+    )
+    banded = sh.select(id_col, "simhash", F.explode(bands).alias("bd")).select(
+        id_col,
+        "simhash",
+        F.col("bd.b").alias("b"),
+        F.expr("(simhash div bd.d) % 256").alias("byte"),
+    )
+    left = banded.select(
+        "b", "byte", F.col(id_col).alias("i"), F.col("simhash").alias("sa")
+    )
+    right = banded.select(
+        "b", "byte", F.col(id_col).alias("j"), F.col("simhash").alias("sb")
+    )
+    hamming = F.expr("CAST(bit_count(sa ^ sb) AS INT)")
+    return (
+        left.join(right, ["b", "byte"])
+        .filter((F.col("i") < F.col("j")) & (hamming <= max_hamming))
+        .select("i", "j", hamming.alias("hamming"))
+        .distinct()
+    )
+
+
 def _bit_sql_from_md5(md5_col: str, j: int) -> str:
     """Bit j from a precomputed md5-hex column (vs _bit_sql which inlines
     the md5 call)."""

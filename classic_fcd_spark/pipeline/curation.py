@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from classic_fcd_spark.functions import text as T
 from classic_fcd_spark.functions.text import passes_repetition_filter
-from classic_fcd_spark.operators.dedup import connected_components, simhash32_table
+from classic_fcd_spark.operators.dedup import (
+    connected_components,
+    simhash_hamming_pairs,
+)
 from classic_fcd_spark.operators.packing import pack_concat_and_cut
 from classic_fcd_spark.operators.sampling import stratified_sample
 
@@ -88,28 +91,14 @@ def _with_stages(
     # connected component (only computed for exact-survivors — the
     # expensive stage sees the smallest input)
     survivors = base.join(exact.filter("exact_keep"), "doc_id", "left_semi")
-    sh = simhash32_table(
+    pairs = simhash_hamming_pairs(
         survivors.repartition(
             docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
         ),
         "doc_id",
         F.array_distinct(F.split(F.trim("text"), " +")),
-    )
-    bands = F.array(
-        *[F.struct(F.lit(b).alias("b"), F.lit(256**b).alias("d")) for b in range(4)]
-    )
-    banded = sh.select(
-        "doc_id", "simhash", F.explode(bands).alias("bd")
-    ).select("doc_id", "simhash", "bd.b", F.expr("(simhash div bd.d) % 256").alias("byte"))
-    left = banded.select("b", "byte", F.col("doc_id").alias("i"), F.col("simhash").alias("sa"))
-    right = banded.select("b", "byte", F.col("doc_id").alias("j"), F.col("simhash").alias("sb"))
-    ham = F.expr("CAST(bit_count(sa ^ sb) AS INT)")
-    pairs = (
-        left.join(right, ["b", "byte"])
-        .filter((F.col("i") < F.col("j")) & (ham <= simhash_hamming))
-        .select("i", "j")
-        .distinct()
-    )
+        max_hamming=simhash_hamming,
+    ).select("i", "j")
     cc = connected_components(pairs).select(
         F.col("node").alias("doc_id"), (F.col("node") == F.col("label")).alias("near_keep")
     )

@@ -265,38 +265,15 @@ _SIMHASH_K = 1  # 4 byte-bands guarantee recall up to hamming <= 3 (pigeonhole);
     ),
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from classic_fcd_spark.operators.dedup import simhash32_table
+    from classic_fcd_spark.operators.dedup import simhash_hamming_pairs
 
     docs = load_tables(spark, sf_dir)["documents"]
     par = spark.sparkContext.defaultParallelism
-    sh = simhash32_table(
+    return simhash_hamming_pairs(
         docs.repartition(par, "doc_id"),
         "doc_id",
         F.array_distinct(F.split(F.trim("text"), " +")),
-    )
-    bands = F.array(
-        *[F.struct(F.lit(b).alias("b"), F.lit(256**b).alias("d")) for b in range(4)]
-    )
-    banded = (
-        sh.select("doc_id", "simhash", F.explode(bands).alias("bd"))
-        .select(
-            "doc_id",
-            "simhash",
-            F.col("bd.b").alias("b"),
-            F.expr("(simhash div bd.d) % 256").alias("byte"),
-        )
-    )
-    left = banded.select("b", "byte", F.col("doc_id").alias("i"), F.col("simhash").alias("sa"))
-    right = banded.select("b", "byte", F.col("doc_id").alias("j"), F.col("simhash").alias("sb"))
-    hamming = F.expr("CAST(bit_count(sa ^ sb) AS INT)")
-    # hamming verify BEFORE the distinct: the xor/bit_count is a per-row
-    # JVM op inside the join stage, so only true near-dup pairs (not every
-    # band collision) reach the dedup shuffle
-    return (
-        left.join(right, ["b", "byte"])
-        .filter((F.col("i") < F.col("j")) & (hamming <= _SIMHASH_K))
-        .select("i", "j", hamming.alias("hamming"))
-        .distinct()
+        max_hamming=_SIMHASH_K,
     )
 
 
