@@ -276,21 +276,28 @@ def simhash32_sql(tokens_expr: str, transform_fn: str, filter_fn: str, len_fn: s
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def spark_simhash32(tokens_expr: str) -> Column:
-    return F.expr(simhash32_sql(tokens_expr, "transform", "filter", "size"))
-
-
 def simhash32_table(docs: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     """Explode-based SimHash-32 (same semantics as simhash32_sql, same
     reasoning as minhash_sig_table: 32 tiny codegen-able expressions over
     exploded tokens + one map-side-combining aggregate, instead of one
-    giant interpreted array expression).  Returns (id_col, simhash)."""
+    giant interpreted array expression).  Returns (id_col, simhash).
+
+    Bit extraction is arithmetic, not string ops: the per-bit definition
+    (bit j = bit j%4 of hex digit j//4 of md5) makes the 32-bit word
+    exactly the little-endian read of the first 8 hex chars, so ONE
+    conv(reverse(substr(md5, 1, 8)), 16, 10) per token yields a long
+    whose shiftright/&1 gives every bit — 32 long ops per row instead of
+    32 instr/substr string scans (the oracle keeps the per-bit string
+    form; both are checked identical end-to-end by the simhash oracles
+    and the unit equivalence test)."""
     ex = docs.select(F.col(id_col), F.explode(tokens).alias("t")).select(
-        id_col, F.md5("t").alias("m")
+        id_col,
+        F.expr("CAST(conv(reverse(substr(md5(t), 1, 8)), 16, 10) AS BIGINT)").alias(
+            "x"
+        ),
     )
     ones = [
-        F.sum(F.expr(f"CAST({_bit_sql_from_md5('m', j)} AS BIGINT)")).alias(f"o{j}")
-        for j in range(32)
+        F.sum(F.expr(f"shiftright(x, {j}) & 1")).alias(f"o{j}") for j in range(32)
     ]
     agg = ex.groupBy(id_col).agg(F.count("*").alias("n"), *ones)
     bits = [
@@ -303,50 +310,105 @@ def simhash32_table(docs: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     return agg.select(F.col(id_col), total.cast("bigint").alias("simhash"))
 
 
-def simhash_hamming_pairs(
-    docs: DataFrame, id_col: str, tokens: Column, max_hamming: int = 1
-) -> DataFrame:
-    """Near-dup (i, j, hamming) pairs with hamming(simhash) <= k via
-    byte-band LSH: the 32-bit fingerprint splits into 4 byte bands; any
-    pair within hamming <= 3 agrees on at least one whole band
-    (pigeonhole), so the band equi-join finds EVERY such pair — exact
-    recall, collision-bounded cost, never n².  The hamming verify runs
-    inside the join stage so only true pairs reach the dedup shuffle.
-    Shared by the simhash_near_dups / near_dup_groups queries and the
-    curation pipeline."""
-    sh = simhash32_table(docs, id_col, tokens)
+def _simhash_rep_pairs(sh: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
+    """(sa, sb, ra, rb, hamming) pairs of DISTINCT fingerprint values at
+    hamming 1..k, via byte-band LSH over the collapsed fingerprint table
+    — one row per distinct simhash, keyed by its min-doc representative.
+
+    Collapsing before the band join is the scale move: a dup-heavy
+    corpus concentrates docs onto few fingerprints (sf0.1: 5000 docs →
+    2949 hashes, largest clique 339), and the doc-level self-join
+    materializes |clique_a|x|clique_b| rows per colliding hash pair —
+    the collapsed join is invariant to clique sizes.  4 byte bands over
+    32 bits guarantee every pair at hamming <= 3 shares a whole band
+    (pigeonhole), so recall is exact; the hamming verify runs inside the
+    join stage and only true pairs reach the distinct."""
+    reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
     bands = F.array(
         *[F.struct(F.lit(b).alias("b"), F.lit(256**b).alias("d")) for b in range(4)]
     )
-    banded = sh.select(id_col, "simhash", F.explode(bands).alias("bd")).select(
-        id_col,
+    banded = reps.select("simhash", "rep", F.explode(bands).alias("bd")).select(
         "simhash",
+        "rep",
         F.col("bd.b").alias("b"),
         F.expr("(simhash div bd.d) % 256").alias("byte"),
     )
     left = banded.select(
-        "b", "byte", F.col(id_col).alias("i"), F.col("simhash").alias("sa")
+        "b", "byte", F.col("simhash").alias("sa"), F.col("rep").alias("ra")
     )
     right = banded.select(
-        "b", "byte", F.col(id_col).alias("j"), F.col("simhash").alias("sb")
+        "b", "byte", F.col("simhash").alias("sb"), F.col("rep").alias("rb")
     )
     hamming = F.expr("CAST(bit_count(sa ^ sb) AS INT)")
     return (
         left.join(right, ["b", "byte"])
-        .filter((F.col("i") < F.col("j")) & (hamming <= max_hamming))
-        .select("i", "j", hamming.alias("hamming"))
+        .filter((F.col("sa") < F.col("sb")) & (hamming <= max_hamming))
+        .select("sa", "sb", "ra", "rb", hamming.alias("hamming"))
         .distinct()
     )
 
 
-def _bit_sql_from_md5(md5_col: str, j: int) -> str:
-    """Bit j from a precomputed md5-hex column (vs _bit_sql which inlines
-    the md5 call)."""
-    char_pos = j // 4 + 1
-    p = 2 ** (j % 4)
-    return (
-        f"CAST(FLOOR((instr('{HEX_DIGITS}', substr({md5_col}, {char_pos}, 1)) - 1) / {p}) AS INT) % 2"
+def simhash_hamming_pairs(
+    docs: DataFrame, id_col: str, tokens: Column, max_hamming: int = 1
+) -> DataFrame:
+    """Near-dup (i, j, hamming) pairs with hamming(simhash) <= k —
+    exact recall up to hamming <= 3 (see _simhash_rep_pairs).
+
+    Two disjoint arms, neither needing a full-width distinct: hamming-0
+    pairs come from a self-join on fingerprint equality (pairwise within
+    each identical-hash clique, unique by construction), hamming >= 1
+    pairs from expanding the collapsed rep-pair list back to member
+    docs (rep pairs are distinct and cliques are disjoint, so the
+    expansion is collision-free).  Cost is O(output), not
+    O(band-collision set)."""
+    sh = simhash32_table(docs, id_col, tokens)
+    from classic_fcd_spark.session import scoped_persist
+
+    sh = scoped_persist(sh, "simhash_hamming_pairs:sh")
+    intra = (
+        sh.select(F.col(id_col).alias("i"), "simhash")
+        .join(sh.select(F.col(id_col).alias("j"), "simhash"), "simhash")
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", F.lit(0).alias("hamming"))
     )
+    rep_pairs = _simhash_rep_pairs(sh, id_col, max_hamming)
+    inter = (
+        rep_pairs.join(sh.select(F.col(id_col).alias("ma"), F.col("simhash").alias("sa")), "sa")
+        .join(sh.select(F.col(id_col).alias("mb"), F.col("simhash").alias("sb")), "sb")
+        .select(
+            F.least("ma", "mb").alias("i"),
+            F.greatest("ma", "mb").alias("j"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(inter)
+
+
+def simhash_component_edges(
+    docs: DataFrame, id_col: str, tokens: Column, max_hamming: int = 1
+) -> DataFrame:
+    """Collapsed (i, j) edge list whose connected components equal the
+    components of the full hamming <= k pair graph, at a fraction of the
+    edges: each identical-fingerprint clique contributes member→rep star
+    edges (|clique| − 1, not |clique|²/2), and cross-fingerprint
+    adjacency one rep-rep edge per hash pair (not |a|x|b| member pairs).
+    This is what the group/keeper and curation paths should feed to
+    connected_components — same groups, same min-id keepers (every doc
+    is still a node), ~100x fewer edges on dup-heavy corpora."""
+    sh = simhash32_table(docs, id_col, tokens)
+    from classic_fcd_spark.session import scoped_persist
+
+    sh = scoped_persist(sh, "simhash_component_edges:sh")
+    reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    member = (
+        sh.join(reps, "simhash")
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(F.col(id_col).alias("i"), F.col("rep").alias("j"))
+    )
+    rep_edges = _simhash_rep_pairs(sh, id_col, max_hamming).select(
+        F.col("ra").alias("i"), F.col("rb").alias("j")
+    )
+    return member.unionByName(rep_edges)
 
 
 def duck_simhash32(tokens_expr: str) -> str:
@@ -386,8 +448,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     n_edges = edges.count()
     n_parts = max(1, n_edges // 500_000 + 1)
     edges = edges.repartition(n_parts, "a").localCheckpoint(eager=True)
+    # label_0 = least(node, min neighbor): the same single shuffle a
+    # plain distinct-nodes init would cost, but it IS round one's
+    # neighbor-min (initial labels are the node ids), so the loop starts
+    # one propagation step ahead
     labels = (
-        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nb"))
+        .select("node", F.least(F.col("node"), F.col("nb")).alias("label"))
     )
     spark = pairs.sparkSession
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")

@@ -25,7 +25,7 @@ from classic_fcd_spark.functions import text as T
 from classic_fcd_spark.functions.text import passes_repetition_filter
 from classic_fcd_spark.operators.dedup import (
     connected_components,
-    simhash_hamming_pairs,
+    simhash_component_edges,
 )
 from classic_fcd_spark.operators.packing import pack_concat_and_cut
 from classic_fcd_spark.operators.sampling import stratified_sample
@@ -91,14 +91,14 @@ def _with_stages(
     # connected component (only computed for exact-survivors — the
     # expensive stage sees the smallest input)
     survivors = base.join(exact.filter("exact_keep"), "doc_id", "left_semi")
-    pairs = simhash_hamming_pairs(
+    pairs = simhash_component_edges(
         survivors.repartition(
             docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
         ),
         "doc_id",
         F.array_distinct(F.split(F.trim("text"), " +")),
         max_hamming=simhash_hamming,
-    ).select("i", "j")
+    )
     cc = connected_components(pairs).select(
         F.col("node").alias("doc_id"), (F.col("node") == F.col("label")).alias("near_keep")
     )

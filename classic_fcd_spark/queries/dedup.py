@@ -314,9 +314,21 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "algorithm arriving at the same labeling.",
 )
 def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from classic_fcd_spark.operators.dedup import connected_components
+    from classic_fcd_spark.operators.dedup import (
+        connected_components,
+        simhash_component_edges,
+    )
 
-    pairs = simhash_near_dups(spark, sf_dir).select("i", "j")
-    return connected_components(pairs).select(
+    docs = load_tables(spark, sf_dir)["documents"]
+    par = spark.sparkContext.defaultParallelism
+    # collapsed star+rep edges: same components as the full pair graph,
+    # orders fewer edges on a dup-heavy corpus (see simhash_component_edges)
+    edges = simhash_component_edges(
+        docs.repartition(par, "doc_id"),
+        "doc_id",
+        F.array_distinct(F.split(F.trim("text"), " +")),
+        max_hamming=_SIMHASH_K,
+    )
+    return connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc_id")
     )

@@ -29,6 +29,33 @@ class TestDedup:
         assert lsh <= exact
         assert lsh == exact  # empirical full recall on the synthetic data
 
+    def test_simhash_arithmetic_equals_string_form(self, spark):
+        # simhash32_table extracts bits with conv(reverse(hex8)) +
+        # shiftright; the oracle keeps the per-bit instr/substr string
+        # form (simhash32_sql).  Both must agree bit-for-bit — this is
+        # the equivalence the DuckDB hash-compare rests on.
+        from classic_fcd_spark.operators.dedup import simhash32_sql, simhash32_table
+        from classic_fcd_spark.session import load_tables
+
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        toks = F.array_distinct(F.split(F.trim("text"), " +"))
+        fast = simhash32_table(docs, "doc_id", toks)
+        slow = docs.select(
+            "doc_id",
+            F.expr(
+                simhash32_sql(
+                    "array_distinct(split(trim(text), ' +'))",
+                    "transform",
+                    "filter",
+                    "size",
+                )
+            ).alias("simhash"),
+        )
+        diff = fast.join(slow, "doc_id").filter(
+            fast["simhash"] != slow["simhash"]
+        )
+        assert diff.count() == 0
+
     def test_simhash_similar_docs_close(self, spark):
         from classic_fcd_spark.queries import query_fn_map
         from classic_fcd_spark.queries.dedup import simhash_docs
