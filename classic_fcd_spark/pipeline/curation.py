@@ -38,13 +38,16 @@ def curate_corpus(
     simhash_hamming: int = 1,
     sample_rates: dict[str, float] | None = None,
     pack_budget: int = 512,
+    bench: DataFrame | None = None,
+    decon_ngram: int = 13,
 ) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → packed training
     rows (doc_id, source, n_tokens, bin_id, offset, spans_boundary,
     stage column dropped).  Lazy end to end; call curation_stats for the
-    per-stage funnel."""
+    per-stage funnel.  Pass `bench` (an eval-set DataFrame with a text
+    column) to add benchmark decontamination as a drop stage."""
     staged = _with_stages(
-        docs, min_quality, keep_langs, simhash_hamming, sample_rates
+        docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench, decon_ngram
     )
     kept = staged.filter(F.col("__stage") == "kept")
     packed = pack_concat_and_cut(
@@ -63,6 +66,8 @@ def _with_stages(
     keep_langs: tuple[str, ...],
     simhash_hamming: int,
     sample_rates: dict[str, float] | None,
+    bench: DataFrame | None = None,
+    decon_ngram: int = 13,
 ) -> DataFrame:
     """Tag every document with the FIRST stage that drops it (or 'kept').
 
@@ -113,17 +118,29 @@ def _with_stages(
         base.join(exact, "doc_id", "left")
         .join(cc, "doc_id", "left")
         .join(sampled, "doc_id", "left")
-        .withColumn(
-            "__stage",
-            F.when(q < min_quality, "drop:quality")
-            .when(~lang_ok, "drop:lang")
-            .when(~rep_ok, "drop:repetition")
-            .when(~F.col("exact_keep"), "drop:exact_dup")
-            # nodes absent from the pair graph have no cc row -> keepers
-            .when(~F.coalesce("near_keep", F.lit(True)), "drop:near_dup")
-            .when(F.col("in_sample").isNull(), "drop:sampled_out")
-            .otherwise("kept"),
+    )
+    if bench is not None:
+        # broadcast n-gram overlap vs the eval set — the benchmark side
+        # is tiny by construction, so this rides the same scan
+        from classic_fcd_spark.operators.decontamination import contamination_report
+
+        decon = contamination_report(base, bench, n=decon_ngram).select(
+            "doc_id", "contaminated"
         )
+        out = out.join(decon, "doc_id", "left")
+    else:
+        out = out.withColumn("contaminated", F.lit(False))
+    out = out.withColumn(
+        "__stage",
+        F.when(q < min_quality, "drop:quality")
+        .when(~lang_ok, "drop:lang")
+        .when(~rep_ok, "drop:repetition")
+        .when(F.col("contaminated"), "drop:contaminated")
+        .when(~F.col("exact_keep"), "drop:exact_dup")
+        # nodes absent from the pair graph have no cc row -> keepers
+        .when(~F.coalesce("near_keep", F.lit(True)), "drop:near_dup")
+        .when(F.col("in_sample").isNull(), "drop:sampled_out")
+        .otherwise("kept"),
     )
     return out
 
@@ -134,10 +151,14 @@ def curation_stats(
     keep_langs: tuple[str, ...] = ("en",),
     simhash_hamming: int = 1,
     sample_rates: dict[str, float] | None = None,
+    bench: DataFrame | None = None,
+    decon_ngram: int = 13,
 ) -> DataFrame:
     """The funnel: documents and tokens dropped per stage — what a
     data-mix owner reviews before a training run."""
-    staged = _with_stages(docs, min_quality, keep_langs, simhash_hamming, sample_rates)
+    staged = _with_stages(
+        docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench, decon_ngram
+    )
     return (
         staged.groupBy("__stage")
         .agg(

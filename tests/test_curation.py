@@ -72,3 +72,26 @@ class TestCurationPipeline:
             for r in curation_stats(docs, sample_rates={src: 1.0}).collect()
         }
         assert stats.get("drop:sampled_out", 0) > 0
+
+    def test_decontamination_stage_fires_with_bench_set(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark)
+        bench = docs.filter(F.col("doc_id") % 20 == 0)
+        stats = {
+            r["stage"]: r["n_docs"]
+            for r in curation_stats(
+                docs, min_quality=0.0, keep_langs=("en", "de", "fr"),
+                bench=bench, decon_ngram=5,
+            ).collect()
+        }
+        assert stats.get("drop:contaminated", 0) > 0
+        assert sum(stats.values()) == docs.count()
+        # without a bench set the stage never fires
+        no_bench = {
+            r["stage"]
+            for r in curation_stats(
+                docs, min_quality=0.0, keep_langs=("en", "de", "fr")
+            ).collect()
+        }
+        assert "drop:contaminated" not in no_bench
