@@ -199,3 +199,30 @@ class TestRegistryGate:
         # the 7x20 proposal-x-validator expansion is an explicit broadcast
         # cross join (bounded dims); the vote-side joins must be hash joins
         assert "BroadcastHashJoin" in plan
+
+
+class TestPlanAudit:
+    def test_plan_audit_clean(self, spark):
+        """Every registered query's physical plan is free of
+        non-allowlisted scale red flags (cartesian / nested-loop joins,
+        unpartitioned windows) — scripts/plan_audit.py is the reviewed
+        allowlist; a new flag here means a new hand review, not a
+        test fix."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "plan_audit",
+            os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_audit.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        from classic_fcd_spark.queries import query_fn_map
+
+        qmap = query_fn_map()
+        flagged = {}
+        for name, fn in qmap.items():
+            hits, _ = mod.audit(spark, name, fn)
+            if hits:
+                flagged[name] = hits
+        assert flagged == {}
