@@ -137,3 +137,52 @@ def passes_repetition_filter(
     return (dup_line_fraction(text) <= max_dup_line_frac) & (
         top_ngram_fraction(text, 2) <= max_top_ngram_frac
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (curation-stage redaction).  Patterns stay inside the
+# RE2 ∩ Java-regex subset (no lookarounds, no backrefs) so the exact
+# same strings run in Spark (Java) and the DuckDB (RE2) test oracle.
+# Order matters: emails before phones (the digit run in a mail host must
+# not be half-eaten first), IPs before phones (dotted quads look like
+# short phone numbers to the phone pattern).
+# ---------------------------------------------------------------------------
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d \-()]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text) -> Column:
+    """Text with emails, IPv4 addresses, and phone-like digit runs
+    replaced by typed placeholder tokens — chained regexp_replace, pure
+    JVM column algebra (Spark replaces globally by default; the DuckDB
+    oracle passes the 'g' flag for the same semantics)."""
+    out = _c(text)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text) -> Column:
+    """Struct of per-type PII match counts (email/ipv4/phone) — the
+    audit metric a corpus owner thresholds on before training.  Counting
+    runs on the same progressively-redacted text the replacement chain
+    sees, so the per-type counts partition the matches exactly like
+    redact_pii rewrites them (an IP inside an email, say, is counted
+    once, as the email)."""
+    out = _c(text)
+    fields = []
+    for name, pat, token in PII_PATTERNS:
+        fields.append(F.regexp_count(out, F.lit(pat)).alias(name))
+        out = F.regexp_replace(out, pat, token)
+    return F.struct(*fields)
+
+
+def duck_redact_pii(text_expr: str = "text") -> str:
+    """DuckDB expression mirroring redact_pii (same patterns, 'g' flag)."""
+    out = text_expr
+    for _, pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
