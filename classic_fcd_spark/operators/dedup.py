@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 HEX_DIGITS = "0123456789abcdef"
 
@@ -418,7 +419,50 @@ def duck_simhash32(tokens_expr: str) -> str:
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs: keeper assignment.
 # ---------------------------------------------------------------------------
-def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def _single_task_cc(edges: DataFrame) -> DataFrame:
+    """Union-find over the whole (symmetrized) edge list in ONE executor
+    task: repartition(1) + mapPartitions, no driver-side data.  Output
+    matches the distributed loop exactly: (node, label = min id of the
+    node's component)."""
+    node_type = edges.schema["a"].dataType
+
+    def part(rows):
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r[0], r[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            m = comp_min.get(r)
+            if m is None or v < m:
+                comp_min[r] = v
+        for v in parent:
+            yield (v, comp_min[find(v)])
+
+    out_schema = StructType(
+        [StructField("node", node_type), StructField("label", node_type)]
+    )
+    rdd = edges.repartition(1).rdd.mapPartitions(part)
+    return edges.sparkSession.createDataFrame(rdd, out_schema)
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 50, local_threshold: int = 1_000_000
+) -> DataFrame:
     """(node, label) with label = min doc id of the node's connected
     component — the keeper-assignment step that turns a near-dup PAIR
     list into dedup GROUPS.
@@ -446,6 +490,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     # overhead when the dup graph is orders smaller than the corpus
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
+    # Two regimes, picked off the edge count the partitioning needs
+    # anyway.  The near-dup graph is orders smaller than the corpus
+    # (banding + fingerprint collapse), so it routinely fits ONE task:
+    # below the threshold, a single mapPartitions union-find job beats
+    # O(log d) rounds x several scheduled stages each — executor-side,
+    # not a driver collect, and the same (node, label) contract.  Above
+    # it, the distributed pointer-jumping loop below.  (GraphX-style
+    # local fallback; 1M symmetric edges is a few seconds of one core.)
+    if n_edges <= local_threshold:
+        return _single_task_cc(edges)
     n_parts = max(1, n_edges // 500_000 + 1)
     edges = edges.repartition(n_parts, "a").localCheckpoint(eager=True)
     # label_0 = least(node, min neighbor): the same single shuffle a

@@ -211,3 +211,35 @@ class TestBandedPairRecall:
         assert exact, "corpus must contain threshold pairs"
         assert set(banded) <= set(exact)  # verify step kills false positives
         assert banded == exact  # full recall on this corpus (measured)
+
+
+class TestConnectedComponents:
+    def test_local_and_distributed_paths_agree(self, spark):
+        """Chains (deep diameter), cliques, and singleton-edge islands:
+        the single-task union-find fallback and the pointer-jumping loop
+        must emit identical (node, min-id-label) assignments."""
+        from classic_fcd_spark.operators.dedup import connected_components
+
+        edges = (
+            # one 40-node chain: 0-1, 1-2, ... (diameter stress)
+            [(i, i + 1) for i in range(40)]
+            # one clique on {100..104}
+            + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+            # two disjoint single edges
+            + [(200, 201), (300, 301)]
+        )
+        pairs = spark.createDataFrame(edges, ["i", "j"])
+        want = {(0 <= n <= 40): 0 for n in range(41)}  # noqa: F841 docs only
+        local = {
+            (r["node"], r["label"])
+            for r in connected_components(pairs).collect()
+        }
+        dist = {
+            (r["node"], r["label"])
+            for r in connected_components(pairs, local_threshold=0).collect()
+        }
+        assert local == dist
+        labels = dict(local)
+        assert all(labels[n] == 0 for n in range(41))
+        assert all(labels[n] == 100 for n in range(100, 105))
+        assert labels[201] == 200 and labels[301] == 300
