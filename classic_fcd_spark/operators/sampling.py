@@ -62,3 +62,60 @@ def duck_hash_bucket(key_expr: str, salt: str = "") -> str:
         f"CAST(('0x' || substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 15)) "
         f"AS UBIGINT) % {_BUCKETS}"
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame, stratum_col: str, temperature: float
+) -> DataFrame:
+    """Per-source sampling rates for a temperature-flattened data mix —
+    the MassiveText / Pile recipe: reweight source shares p_s to
+    p_s^(1/T) (renormalized), then express the new mix as a per-source
+    KEEP RATE against the largest relative upweight so no source needs
+    more rows than it has (rate <= 1, the biggest-gainer source keeps
+    100%).
+
+    T = 1 reproduces the natural mix (every rate 1.0); T -> inf
+    approaches a uniform mix (small sources keep everything, big ones
+    are cut to match).  One tiny aggregate (|sources| rows) — the
+    actual row selection happens in stratified_sample against these
+    rates, still as a pure projection over the corpus."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("tot"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "n",
+        F.pow(F.col("n") / F.col("tot"), F.lit(1.0 / temperature)).alias("w"),
+    )
+    wtot = w.agg(F.sum("w").alias("wtot"))
+    # target share q_s = w_s / wtot; required rows = q_s * N_kept.  The
+    # binding constraint is the source with max q_s / p_s (it can at
+    # most keep rate 1), so rate_s = (q_s / p_s) / max_t(q_t / p_t).
+    rel = w.crossJoin(F.broadcast(wtot)).select(
+        stratum_col,
+        "n",
+        ((F.col("w") / F.col("wtot")) / F.col("n")).alias("gain"),  # q_s / (p_s * tot)
+    )
+    gmax = rel.agg(F.max("gain").alias("gmax"))
+    return rel.crossJoin(F.broadcast(gmax)).select(
+        stratum_col,
+        (F.col("gain") / F.col("gmax")).alias("rate"),
+    )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    temperature: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically sample df to the temperature-T mix: compute the
+    per-source rates, collect the tiny (|sources|-row) rate table, and
+    apply stratified_sample — so the corpus-side pass stays a pure
+    projection (the collect is bounded by the number of SOURCES, not
+    data)."""
+    rates = {
+        r[stratum_col]: min(1.0, r["rate"])
+        for r in temperature_mix_rates(df, stratum_col, temperature).collect()
+    }
+    return stratified_sample(df, key, stratum_col, rates, salt)

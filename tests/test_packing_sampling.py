@@ -22,6 +22,8 @@ from classic_fcd_spark.operators.sampling import (
     deterministic_sample,
     duck_hash_bucket,
     stratified_sample,
+    temperature_mix_rates,
+    temperature_mix_sample,
 )
 from classic_fcd_spark.session import load_tables
 from tests.conftest import SF_SMALL
@@ -157,3 +159,74 @@ class TestSequencePacking:
             # greedy next-fit guarantee: every bin but possibly the last
             # is > half full when docs fit the budget -> ratio well above 0.4
             assert r["fill_ratio"] > 0.4
+
+
+class TestTemperatureMix:
+    def test_t1_reproduces_natural_mix(self, spark):
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        rates = {
+            r["source"]: r["rate"]
+            for r in temperature_mix_rates(docs, "source", 1.0).collect()
+        }
+        assert rates and all(abs(v - 1.0) < 1e-12 for v in rates.values())
+
+    def test_rates_match_duckdb_arithmetic(self, spark):
+        T = 2.0
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        got = {
+            r["source"]: r["rate"]
+            for r in temperature_mix_rates(docs, "source", T).collect()
+        }
+        path = os.path.join(SF_SMALL, "documents.parquet")
+        want = {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                f"""
+                WITH c AS (
+                    SELECT source, count(*)::DOUBLE AS n FROM read_parquet('{path}')
+                    GROUP BY source
+                ),
+                w AS (
+                    SELECT source, n, pow(n / (SELECT sum(n) FROM c), 1.0/{T}) AS w
+                    FROM c
+                ),
+                rel AS (
+                    SELECT source, (w / (SELECT sum(w) FROM w)) / n AS gain FROM w
+                )
+                SELECT source, gain / (SELECT max(gain) FROM rel) FROM rel
+                """
+            ).fetchall()
+        }
+        assert set(got) == set(want)
+        for s in got:
+            assert abs(got[s] - want[s]) < 1e-9, s
+
+    def test_high_temperature_flattens_the_mix(self, spark):
+        # the sf0.001 fixture mix is uniform — build a skewed corpus
+        # (800 web / 150 books / 50 code) so there is skew to flatten
+        docs = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 800, "web")
+            .when(F.col("id") < 950, "books")
+            .otherwise("code")
+            .alias("source"),
+        )
+        natural = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        mixed = {
+            r["source"]: r["n"]
+            for r in temperature_mix_sample(docs, "doc_id", "source", 50.0)
+            .groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # ratio between the biggest and smallest source must shrink
+        def spread(d):
+            return max(d.values()) / min(d.values())
+
+        assert spread(mixed) < spread(natural)
+        # the most-upweighted (smallest) source keeps every row
+        smallest = min(natural, key=natural.get)
+        assert mixed[smallest] == natural[smallest]
