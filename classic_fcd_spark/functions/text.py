@@ -186,3 +186,66 @@ def duck_redact_pii(text_expr: str = "text") -> str:
     for _, pat, token in PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (fasttext-style linear classifier inference).
+# The public curation recipes (CCNet, the LLaMA data notes) filter on a
+# linear text classifier; inference is just hashed-bag-of-words x weight
+# vector + sigmoid, which fits entirely in JVM column algebra: the weight
+# vector rides the plan as a broadcast array literal, each token indexes
+# it via the md5 hash-bucket, and the mean-pooled logit needs no shuffle
+# and no UDF.  Training happens offline; this is the 100 TB-side scorer.
+# ---------------------------------------------------------------------------
+def hashed_bucket_sql(token_expr: str, n_buckets: int, salt: str = "q") -> str:
+    """Engine-portable bucket for a token: first 15 md5 hex digits (60
+    bits, exact in a long) mod n_buckets.  Same value in DuckDB via
+    CAST(('0x' || substr(md5(...), 1, 15)) AS UBIGINT) % n."""
+    return (
+        f"CAST(conv(substr(md5('{salt}:' || {token_expr}), 1, 15), 16, 10) AS BIGINT)"
+        f" % {n_buckets}"
+    )
+
+
+def linear_quality_logit(text: str, weights: list[float], salt: str = "q") -> Column:
+    """Mean-pooled logit of a hashed linear classifier: mean over tokens
+    of weights[bucket(token)].  Empty docs score 0 (neutral).  `text`
+    must be a column NAME (the token hashing binds the lambda variable
+    inside one SQL expression)."""
+    if not isinstance(text, str):
+        raise ValueError("linear_quality_logit needs a column NAME for SQL embedding")
+    toks_sql = f"split(trim({text}), ' +')"
+    arr = "array(" + ", ".join(f"CAST({float(w)} AS DOUBLE)" for w in weights) + ")"
+    per_tok = F.expr(
+        f"transform({toks_sql}, t -> "
+        f"element_at({arr}, CAST({hashed_bucket_sql('t', len(weights), salt)} + 1 AS INT)))"
+    )
+    s = F.aggregate(per_tok, F.lit(0.0), lambda acc, v: acc + v)
+    # split('') yields [''] (size 1) in BOTH engines, so the empty-doc
+    # guard keys off trimmed length, not token count
+    n = F.expr(f"size({toks_sql})")
+    nonempty = F.expr(f"length(trim({text})) > 0")
+    return F.when(nonempty & (n > 0), s / n).otherwise(F.lit(0.0))
+
+
+def linear_quality_score(text, weights: list[float], salt: str = "q") -> Column:
+    """Sigmoid of the mean-pooled logit — a (0, 1) keep-probability the
+    curation threshold compares against."""
+    z = linear_quality_logit(text, weights, salt)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def duck_linear_quality_score(text_expr: str, weights: list[float], salt: str = "q") -> str:
+    """DuckDB expression mirroring linear_quality_score exactly."""
+    n = len(weights)
+    arr = "[" + ", ".join(f"CAST({float(w)} AS DOUBLE)" for w in weights) + "]"
+    toks = f"regexp_split_to_array(trim({text_expr}), ' +')"
+    bucket = (
+        f"CAST(('0x' || substr(md5('{salt}:' || t), 1, 15)) AS UBIGINT) % {n}"
+    )
+    per = f"list_transform({toks}, t -> {arr}[CAST({bucket} + 1 AS INT)])"
+    z = (
+        f"(CASE WHEN length(trim({text_expr})) > 0 AND len({toks}) > 0 "
+        f"THEN list_sum({per}) / len({toks}) ELSE 0.0 END)"
+    )
+    return f"(1.0 / (1.0 + exp(-({z}))))"

@@ -65,3 +65,74 @@ class TestPIIRedaction:
         assert by_id[3]["email"] == 1 and by_id[3]["ipv4"] == 1
         assert by_id[4] == {"email": 0, "ipv4": 0, "phone": 0}
         assert by_id[5] == {"email": 0, "ipv4": 0, "phone": 0}
+
+
+class TestLinearQualityScore:
+    K = 64
+
+    @staticmethod
+    def _bucket(tok, k, salt="q"):
+        import hashlib
+
+        h = hashlib.md5(f"{salt}:{tok}".encode()).hexdigest()
+        return int(h[:15], 16) % k
+
+    def _weights(self):
+        good = ["careful", "thorough", "prose", "analysis"]
+        bad = ["clickbait", "spam", "buy", "winner"]
+        w = [0.0] * self.K
+        for t in good:
+            w[self._bucket(t, self.K)] = 2.0
+        for t in bad:
+            w[self._bucket(t, self.K)] = -2.0
+        return w
+
+    def test_matches_duckdb_inference(self, spark):
+        from classic_fcd_spark.functions.text import (
+            duck_linear_quality_score,
+            linear_quality_score,
+        )
+        from classic_fcd_spark.session import load_tables
+        from tests.conftest import SF_SMALL
+
+        import os as _os
+
+        import duckdb as _duck
+
+        w = self._weights()
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        got = {
+            r["doc_id"]: r["q"]
+            for r in docs.select(
+                "doc_id", linear_quality_score("text", w).alias("q")
+            ).collect()
+        }
+        path = _os.path.join(SF_SMALL, "documents.parquet")
+        want = {
+            r[0]: r[1]
+            for r in _duck.sql(
+                f"SELECT doc_id, {duck_linear_quality_score('text', w)} "
+                f"FROM read_parquet('{path}')"
+            ).fetchall()
+        }
+        assert set(got) == set(want)
+        for d in got:
+            assert abs(got[d] - want[d]) < 1e-12, d
+
+    def test_separates_planted_quality(self, spark):
+        from classic_fcd_spark.functions.text import linear_quality_score
+
+        w = self._weights()
+        rows = [
+            (0, "careful thorough prose analysis of the data"),
+            (1, "clickbait spam buy winner now now now"),
+            (2, ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        s = {
+            r["doc_id"]: r["q"]
+            for r in df.select(
+                "doc_id", linear_quality_score("text", w).alias("q")
+            ).collect()
+        }
+        assert s[0] > 0.6 > s[2] == 0.5 > 0.4 > s[1]
