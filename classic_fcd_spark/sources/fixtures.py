@@ -31,6 +31,42 @@ from pyspark.sql import functions as F
 # BENCH_NOTES.md).
 FIXTURE_SCALE = max(1, int(_os.environ.get("SPARK_GRAFT_FIXTURE_SCALE", "1")))
 
+# ---------------------------------------------------------------------------
+# Bronze-table semantics: in the medallion design these generators stand
+# in for STORED bronze tables, so a generator is materialized once per
+# session and every query reads the persisted table — regenerating the
+# JSON-building projection per query would charge the bronze derivation
+# to every downstream read (the reference's queries read Postgres tables,
+# not the LCD decode).  Keyed by (session, generator, args); tiny per
+# entry (≤ a few MB at scale 1), evicted when a new session appears.
+# ---------------------------------------------------------------------------
+_BRONZE_CACHE: dict = {}
+
+
+def bronze_table(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, *args, **kwargs):
+        key = (
+            spark.sparkContext.applicationId,
+            fn.__name__,
+            args,
+            tuple(sorted(kwargs.items())),
+        )
+        df = _BRONZE_CACHE.get(key)
+        if df is None:
+            # a dead/replaced session leaves stale persisted handles —
+            # drop every entry not belonging to the current app
+            for k in [k for k in _BRONZE_CACHE if k[0] != key[0]]:
+                del _BRONZE_CACHE[k]
+            df = fn(spark, *args, **kwargs).persist()
+            _BRONZE_CACHE[key] = df
+        return df
+
+    return wrapped
+
+
 FIXTURE_N_BLOCKS = 600 * FIXTURE_SCALE
 BLOCK_SPACING_S = 450  # ~4 day-boundaries across the fixture (FIXTURES.md wants >=3)
 CHAIN_ID = "fixture-1"
@@ -110,6 +146,7 @@ def duck_denom(i_expr: str) -> str:
 # ---------------------------------------------------------------------------
 # Blocks (with block_results reward events, CSV amounts — A1 input).
 # ---------------------------------------------------------------------------
+@bronze_table
 def gen_blocks(spark: SparkSession, n: int = FIXTURE_N_BLOCKS) -> DataFrame:
     h = F.col("id")
     reward_amt = (h * 13 % 500 + 1).cast("string")
@@ -143,6 +180,7 @@ def gen_blocks(spark: SparkSession, n: int = FIXTURE_N_BLOCKS) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Txs (nested LCD-style msgs as JSON strings — the real parse path).
 # ---------------------------------------------------------------------------
+@bronze_table
 def gen_txs(spark: SparkSession, n: int = FIXTURE_N_BLOCKS) -> DataFrame:
     """One row per tx: block h contributes (h % 3) txs, tx index
     i = h * 3 + k (k < h % 3).  Msg mix by i % 5: 0,1 send; 2 multisend;
@@ -255,6 +293,7 @@ DUCK_TX_BASE = f"""
 FIXTURE_N_PRICE_MINUTES = 4500 * FIXTURE_SCALE
 
 
+@bronze_table
 def gen_prices(spark: SparkSession, n_minutes: int = FIXTURE_N_PRICE_MINUTES) -> DataFrame:
     """Minute prices per denom (src/orm/PriceEntity.ts:3-18).  uluna has no
     price row by design — the reference prices everything *in* Luna/USD and
@@ -293,6 +332,7 @@ ISSUANCES = {
 }
 
 
+@bronze_table
 def gen_issuances(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(d, a) for d, a in sorted(ISSUANCES.items())], ["denom", "issuance"]
@@ -311,6 +351,7 @@ DUCK_ISSUANCES = """
 # general_info minute snapshots (A10/A15/A16 inputs) — staking ratio and
 # bonded tokens per minute (src/orm/GeneralInfoEntity.ts:3-36).
 # ---------------------------------------------------------------------------
+@bronze_table
 def gen_general_info(spark: SparkSession, n_minutes: int = FIXTURE_N_PRICE_MINUTES) -> DataFrame:
     m = F.col("id")
     return spark.range(0, n_minutes).select(
@@ -343,6 +384,7 @@ FIXTURE_N_VOTES = 400 * FIXTURE_SCALE
 FIXTURE_N_DELEGATIONS = 120 * FIXTURE_SCALE
 
 
+@bronze_table
 def gen_votes(spark: SparkSession, n: int = FIXTURE_N_VOTES) -> DataFrame:
     v = F.col("id")
     voter = F.when(v % 7 == 0, _addr(v % 20 + 1000)).otherwise(_addr(v % 40))
@@ -369,6 +411,7 @@ DUCK_VOTES = f"""
 """
 
 
+@bronze_table
 def gen_delegations(spark: SparkSession, n: int = FIXTURE_N_DELEGATIONS) -> DataFrame:
     d = F.col("id")
     delegator = F.when(d % 5 == 0, _addr(d % 20 + 1000)).otherwise(_addr(d % 40))
@@ -409,6 +452,7 @@ PROPOSAL_TYPES = [
 ]
 
 
+@bronze_table
 def gen_proposals(spark: SparkSession, n: int = FIXTURE_N_PROPOSALS) -> DataFrame:
     p = F.col("id")
     return spark.range(0, n).select(
@@ -425,6 +469,7 @@ def gen_proposals(spark: SparkSession, n: int = FIXTURE_N_PROPOSALS) -> DataFram
     )
 
 
+@bronze_table
 def gen_chain_proposal_ids(spark: SparkSession, n: int = FIXTURE_N_PROPOSALS) -> DataFrame:
     """The LCD's current on-chain proposal listing: id 5 was removed on
     chain (deposit-period expiry burns it) — the D1 delete target."""
@@ -450,6 +495,7 @@ DUCK_PROPOSALS = f"""
 """
 
 
+@bronze_table
 def gen_validators(spark: SparkSession, n: int = 20) -> DataFrame:
     v = F.col("id")
     return spark.range(0, n).select(
