@@ -184,3 +184,43 @@ def kmeans_train(
             for cid in range(k)
         ]
     return cents, history
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (storage-side compression for the 100 TB
+# similarity corpus: 4x smaller than float32, dequantized cosine within
+# ~1/127 per-element of exact — the standard symmetric absmax scheme
+# faiss/SQ8-style).  Pure column algebra: quantize and dequantize are
+# array transforms, no UDF, so they run at scan speed and the quantized
+# table is what ships to the ANN indexes.
+# ---------------------------------------------------------------------------
+def quantize_embedding(vec: str) -> Column:
+    """(scale float, q array<tinyint>) struct: symmetric absmax int8 —
+    q_i = round(v_i / scale) with scale = max|v| / 127.  All-zero vectors
+    keep scale 0 and quantize to zeros (dequantize restores zeros)."""
+    absmax = f"aggregate({vec}, CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+    scale = f"({absmax} / 127.0)"
+    q = (
+        f"transform({vec}, v -> CAST(CASE WHEN {scale} = 0.0 THEN 0 "
+        f"ELSE round(CAST(v AS DOUBLE) / {scale}) END AS TINYINT))"
+    )
+    return F.expr(f"struct({scale} AS scale, {q} AS q)")
+
+
+def dequantize_embedding(qcol: str) -> Column:
+    """array<double> back from the (scale, q) struct."""
+    return F.expr(f"transform({qcol}.q, v -> CAST(v AS DOUBLE) * {qcol}.scale)")
+
+
+def duck_quantize_sql(vec: str, dim: int) -> str:
+    """DuckDB expression computing the same (scale, q) struct."""
+    absmax = (
+        f"list_aggregate([abs(CAST({vec}[i] AS DOUBLE)) for i in range(1, {dim + 1})], 'max')"
+    )
+    scale = f"(COALESCE({absmax}, 0.0) / 127.0)"
+    q = (
+        f"[CAST(CASE WHEN {scale} = 0.0 THEN 0 "
+        f"ELSE round(CAST({vec}[i] AS DOUBLE) / {scale}) END AS TINYINT) "
+        f"for i in range(1, {dim + 1})]"
+    )
+    return f"struct_pack(scale := {scale}, q := {q})"
