@@ -249,3 +249,69 @@ def duck_linear_quality_score(text_expr: str, weights: list[float], salt: str = 
         f"THEN list_sum({per}) / len({toks}) ELSE 0.0 END)"
     )
     return f"(1.0 / (1.0 + exp(-({z}))))"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the dedup key for web corpora (public recipe:
+# CC-style pipelines dedup by canonicalized URL before content dedup).
+# Pure column algebra in the RE2 ∩ Java regex subset; the DuckDB mirror
+# below computes the identical string, so the key is portable.
+# Normalizations: drop scheme + fragment, lowercase host, strip leading
+# www., strip default :80/:443 ports, strip trailing slash on the path,
+# drop tracking params (utm_*, fbclid, gclid, ref), sort surviving query
+# params.
+# ---------------------------------------------------------------------------
+_TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def with_canonical_url(df, url_col: str, out: str = "canonical_url"):
+    """df plus a canonicalized-URL column — staged withColumns for
+    readability; Catalyst collapses them into one projection, so the
+    plan is a single pass over the strings."""
+    t = df.withColumn(
+        "__u",
+        F.regexp_replace(
+            F.regexp_replace(F.trim(F.col(url_col)), r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+            r"#.*$",
+            "",
+        ),
+    )
+    t = t.withColumn("__hp", F.substring_index("__u", "?", 1))
+    t = t.withColumn(
+        "__qs",
+        F.when(
+            F.instr("__u", "?") > 0, F.expr("substr(__u, instr(__u, '?') + 1)")
+        ).otherwise(F.lit("")),
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(F.substring_index("__hp", "/", 1)), r"^www\.", ""),
+        r":(80|443)$",
+        "",
+    )
+    t = t.withColumn("__host", host)
+    t = t.withColumn(
+        "__path",
+        F.when(
+            F.instr("__hp", "/") > 0,
+            F.regexp_replace(F.expr("substr(__hp, instr(__hp, '/'))"), "/+$", ""),
+        ).otherwise(F.lit("")),
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split("__qs", "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    t = t.withColumn("__params", params)
+    t = t.withColumn(
+        out,
+        F.concat(
+            "__host",
+            "__path",
+            F.when(
+                F.size("__params") > 0,
+                F.concat(F.lit("?"), F.concat_ws("&", "__params")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return t.drop("__u", "__hp", "__qs", "__host", "__path", "__params")
