@@ -555,3 +555,46 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter"
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level boilerplate removal (RefinedWeb/C4-style): drop any
+# paragraph whose DOCUMENT frequency exceeds a threshold — footers, nav
+# menus, cookie banners repeat across the crawl, body text does not.
+# One groupBy on the paragraph hash + one join back; text is reassembled
+# in original order JVM-side (sort_array over (pos, para) structs), so
+# the whole pass is two shuffles regardless of corpus width.
+# ---------------------------------------------------------------------------
+def remove_common_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """docs with `text_col` rewritten to exclude paragraphs appearing in
+    more than max_doc_freq distinct documents.  Paragraphs are \\n\\n+
+    separated; matching is on the whitespace-trimmed lowercase hash so
+    trivial reflows still collapse.  Docs whose every paragraph is
+    boilerplate come back with empty text (callers drop or flag them)."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias("pos", "para"),
+    ).withColumn("pk", F.md5(F.lower(F.trim("para"))))
+    freq = paras.groupBy("pk").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    kept = paras.join(freq, "pk").filter(F.col("df") <= max_doc_freq)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("__clean")
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("__clean", F.lit("")))
+        .drop("__clean")
+    )

@@ -243,3 +243,77 @@ class TestConnectedComponents:
         assert all(labels[n] == 0 for n in range(41))
         assert all(labels[n] == 100 for n in range(100, 105))
         assert labels[201] == 200 and labels[301] == 300
+
+
+class TestParagraphBoilerplate:
+    FOOTER = "Subscribe to our newsletter\nAll rights reserved"
+
+    def _docs(self, spark):
+        rows = []
+        for d in range(6):
+            body = f"unique body paragraph for document {d}\nwith a second line"
+            body2 = f"another distinct thought in doc {d}"
+            rows.append((d, f"{body}\n\n{self.FOOTER}\n\n{body2}"))
+        rows.append((6, self.FOOTER))  # all-boilerplate doc
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_drops_cross_doc_boilerplate_keeps_order(self, spark):
+        from classic_fcd_spark.operators.dedup import remove_common_paragraphs
+
+        cleaned = {
+            r["doc_id"]: r["text"]
+            for r in remove_common_paragraphs(self._docs(spark)).collect()
+        }
+        for d in range(6):
+            assert self.FOOTER not in cleaned[d]
+            assert cleaned[d] == (
+                f"unique body paragraph for document {d}\nwith a second line"
+                f"\n\nanother distinct thought in doc {d}"
+            )
+        assert cleaned[6] == ""  # fully-boilerplate doc comes back empty
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from classic_fcd_spark.operators.dedup import remove_common_paragraphs
+
+        docs = self._docs(spark)
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_common_paragraphs(docs, max_doc_freq=2).collect()
+        }
+        pdf = docs.toPandas()  # noqa: F841
+        want = {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                """
+                WITH split AS (
+                    SELECT doc_id, regexp_split_to_array(text, '\\n{2,}') AS ps
+                    FROM pdf
+                ),
+                paras AS (
+                    SELECT doc_id, u.s.para AS para, u.s.pos AS pos
+                    FROM split, LATERAL unnest(
+                        [{'pos': i, 'para': ps[i]} for i in range(1, len(ps) + 1)]
+                    ) AS u(s)
+                ),
+                keyed AS (
+                    SELECT doc_id, pos, para, md5(lower(trim(para))) AS pk FROM paras
+                ),
+                freq AS (
+                    SELECT pk, count(DISTINCT doc_id) AS df FROM keyed GROUP BY pk
+                ),
+                kept AS (
+                    SELECT doc_id, pos, para FROM keyed JOIN freq USING (pk)
+                    WHERE df <= 2
+                ),
+                rebuilt AS (
+                    SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS t
+                    FROM kept GROUP BY doc_id
+                )
+                SELECT p.doc_id, coalesce(t, '') FROM pdf p LEFT JOIN rebuilt USING (doc_id)
+                """
+            ).fetchall()
+        }
+        assert got == want
