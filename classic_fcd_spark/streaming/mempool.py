@@ -108,13 +108,20 @@ def run_mempool_available_now(
     """Drain all available observation files (availableNow, one file per
     micro-batch so watermark/timeout semantics execute like live
     ingestion) and return the collected eviction rows."""
+    from classic_fcd_spark.session import normalize_event_time
+
     batch = spark.read.parquet(obs_dir)
     src = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(obs_dir)
     )
-    out = mempool_eviction_stream(src, ttl_seconds=ttl_seconds)
+    # Same load-boundary canonicalization as load_tables/_events_stream:
+    # withWatermark rejects TIMESTAMP_NTZ, and observation files written by
+    # a pyarrow writer without an explicit tz arrive exactly that way.
+    out = mempool_eviction_stream(
+        normalize_event_time(src), ttl_seconds=ttl_seconds
+    )
     sink: list = []
 
     def collect(batch_df: DataFrame, batch_id: int) -> None:

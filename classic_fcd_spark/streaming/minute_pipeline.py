@@ -27,14 +27,16 @@ from pyspark.sql import functions as F
 
 
 def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream with the same ns→µs timestamp normalization as
-    classic_fcd_spark.session.load_tables."""
+    """File-source stream with the same event-time normalization as
+    classic_fcd_spark.session.load_tables — withWatermark below requires
+    plain TIMESTAMP, so every physical ts encoding (bigint nanos, NTZ µs,
+    UTC µs) is canonicalized at this boundary."""
+    from classic_fcd_spark.session import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(events_dir)
     src = spark.readStream.schema(batch.schema).parquet(events_dir)
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return src
+    return normalize_event_time(src)
 
 
 def minute_rollup_stream(spark: SparkSession, events_dir: str) -> DataFrame:
