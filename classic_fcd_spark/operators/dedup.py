@@ -263,6 +263,33 @@ def _bit_sql(token_expr: str, j: int) -> str:
     )
 
 
+def duck_simhash32_cte(
+    tokens_expr: str, source_sql: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB CTE body computing (id_col, simhash) with ONE md5 per token
+    — the oracle mirror of simhash32_table's explode shape.  The inline
+    simhash32_sql form references the tokens expression 64 times (filter
+    + len per bit), which is fine for a cheap unigram split but
+    recomputes an expensive shingle list-comprehension (and re-md5s
+    every token) 32x per row — minutes instead of ms on shingle
+    features.  Here tokens are unnested once, hashed once, and the 32
+    bit-majorities are plain integer aggregates over the hex column."""
+    bit_sums = ", ".join(
+        f"SUM(CAST(FLOOR((instr('{HEX_DIGITS}', substr(h, {j // 4 + 1}, 1)) - 1)"
+        f" / {2 ** (j % 4)}) AS INT) % 2) AS o{j}"
+        for j in range(32)
+    )
+    word = " + ".join(
+        f"(CASE WHEN 2 * o{j} > n THEN {2**j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+        src AS (SELECT {id_col}, {tokens_expr} AS toks FROM {source_sql}),
+        ex AS (SELECT {id_col}, md5(t.t) AS h FROM src, unnest(toks) AS t(t)),
+        bitsum AS (SELECT {id_col}, COUNT(*) AS n, {bit_sums} FROM ex GROUP BY {id_col}),
+        sh AS (SELECT {id_col}, CAST({word} AS BIGINT) AS simhash FROM bitsum)
+    """
+
+
 def simhash32_sql(tokens_expr: str, transform_fn: str, filter_fn: str, len_fn: str) -> str:
     """SimHash-32 as one SQL expression: bit j of the output is set iff
     the majority of (distinct) tokens have bit j set (strict majority;
@@ -410,10 +437,6 @@ def simhash_component_edges(
         F.col("ra").alias("i"), F.col("rb").alias("j")
     )
     return member.unionByName(rep_edges)
-
-
-def duck_simhash32(tokens_expr: str) -> str:
-    return simhash32_sql(tokens_expr, "list_transform", "list_filter", "len")
 
 
 # ---------------------------------------------------------------------------

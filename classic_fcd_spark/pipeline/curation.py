@@ -96,12 +96,17 @@ def _with_stages(
     # connected component (only computed for exact-survivors — the
     # expensive stage sees the smallest input)
     survivors = base.join(exact.filter("exact_keep"), "doc_id", "left_semi")
+    # shingle features, matching the gated simhash_near_dups query: on a
+    # small-vocabulary corpus unigram sets are near-identical across all
+    # docs and the fingerprints collapse into false-kin mega-cliques
+    from classic_fcd_spark.operators.dedup import word_shingles
+
     pairs = simhash_component_edges(
-        survivors.repartition(
+        survivors.filter(F.size(ws_tokens("text")) >= 3).repartition(
             docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
         ),
         "doc_id",
-        F.array_distinct(F.split(F.trim("text"), " +")),
+        word_shingles("text"),
         max_hamming=simhash_hamming,
     )
     cc = connected_components(pairs).select(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from classic_fcd_spark.operators.dedup import (
     duck_minhash_from_hashes,
     duck_shingle_hashes,
-    duck_simhash32,
+    duck_simhash32_cte,
     duck_word_shingles,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -210,16 +210,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-32 fingerprinting: bit j = majority vote of md5-derived
-    bit j over distinct tokens; pure projection (no shuffle).  Hex-digit
-    bit extraction keeps Spark and the SQL oracle bit-identical."""
+    bit j over distinct word 3-shingles; pure projection (no shuffle).
+    Hex-digit bit extraction keeps Spark and the SQL oracle
+    bit-identical.  Shingle features, not unigram sets: the corpus draws
+    from a ~31-word vocabulary, so every doc contains most of the vocab
+    and unigram-set fingerprints collapse onto a few values (r4 data:
+    308k hamming<=1 pairs from 5k docs — all false kin); 3-gram features
+    restore discrimination, same as the MinHash path."""
     from classic_fcd_spark.operators.dedup import simhash32_table
 
     docs = load_tables(spark, sf_dir)["documents"]
     par = spark.sparkContext.defaultParallelism
     return simhash32_table(
-        docs.repartition(par, "doc_id"),
+        docs.repartition(par, "doc_id").filter(F.size(ws_tokens("text")) >= 3),
         "doc_id",
-        F.array_distinct(F.split(F.trim("text"), " +")),
+        word_shingles("text"),
     )
 
 
@@ -228,17 +233,16 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # actually USES the simhash signatures — r1 shipped only the signatures).
 # ---------------------------------------------------------------------------
 _SIMHASH_K = 1  # 4 byte-bands guarantee recall up to hamming <= 3 (pigeonhole);
-# k=1 keeps 'near-dup' strict — 32-bit fingerprints collide broadly on this
-# corpus (hamming<=3 yields 1.5M pairs at sf0.1, nearly all false kin)
+# k=1 keeps 'near-dup' strict.  Fingerprints are over word 3-shingles, not
+# unigram sets: the synthetic corpus has a ~31-word vocabulary, so unigram
+# sets are near-identical across ALL docs and their fingerprints yield
+# hundreds of thousands of hamming<=1 false-kin pairs (see simhash_docs).
 
 
 @register(
     "simhash_near_dups",
     f"""
-    WITH sh AS (
-        SELECT doc_id, {duck_simhash32(f"list_distinct({_D_TOKS})")} AS simhash
-        FROM documents
-    ),
+    WITH {duck_simhash32_cte(_SH, f"documents WHERE len({_D_TOKS}) >= 3")},
     banded AS (
         -- pure-integer divisors: // on DOUBLE operands does not floor
         SELECT doc_id, simhash, b, (simhash // d) % 256 AS byte
@@ -270,9 +274,9 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     par = spark.sparkContext.defaultParallelism
     return simhash_hamming_pairs(
-        docs.repartition(par, "doc_id"),
+        docs.repartition(par, "doc_id").filter(F.size(ws_tokens("text")) >= 3),
         "doc_id",
-        F.array_distinct(F.split(F.trim("text"), " +")),
+        word_shingles("text"),
         max_hamming=_SIMHASH_K,
     )
 
@@ -283,10 +287,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_groups",
     f"""
-    WITH RECURSIVE sh AS (
-        SELECT doc_id, {duck_simhash32(f"list_distinct({_D_TOKS})")} AS simhash
-        FROM documents
-    ),
+    WITH RECURSIVE {duck_simhash32_cte(_SH, f"documents WHERE len({_D_TOKS}) >= 3")},
     banded AS (
         SELECT doc_id, simhash, b, (simhash // d) % 256 AS byte
         FROM sh, (SELECT unnest([0, 1, 2, 3]) AS b, unnest([1, 256, 65536, 16777216]) AS d)
@@ -324,9 +325,9 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapsed star+rep edges: same components as the full pair graph,
     # orders fewer edges on a dup-heavy corpus (see simhash_component_edges)
     edges = simhash_component_edges(
-        docs.repartition(par, "doc_id"),
+        docs.repartition(par, "doc_id").filter(F.size(ws_tokens("text")) >= 3),
         "doc_id",
-        F.array_distinct(F.split(F.trim("text"), " +")),
+        word_shingles("text"),
         max_hamming=_SIMHASH_K,
     )
     return connected_components(edges).select(
