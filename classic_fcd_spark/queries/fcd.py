@@ -789,29 +789,12 @@ def fcd_avg_staking_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fcd_airdrop_return",
-    f"""
-    WITH {_DUCK_GI},
-    per_day AS (
-        SELECT day, MIN(m) // 1440 AS day_num,
-               CAST(SUM(bonded_tokens) // COUNT(*) AS BIGINT) AS staked
-        FROM general_info GROUP BY day
-    ),
-    terms AS (
-        SELECT CAST(((day_num + 1) * 1000 + 500) AS HUGEINT) * 1000000000000 // staked AS term_e12
-        FROM per_day WHERE staked <> 0
-    )
-    SELECT CAST(SUM(term_e12) * 365 // COUNT(*) AS BIGINT) AS airdrop_annual_e12
-    FROM terms
-    """,
-    doc="A15 airdrop annual average return: SUM(airdrop/avg_staking) * "
-    "365 / COUNT(*) with the avg_staking != 0 guard "
-    "(src/service/dashboard/getStakingReturn.ts:46-55).  The per-day "
-    "airdrop is the fixture arithmetic (day_num+1)*1000+500; integer-µ "
-    "division order is identical on both engines.",
-)
-def fcd_airdrop_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _airdrop_annual_return(spark: SparkSession) -> DataFrame:
+    """A15 airdrop annual average return: SUM(airdrop/avg_staking) * 365
+    / COUNT(*) with the avg_staking != 0 guard
+    (src/service/dashboard/getStakingReturn.ts:46-55).  One scalar row
+    (airdrop_annual_e12); folded into the fcd_total_staking_return gate
+    since r4 — the two A15/A16 annualize shapes share one driver row."""
     gi = gen_general_info(spark).withColumn(
         "m", (F.col("datetime").cast("long") - 1609459200) / 60
     )
@@ -834,6 +817,23 @@ def fcd_airdrop_return(spark: SparkSession, sf_dir: str) -> DataFrame:
             "airdrop_annual_e12"
         )
     )
+
+
+_DUCK_AIRDROP = f"""
+    per_day AS (
+        SELECT day, MIN(m) // 1440 AS day_num,
+               CAST(SUM(bonded_tokens) // COUNT(*) AS BIGINT) AS staked
+        FROM general_info GROUP BY day
+    ),
+    terms AS (
+        SELECT CAST(((day_num + 1) * 1000 + 500) AS HUGEINT) * 1000000000000 // staked AS term_e12
+        FROM per_day WHERE staked <> 0
+    ),
+    airdrop AS (
+        SELECT CAST(SUM(term_e12) * 365 // COUNT(*) AS BIGINT) AS airdrop_annual_e12
+        FROM terms
+    )
+"""
 
 
 @register(
@@ -860,15 +860,21 @@ def fcd_airdrop_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     gi AS (
         SELECT CAST(SUM(1000000 + (m * 7919) % 500000) // COUNT(*) AS BIGINT) AS staked
         FROM (SELECT unnest(range(0, {NP})) AS m)
-    )
-    SELECT CAST(total_e6 * {_YEAR_MS} // {_RANGE_MS} * 1000 // staked AS BIGINT) AS annual_return_e9
-    FROM luna, gi
+    ),
+    {_DUCK_GI},
+    {_DUCK_AIRDROP}
+    SELECT CAST(total_e6 * {_YEAR_MS} // {_RANGE_MS} * 1000 // staked AS BIGINT) AS annual_return_e9,
+           airdrop_annual_e12
+    FROM luna, gi, airdrop
     """,
     doc="A16 total staking return (src/service/staking/helper.ts:232-272): "
     "SUM(reward.sum) per denom over the range, Luna-normalized by the "
     "range-average price, divided by AVG(bonded_tokens), annualized by "
     "365d/range.  Whole-fixture range; floor-division sequence is "
-    "identical on both engines (HUGEINT / DECIMAL(38) intermediates).",
+    "identical on both engines (HUGEINT / DECIMAL(38) intermediates).  "
+    "Also carries the A15 airdrop annual return as a second column "
+    "(same annualize shape — folded to keep the 50-row gate open for "
+    "the r4 training-pipeline promotions).",
 )
 def fcd_total_staking_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     mr = minute_rewards_silver(gen_blocks(spark)).filter(F.col("rtype") == "rewards")
@@ -895,11 +901,15 @@ def fcd_total_staking_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     staked = gen_general_info(spark).agg(
         F.expr("CAST(SUM(bonded_tokens) div COUNT(*) AS BIGINT)").alias("staked")
     )
-    return luna.crossJoin(staked).select(
-        F.expr(
-            f"CAST(CAST(total_e6 AS DECIMAL(38,0)) * {_YEAR_MS} div {_RANGE_MS} "
-            "* 1000 div staked AS BIGINT)"
-        ).alias("annual_return_e9")
+    return (
+        luna.crossJoin(staked)
+        .select(
+            F.expr(
+                f"CAST(CAST(total_e6 AS DECIMAL(38,0)) * {_YEAR_MS} div {_RANGE_MS} "
+                "* 1000 div staked AS BIGINT)"
+            ).alias("annual_return_e9")
+        )
+        .crossJoin(_airdrop_annual_return(spark))
     )
 
 

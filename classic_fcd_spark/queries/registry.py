@@ -51,6 +51,7 @@ def _load_all() -> None:
         similarity,
         streaming_q,
         text,
+        training,
     )
 
     if len(QUERIES) > MAX_GATED:

@@ -27,30 +27,16 @@ _TOP_K = 5
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k.
 # ---------------------------------------------------------------------------
-@register(
-    "ann_topk_bruteforce",
-    f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-               WHERE vec_id < {_N_QUERIES}),
-    scored AS (
-        SELECT qid, c.vec_id AS nid,
-               {duck_cosine_sql("qe", "c.embedding", DIM)} AS cos
-        FROM q, embeddings c
-        WHERE c.vec_id <> qid
-    ), ranked AS (
-        SELECT qid, nid, cos,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
-        FROM scored
-    )
-    SELECT qid, nid, rnk, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
-    FROM ranked WHERE rnk <= {_TOP_K}
-    """,
-    doc="ANN baseline: brute-force cosine top-k. The query set is tiny → "
-    "broadcast; scoring is a JVM-side zip_with/aggregate fold (no UDF, "
-    "no shuffle of the corpus); per-query top-k via window. At 100 TB "
-    "the corpus scan partitions perfectly; use ann_lsh_buckets to prune.",
-)
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: brute-force cosine top-k. The query set is tiny →
+    broadcast; scoring is a JVM-side zip_with/aggregate fold (no UDF,
+    no shuffle of the corpus); per-query top-k via window. At 100 TB
+    the corpus scan partitions perfectly; use ann_lsh_buckets to prune.
+
+    Unregistered since r4 (slot yielded to corpus_decontamination):
+    ann_lsh_search and ann_ivf_search re-prove their recall contracts
+    against this exact function in tests/test_dedup_similarity.py, and
+    it stays a bench workload via bench._extra_workloads."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")

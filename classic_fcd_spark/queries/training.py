@@ -1,0 +1,113 @@
+"""Training-data-pipeline queries promoted to the driver gate (r4).
+
+These operators shipped in r3 with in-test DuckDB oracles only (the
+50-row driver window was full); r4 freed two slots (A15/A16 annualize
+fold, ann_topk_bruteforce → tests/bench) so the two highest-value
+extension operators get first-class driver rows:
+
+- corpus_decontamination: the GPT-3/PaLM benchmark-overlap recipe over
+  the documents table (broadcast benchmark gram set, map-only corpus
+  side — the textbook 100 TB asymmetry).
+- stratified_sample_docs: deterministic md5-bucket sampling with
+  per-source rates — the quality-tier downsampling step of a data mix;
+  stable under re-runs/retries/repartitioning where rand() sampling is
+  none of those.
+
+Reference parity: classic-fcd has no training-pipeline concepts; this is
+the extension surface (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.dedup import duck_word_shingles, ws_tokens
+from classic_fcd_spark.operators.sampling import (
+    duck_hash_bucket,
+    stratified_sample,
+)
+from classic_fcd_spark.queries.registry import register
+from classic_fcd_spark.session import load_tables
+
+# Benchmark set = src0's documents (deterministic, data-derived split:
+# ~5% of the corpus standing in for a held-out eval suite); n=13 word
+# grams is the published GPT-3 appendix-C choice.
+_DECON_N = 13
+_BENCH_SRC = "src0"
+_SH13 = duck_word_shingles("text", _DECON_N)
+
+
+@register(
+    "corpus_decontamination",
+    f"""
+    WITH bench AS (
+        SELECT {_SH13} AS grams FROM documents WHERE source = '{_BENCH_SRC}'
+    ),
+    bg AS (SELECT DISTINCT g.g AS gram FROM bench, unnest(grams) AS g(g)),
+    corpus AS (
+        SELECT doc_id, {_SH13} AS grams FROM documents WHERE source <> '{_BENCH_SRC}'
+    ),
+    cg AS (SELECT doc_id, g.g AS gram FROM corpus, unnest(grams) AS g(g)),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS matched_ngrams
+        FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(matched_ngrams, 0) AS matched_ngrams,
+           COALESCE(matched_ngrams, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> '{_BENCH_SRC}') c
+    LEFT JOIN hits ON c.doc_id = hits.doc_id
+    """,
+    doc="Benchmark decontamination (GPT-3 appendix C / PaLM §6.1): flag "
+    "training docs sharing any 13-word-gram with the benchmark split "
+    "(source=src0 stands in for the eval suite).  The benchmark gram "
+    "set is broadcast; the corpus side is a map-only scan + map-side "
+    "combined per-doc count — no corpus shuffle, the whole design at "
+    "100 TB.  Plan asserted broadcast in tests/test_decontamination.py.",
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.decontamination import contamination_report
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    par = spark.sparkContext.defaultParallelism
+    bench = docs.filter(F.col("source") == _BENCH_SRC)
+    corpus = docs.filter(F.col("source") != _BENCH_SRC).repartition(par, "doc_id")
+    return contamination_report(corpus, bench, n=_DECON_N)
+
+
+# Per-source keep rates: a deterministic quality-tier mix spec (tiers by
+# source index mod 4 — full / half / quarter / decimate).  The driver
+# hash-compares every kept doc_id, so the gate proves the md5-bucket
+# arithmetic is engine-identical, which is the entire correctness claim
+# of deterministic sampling.
+_RATES = {f"src{k}": (1.0, 0.5, 0.25, 0.1)[k % 4] for k in range(20)}
+_SALT = "mix-v1"
+
+
+def _duck_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(r * 1_000_000)}" for s, r in sorted(_RATES.items())
+    )
+    return f"CASE source {whens} ELSE -1 END"
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {duck_hash_bucket("doc_id", _SALT)} < {_duck_rate_case()}
+    """,
+    doc="Deterministic stratified sampling (the downsampling step of a "
+    "training mix): keep rate per source tier, membership decided by "
+    "md5(salt||key) bucket — stable under re-runs, retries, and "
+    "repartitioning, unlike rand().  Pure projection: no shuffle, no "
+    "state; the rate lookup is a literal CASE.  Also the gate for "
+    "hash_bucket/deterministic_sample (same arithmetic, same salt).",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return stratified_sample(docs, "doc_id", "source", _RATES, _SALT).select(
+        "doc_id", "source"
+    )

@@ -33,10 +33,6 @@ _SCALAR = "cross with a 1-row (keyless) aggregate — scalar join"
 ALLOW: dict[str, dict[str, str]] = {
     # --- nested-loop review (2026-08, r3): every BNLJ below builds a
     # side that is constant-bounded by construction, never data x data
-    "ann_topk_bruteforce": {
-        "nested_loop": "the brute-force BASELINE: broadcast query set x corpus "
-        "scan is the contract; ann_lsh_search/ann_ivf_search are the scale path"
-    },
     "fcd_freshness": {"nested_loop": _SCALAR},
     "fcd_market_cap": {"nested_loop": f"{_GRID}; plus {_SCALAR}"},
     "fcd_minute_fees": {"nested_loop": _GRID},
@@ -73,7 +69,6 @@ FLAGS = {
     "cartesian": re.compile(r"CartesianProduct"),
     "nested_loop": re.compile(r"BroadcastNestedLoopJoin"),
 }
-WINDOW_RE = re.compile(r"Window(?:Group)?Exec?.*?windowspecdefinition\(([^)]*)\)")
 EXCHANGE_RE = re.compile(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)")
 MAX_EXCHANGES = 14
 

@@ -78,9 +78,9 @@ class TestDedup:
 
 class TestSimilarity:
     def test_topk_is_ranked_and_complete(self, spark):
-        from classic_fcd_spark.queries import query_fn_map
+        from classic_fcd_spark.queries.similarity import ann_topk_bruteforce
 
-        rows = query_fn_map()["ann_topk_bruteforce"](spark, SF_SMALL).collect()
+        rows = ann_topk_bruteforce(spark, SF_SMALL).collect()
         by_q = {}
         for r in rows:
             by_q.setdefault(r["qid"], []).append(r)
@@ -119,11 +119,12 @@ class TestAnnPlans:
         nid) it returns also appears in the brute-force scoring with the
         same cos_e6."""
         from classic_fcd_spark.queries import query_fn_map
+        from classic_fcd_spark.queries.similarity import ann_topk_bruteforce
 
         qmap = query_fn_map()
         brute = {
             (r["qid"], r["nid"]): r["cos_e6"]
-            for r in qmap["ann_topk_bruteforce"](spark, SF_SMALL).collect()
+            for r in ann_topk_bruteforce(spark, SF_SMALL).collect()
         }
         probed = qmap["ann_lsh_search"](spark, SF_SMALL).collect()
         assert len(probed) > 0
