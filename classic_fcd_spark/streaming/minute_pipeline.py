@@ -92,7 +92,14 @@ def merge_upsert(
     into a staging dir, and the touched partition directories are
     promoted into the table by rename — one data write per batch plus
     O(partitions) metadata moves, which is exactly the shape of a Delta
-    MERGE commit (write new files, swap the manifest)."""
+    MERGE commit (write new files, swap the manifest).
+
+    The os.rename promotion assumes staging and table live on the same
+    filesystem (true for this environment's local parquet, and for
+    HDFS-style rename-capable stores).  On object stores rename is a
+    copy, so the production path is the Delta/Iceberg MERGE INTO this
+    function stands in for — the parquet rename is the test-environment
+    mechanism, not the deployment design."""
     if partition_expr is None:
         partition_expr = F.substring(keys[0], 1, 10)  # minute -> day prefix
     # keep partition values opaque strings; date/number inference would
