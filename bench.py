@@ -44,6 +44,7 @@ HEADLINE = [
     "multimodal_features",
     "corpus_decontamination",
     "stratified_sample_docs",
+    "sequence_packing",
     "ann_topk_bruteforce",
     "ann_lsh_search",
     "ann_ivf_search",

@@ -215,7 +215,11 @@ def fcd_validator_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(tx_count.day, active.day, rewards.day) AS day,
            COALESCE(tx_count, 0) AS tx_count,
            COALESCE(active_accounts, 0) AS active_accounts,
-           COALESCE(reward_total, 0) AS reward_total
+           COALESCE(reward_total, 0) AS reward_total,
+           strftime(make_timestamp(CAST(1609459200 + {N} * {BLOCK_SPACING_S} AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS max_block_ts,
+           strftime(make_timestamp(CAST(1609459200 + ({NP} - 1) * 60 AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS max_price_ts
     FROM tx_count
     FULL OUTER JOIN active ON tx_count.day = active.day
     FULL OUTER JOIN rewards ON COALESCE(tx_count.day, active.day) = rewards.day
@@ -224,13 +228,17 @@ def fcd_validator_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collectDashboard.ts:15-67): A8 reward sums + A12 daily active "
     "accounts + tx counts, full-outer joined on day — each input already "
     "day-grain so the join is tiny; late-day corrections are a MERGE over "
-    "the trailing 3-day window (T5).",
+    "the trailing 3-day window (T5).  Also carries the A23 freshness "
+    "stamps (MAX(ts) probes, src/collector/dashboard/helpers.ts:16-37 — "
+    "the same collector consults them) as scalar columns; folded r4 so "
+    "sequence_packing could take the freed driver slot.",
 )
 def fcd_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     txs = gen_txs(spark)
-    return dashboard_gold(
+    gold = dashboard_gold(
         txs, account_tx_silver(txs), minute_rewards_silver(gen_blocks(spark))
     )
+    return gold.crossJoin(F.broadcast(_freshness_probes(spark)))
 
 
 # ---------------------------------------------------------------------------
@@ -1095,20 +1103,13 @@ def fcd_price_buckets_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("bucket_start").desc()).limit(50).orderBy("bucket_start")
 
 
-@register(
-    "fcd_freshness",
-    f"""
-    SELECT strftime(make_timestamp(CAST(1609459200 + {N} * {BLOCK_SPACING_S} AS BIGINT) * 1000000),
-                    '%Y-%m-%d %H:%M:%S') AS max_block_ts,
-           strftime(make_timestamp(CAST(1609459200 + ({NP} - 1) * 60 AS BIGINT) * 1000000),
-                    '%Y-%m-%d %H:%M:%S') AS max_price_ts
-    """,
-    doc="A23 MAX(ts) freshness probes (src/collector/dashboard/"
-    "helpers.ts:16-37 getLatestDateOf*): one aggregate per table; on a "
-    "date-partitioned table this reads only the newest partition's "
-    "footer statistics.",
-)
-def fcd_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _freshness_probes(spark: SparkSession) -> DataFrame:
+    """A23 MAX(ts) freshness probes (src/collector/dashboard/
+    helpers.ts:16-37 getLatestDateOf*): one aggregate per table; on a
+    date-partitioned table this reads only the newest partition's footer
+    statistics.  One (max_block_ts, max_price_ts) row — folded into the
+    fcd_dashboard gate since r4 (the reference's dashboard collector is
+    the consumer of these probes)."""
     blocks_max = gen_blocks(spark).agg(
         F.date_format(F.max("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("max_block_ts")
     )

@@ -92,6 +92,57 @@ def _duck_rate_case() -> str:
     return f"CASE source {whens} ELSE -1 END"
 
 
+_PACK_BUDGET = 512  # tokens per training window
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           before // {_PACK_BUDGET} AS bin_id,
+           before % {_PACK_BUDGET} AS tok_offset,
+           (before % {_PACK_BUDGET}) + n_tokens > {_PACK_BUDGET} AS spans_boundary
+    FROM pos
+    """,
+    doc="Concat-and-cut sequence packing (GPT-style): documents are "
+    "concatenated per source shard in doc_id order and the token stream "
+    "is cut every 512 tokens; bin_id/tok_offset locate each doc's start, "
+    "spans_boundary flags docs the loader reads across windows.  Pure "
+    "prefix-sum — one cumsum window per shard, one shuffle on the shard "
+    "key, deterministic under re-runs; the greedy no-split variant is "
+    "unit-gated in tests/test_packing_sampling.py.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.packing import pack_concat_and_cut
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", "source", F.size(ws_tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_concat_and_cut(
+        toks, "source", "doc_id", "n_tokens", _PACK_BUDGET
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "bin_id",
+        F.col("offset").alias("tok_offset"),
+        "spans_boundary",
+    )
+
+
 @register(
     "stratified_sample_docs",
     f"""

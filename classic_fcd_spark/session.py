@@ -141,6 +141,17 @@ def normalize_event_time(df, col: str = "ts"):
     return df
 
 
+def normalize_timestamps(df):
+    """Apply the NTZ→TIMESTAMP leg of normalize_event_time to EVERY
+    column: the encoding drift has so far hit only events.ts, but nothing
+    stops the next data drop from writing any other timestamp column
+    naive — and the cast is a no-op for columns already canonical."""
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return normalize_event_time(df)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load the driver's parquet tables as DataFrames and register temp views.
 
@@ -159,7 +170,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = normalize_event_time(spark.read.parquet(path))
+            df = normalize_timestamps(spark.read.parquet(path))
             df.createOrReplaceTempView(name)
             dfs[name] = df
     _TABLE_CACHE[key] = dfs

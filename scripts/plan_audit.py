@@ -33,7 +33,7 @@ _SCALAR = "cross with a 1-row (keyless) aggregate — scalar join"
 ALLOW: dict[str, dict[str, str]] = {
     # --- nested-loop review (2026-08, r3): every BNLJ below builds a
     # side that is constant-bounded by construction, never data x data
-    "fcd_freshness": {"nested_loop": _SCALAR},
+    "fcd_dashboard": {"nested_loop": f"{_SCALAR} (A23 freshness stamps)"},
     "fcd_market_cap": {"nested_loop": f"{_GRID}; plus {_SCALAR}"},
     "fcd_minute_fees": {"nested_loop": _GRID},
     "fcd_rewards_converted": {"nested_loop": _GRID},

@@ -81,6 +81,32 @@ def test_batch_loader_normalizes_ts(spark, tmp_path, enc):
     assert got == EPOCH_US, enc
 
 
+def test_all_ntz_columns_normalized(spark, tmp_path):
+    """normalize_timestamps covers EVERY naive-timestamp column, not just
+    ts — the drift has hit only events.ts so far, but nothing stops the
+    next drop from writing e.g. an order date naive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from classic_fcd_spark.session import normalize_timestamps
+
+    table = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(TS[:2], pa.timestamp("us")),
+            "created_at": pa.array(TS[:2], pa.timestamp("us")),
+        }
+    )
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(table, path)
+    df = normalize_timestamps(spark.read.parquet(path))
+    assert dict(df.dtypes) == {
+        "id": "bigint",
+        "ts": "timestamp",
+        "created_at": "timestamp",
+    }
+
+
 @pytest.mark.parametrize("enc", sorted(ENCODINGS))
 def test_stream_source_normalizes_ts(spark, tmp_path, enc):
     """_events_stream must yield watermark-compatible TIMESTAMP for every
