@@ -67,7 +67,7 @@ HEADLINE = [
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
 # only when SPARK_GRAFT_BENCH_TRAIN=1 so the headline total stays a
 # query-latency number (trained-IVF ≈ 6.3 s at sf0.1, see BENCH_NOTES.md).
-TRAIN_WORKLOADS = ["ann_ivf_search_trained"]
+TRAIN_WORKLOADS = ["ann_ivf_search_trained", "ann_pq_search_trained"]
 
 
 def _extra_workloads():
@@ -79,6 +79,7 @@ def _extra_workloads():
     from classic_fcd_spark.queries.similarity import (
         ann_ivf_search_trained,
         ann_lsh_buckets,
+        ann_pq_search_trained,
         ann_topk_bruteforce,
     )
 
@@ -88,6 +89,7 @@ def _extra_workloads():
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_ivf_search_trained": ann_ivf_search_trained,
+        "ann_pq_search_trained": ann_pq_search_trained,
     }
 
 

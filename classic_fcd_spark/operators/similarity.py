@@ -224,3 +224,213 @@ def duck_quantize_sql(vec: str, dim: int) -> str:
         f"for i in range(1, {dim + 1})]"
     )
     return f"struct_pack(scale := {scale}, q := {q})"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the Faiss IVF-PQ storage/search design
+# (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011).  The 100 TB rationale: int8 scalar quantization
+# (above) compresses 4x; PQ compresses dim*4 bytes -> M bytes (here
+# 64*4=256 -> 8, 32x) while still supporting asymmetric-distance (ADC)
+# scoring, so the whole corpus index fits in a fraction of the storage
+# and candidates are scored WITHOUT touching the raw vectors.
+#
+# Spark-first shapes:
+# - training: ALL M sub-codebooks train simultaneously — the subspace id
+#   is just another key column, so one Lloyd round is one broadcast join
+#   + one (m, cell, pos) mean aggregate, whatever M is.
+# - encoding: a broadcast join corpus-subvectors x codebook with an
+#   argmin aggregate and a sorted collect_list — two narrow shuffles of
+#   n*M rows, no Python in the loop.
+# - ADC search: per-query distance TABLES (M x ks doubles) ride a
+#   broadcast; scoring a code is M element_at lookups + a sum — a pure
+#   column fold over the packed codes, no per-candidate vector math.
+# ---------------------------------------------------------------------------
+def _subvectors(emb, vec_col: str, id_col: str, m: int, dsub: int):
+    """(id, m, sv): corpus exploded into M dsub-length subvectors."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("m"),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return emb.select(F.col(id_col), F.explode(subs).alias("s")).select(
+        id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+
+
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+    "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def pq_train(
+    emb,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 5,
+):
+    """Train M Euclidean sub-codebooks of ks centroids each.
+
+    Returns (codebooks, history): codebooks[j][c] is the dsub-length
+    centroid c of subspace j; history[i] is the corpus mean squared
+    subvector distortion after round i (non-increasing up to float
+    noise — asserted in tests, the standard Lloyd monotonicity).
+
+    Same driver-state contract as kmeans_train: only the M*ks*dsub
+    codebook floats and one scalar per round are ever collected."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    sv = _subvectors(emb, vec_col, id_col, m, dsub)
+
+    # deterministic spread init per subspace: ks smallest md5(m:id)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("m").orderBy(
+        F.md5(F.concat_ws(":", F.col("m").cast("string"), F.col(id_col).cast("string")))
+    )
+    seeds = (
+        sv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ks)
+        .select("m", (F.col("rk") - 1).alias("cid"), "sv")
+        .collect()
+    )
+    books: list[list[list[float]]] = [[None] * ks for _ in range(m)]
+    for r in seeds:
+        books[r["m"]][r["cid"]] = [float(x) for x in r["sv"]]
+
+    history: list[float] = []
+    from classic_fcd_spark.session import scoped_persist
+
+    sv = scoped_persist(sv.repartition(spark.sparkContext.defaultParallelism, id_col), "pq_train:sv")
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(j, c, books[j][c]) for j in range(m) for c in range(ks)],
+            ["m", "cid", "ce"],
+        )
+        dist = F.expr(_SQDIST.format(a="sv", b="ce"))
+        assigned = (
+            sv.join(F.broadcast(cdf), "m")
+            .select(id_col, "m", "sv", F.struct(dist.alias("d"), F.col("cid")).alias("sc"))
+            .groupBy(id_col, "m", "sv")
+            .agg(F.min("sc").alias("best"))
+        )
+        history.append(float(assigned.agg(F.avg("best.d")).collect()[0][0]))
+        new_rows = (
+            assigned.select(
+                "m",
+                F.col("best.cid").alias("cell"),
+                F.posexplode("sv").alias("pos", "val"),
+            )
+            .groupBy("m", "cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in new_rows:
+            upd.setdefault((r["m"], r["cell"]), {})[r["pos"]] = r["mean"]
+        for j in range(m):
+            for c in range(ks):
+                if (j, c) in upd:
+                    books[j][c] = [
+                        upd[(j, c)].get(p, books[j][c][p]) for p in range(dsub)
+                    ]
+                # empty cell keeps its centroid (standard Lloyd handling)
+    return books, history
+
+
+def pq_encode(
+    emb,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """(id, codes array<tinyint> of length M): each subvector replaced by
+    its nearest sub-centroid id.  Join-based argmin — the codebook rides
+    a broadcast, the corpus never re-shuffles wider than (id, m, code),
+    and the final array is a sorted collect_list per id (deterministic:
+    one code per (id, m) by construction)."""
+    m, ks = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    spark = emb.sparkSession
+    sv = _subvectors(emb, vec_col, id_col, m, dsub)
+    cdf = spark.createDataFrame(
+        [(j, c, codebooks[j][c]) for j in range(m) for c in range(ks)],
+        ["m", "cid", "ce"],
+    )
+    dist = F.expr(_SQDIST.format(a="sv", b="ce"))
+    best = (
+        sv.join(F.broadcast(cdf), "m")
+        .select(id_col, "m", F.struct(dist.alias("d"), F.col("cid")).alias("sc"))
+        .groupBy(id_col, "m")
+        .agg(F.min("sc").alias("best"))
+        .select(id_col, "m", F.col("best.cid").alias("code"))
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"].cast("tinyint"),
+            ).alias("codes")
+        )
+    )
+
+
+def pq_adc_search(
+    queries,
+    codes,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_k: int = 5,
+):
+    """Asymmetric-distance top-k: approx ||q - x||^2 = sum_m
+    dtab[m][code_m] where dtab is the query's M x ks table of exact
+    subvector-to-centroid distances.
+
+    The tables are computed as a COLUMN on the (tiny) query side — one
+    literal codebook expression, no collect — and ride the broadcast
+    into a code-scoring fold: element_at per subspace + sum.  Corpus
+    cost per candidate is M lookups, independent of dim."""
+    m, ks = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    def _lit_arr(vals):
+        return "array(" + ", ".join(repr(float(x)) for x in vals) + ")"
+
+    # dtab: array<array<double>> — dtab[m+1][c+1] = ||q_sub_m - cent||^2
+    rows = []
+    for j in range(m):
+        cells = []
+        for c in range(ks):
+            sub = f"slice({vec_col}, {j * dsub + 1}, {dsub})"
+            cells.append(_SQDIST.format(a=sub, b=_lit_arr(codebooks[j][c])))
+        rows.append("array(" + ", ".join(cells) + ")")
+    dtab = F.expr("array(" + ", ".join(rows) + ")")
+
+    q = queries.select(F.col(id_col).alias("qid"), dtab.alias("dtab"))
+    score = F.expr(
+        "aggregate(zip_with(codes, dtab, (c, row) -> element_at(row, CAST(c AS INT) + 1)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("nid").asc())
+    return (
+        F.broadcast(q)
+        .crossJoin(codes.select(F.col(id_col).alias("nid"), "codes"))
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", score.alias("adist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("qid", "nid", "rnk", F.floor(F.col("adist") * 1000000.0).cast("bigint").alias("adist_e6"))
+    )

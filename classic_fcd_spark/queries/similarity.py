@@ -403,10 +403,14 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Trained-codebook IVF (unregistered bench workload): the full production
-# path — spherical k-means training + cell-probe search.  The registered
-# ann_ivf_search keeps a deterministic codebook so its DuckDB oracle is
-# exact; this variant exercises the trainer end-to-end at bench scale.
+# path — spherical k-means training + multi-probe cell search.  The
+# registered ann_ivf_search keeps a deterministic codebook so its DuckDB
+# oracle is exact; this variant exercises the trainer end-to-end at
+# bench scale.
 # ---------------------------------------------------------------------------
+_NPROBE = 4  # Faiss's nprobe: cells probed per query
+
+
 def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from classic_fcd_spark.operators.similarity import kmeans_train
 
@@ -417,6 +421,11 @@ def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from classic_fcd_spark.operators.similarity import cosine_sql
 
+    # argmax by cosine: max over (cos, cid) structs, then the winner's
+    # cid.  (r4 fix: this read max("sc.cid") — the largest cid outright —
+    # which silently assigned every vector to cell k-1, turning the
+    # "trained" probe into a one-cell brute-force scan whose perfect
+    # recall was an artifact.)
     assigned = (
         emb.crossJoin(F.broadcast(cdf))
         .select(
@@ -425,20 +434,86 @@ def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.expr(cosine_sql("embedding", "ce")).alias("cos"), "cid").alias("sc"),
         )
         .groupBy("vec_id", "embedding")
-        .agg(F.max("sc.cid").alias("cell"))
+        .agg(F.max("sc").alias("best"))
+        .select("vec_id", "embedding", F.col("best.cid").alias("cell"))
     )
-    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell"
+    # query side probes its top-NPROBE cells (the Faiss nprobe dial): one
+    # cell is too coarse on this corpus — nearest neighbors at cos≈0.45
+    # sit near cell boundaries, measured recall@5 0.28 with nprobe=1
+    # after the argmax fix; nprobe=4 of 16 cells recovers the boundary
+    # misses for 4x probe volume (same recall/cost dial as LSH's (k, L))
+    probe_w = Window.partitionBy("qid").orderBy(
+        F.col("qsc.cos").desc(), F.col("qsc.cid").asc()
+    )
+    q = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.struct(F.expr(cosine_sql("embedding", "ce")).alias("cos"), "cid").alias("qsc"),
+        )
+        .withColumn("prk", F.row_number().over(probe_w))
+        .filter(F.col("prk") <= _NPROBE)
+        .select("qid", "qe", F.col("qsc.cid").alias("cell"))
     )
     scored = (
         F.broadcast(q)
         .join(assigned.select(F.col("vec_id").alias("nid"), "embedding", "cell"), "cell")
         .filter(F.col("nid") != F.col("qid"))
         .select("qid", "nid", cosine("qe", "embedding").alias("cos"))
+        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "nid", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ / ADC search (unregistered bench workload + in-test contracts): the
+# Faiss-style product-quantization path — 32x storage compression (64
+# float32 -> 8 codes) with asymmetric-distance scoring, the design that
+# carries ANN past the point where even int8 vectors are too big to scan.
+# Gate: numpy-reference equivalence + recall contract in tests/test_pq.py
+# (training is iterative, so no SQL oracle — the driver registry row
+# stays with the deterministic-codebook ann_ivf_search).
+# ---------------------------------------------------------------------------
+_PQ_SHORTLIST = 50  # ADC candidates refined with exact distances per query
+
+
+def ann_pq_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist + exact refine (Faiss IndexRefineFlat pattern): the
+    compressed codes rank a SHORTLIST (top-50 by table-lookup distance —
+    the scan that touches only M bytes/vector), then exact cosine
+    re-ranks the shortlist to top-k.  Raw vectors are fetched for
+    0.1% of the corpus instead of all of it — the refine join is
+    id-equi, candidate-bounded."""
+    from classic_fcd_spark.operators.similarity import (
+        pq_adc_search,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    books, _ = pq_train(emb, m=8, ks=16, n_iter=3)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    shortlist = pq_adc_search(
+        queries, codes, books, top_k=_PQ_SHORTLIST
+    ).select("qid", "nid")
+    qe = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ce = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    refined = (
+        shortlist.join(F.broadcast(qe), "qid")
+        .join(ce, "nid")
+        .select("qid", "nid", cosine("qe", "embedding").alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        refined.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("qid", "nid", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
     )

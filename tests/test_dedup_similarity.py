@@ -166,6 +166,9 @@ class TestKMeansCodebook:
         cdf = spark.createDataFrame(
             [(cid, c) for cid, c in enumerate(cents)], ["cid", "ce"]
         )
+        # argmax by cosine (max over (cos, cid) structs then .cid — NOT
+        # max("sc.cid"), which reads the largest cid outright and made
+        # this purity check vacuous before r4)
         best = (
             emb.crossJoin(F.broadcast(cdf))
             .select(
@@ -174,10 +177,14 @@ class TestKMeansCodebook:
                 F.struct(F.expr(cosine_sql("embedding", "ce")).alias("cos"), "cid").alias("sc"),
             )
             .groupBy("vec_id", "truth")
-            .agg(F.max("sc.cid").alias("cell"))
+            .agg(F.max("sc").alias("best"))
+            .select("vec_id", "truth", F.col("best.cid").alias("cell"))
         )
         purity = best.groupBy("truth").agg(F.countDistinct("cell").alias("n")).collect()
         assert all(r["n"] == 1 for r in purity)
+        # and the three planted groups must occupy three DISTINCT cells
+        assigned = best.select("truth", "cell").distinct().collect()
+        assert len({r["cell"] for r in assigned}) == 3, assigned
 
 
 class TestBandedPairRecall:
