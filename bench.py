@@ -62,6 +62,7 @@ HEADLINE = [
     "revenue_by_nation",
     "simhash_docs",
     "ann_lsh_buckets",
+    "incremental_dedup",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -83,6 +84,34 @@ def _extra_workloads():
         ann_topk_bruteforce,
     )
 
+    def incremental_dedup(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.dedup import (
+            banded_signatures,
+            incremental_near_dups,
+            word_shingles,
+            ws_tokens,
+        )
+        from classic_fcd_spark.session import load_tables
+
+        from classic_fcd_spark.session import scoped_persist
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        split = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+        # the shingle table feeds the band build AND both verify sides —
+        # persist it once (same reasoning as minhash_lsh_near_dups)
+        sh = scoped_persist(
+            docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .filter(F.size(ws_tokens("text")) >= 3)
+            .select("doc_id", word_shingles("text").alias("shingles")),
+            "bench:incremental_dedup:shingles",
+        )
+        index_docs = sh.filter(F.col("doc_id") < split)
+        new_docs = sh.filter(F.col("doc_id") >= split)
+        banded = banded_signatures(index_docs, "doc_id", "shingles")
+        return incremental_near_dups(new_docs, banded, index_docs, "doc_id", "shingles")
+
     return {
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
@@ -90,6 +119,7 @@ def _extra_workloads():
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_ivf_search_trained": ann_ivf_search_trained,
         "ann_pq_search_trained": ann_pq_search_trained,
+        "incremental_dedup": incremental_dedup,
     }
 
 

@@ -161,18 +161,18 @@ def minhash_sig_table(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     docs: DataFrame,
     id_col: str,
     shingle_col: str,
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """(i, j) candidate pairs sharing ≥1 LSH band, i < j, distinct.
-
-    Shuffles on the band hash (skew-safe: bucket sizes are bounded by
-    collision rate); never materializes the n² pair space.
-    """
+    """(id, band, bh) LSH band table — the thing a production corpus
+    STORES at ingest time: ~bands rows x ~50 bytes per doc (~1% of corpus
+    size), partitionable by (band, bh), and sufficient to answer both
+    batch self-dedup (lsh_candidate_pairs) and new-batch-vs-corpus
+    probes (incremental_near_dups) without touching raw text."""
     rows_per_band = num_hashes // bands
     sig = minhash_sig_table(docs, id_col, shingle_col, num_hashes)
     band_structs = [
@@ -187,9 +187,24 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, "b.band", "b.bh")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(i, j) candidate pairs sharing ≥1 LSH band, i < j, distinct.
+
+    Shuffles on the band hash (skew-safe: bucket sizes are bounded by
+    collision rate); never materializes the n² pair space.
+    """
+    banded = banded_signatures(docs, id_col, shingle_col, num_hashes, bands)
     # The self-join would otherwise recompute the signatures on BOTH
     # branches; persist the (tiny: bands rows/doc, ~50 bytes/row) banded
     # table so they are computed exactly once.  At 100 TB banded is
@@ -624,4 +639,76 @@ def remove_common_paragraphs(
         docs.join(rebuilt, id_col, "left")
         .withColumn(text_col, F.coalesce("__clean", F.lit("")))
         .drop("__clean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs stored corpus index.  At 100 TB you do
+# not re-dedup the whole corpus per ingest — you probe the increment
+# against the banded signature table the corpus already stores
+# (banded_signatures above).  Cost: O(|new batch| + band collisions);
+# the corpus side contributes only its (id, band, bh) index rows and the
+# raw shingles of the CANDIDATES (id-equi semi-joined, bounded by the
+# collision count) — never a corpus self-join, never full corpus text.
+# ---------------------------------------------------------------------------
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index_banded: DataFrame,
+    index_docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(new_id, dup_of, inter, uni, jaccard) for new docs whose Jaccard
+    vs some indexed doc reaches `threshold`.
+
+    `index_banded` is the stored (id, band, bh) table from
+    banded_signatures (recompute it for tests; read it for production).
+    Ids must be globally unique across batch and index (true of any
+    ingest pipeline with monotone ids).  Exactly the pairs the full-batch
+    minhash path would emit across the split — proven by the equivalence
+    test in tests/test_incremental_dedup.py."""
+    new_banded = banded_signatures(new_docs, id_col, shingle_col, num_hashes, bands)
+    cand = (
+        new_banded.alias("n")
+        .join(
+            index_banded.alias("x"),
+            (F.col("n.band") == F.col("x.band")) & (F.col("n.bh") == F.col("x.bh")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"x.{id_col}").alias("dup_of"),
+        )
+        .distinct()
+    )
+    # exact verify on candidates only: the index side is semi-joined down
+    # to candidate ids BEFORE its shingles are exploded, so corpus text
+    # is touched in proportion to collisions, not corpus size
+    idx_cand = index_docs.join(
+        cand.select(F.col("dup_of").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    ex_new = new_docs.select(F.col(id_col).alias("new_id"), F.explode(shingle_col).alias("s"))
+    ex_idx = idx_cand.select(F.col(id_col).alias("dup_of"), F.explode(shingle_col).alias("s"))
+    inter = (
+        cand.join(ex_new, "new_id")
+        .join(ex_idx, ["dup_of", "s"])
+        .groupBy("new_id", "dup_of")
+        .agg(F.count("*").alias("inter"))
+    )
+    n_new = new_docs.select(F.col(id_col).alias("new_id"), F.size(shingle_col).alias("na"))
+    n_idx = idx_cand.select(F.col(id_col).alias("dup_of"), F.size(shingle_col).alias("nb"))
+    uni = (F.col("na") + F.col("nb")).cast("long") - F.col("inter")
+    return (
+        inter.join(n_new, "new_id")
+        .join(n_idx, "dup_of")
+        .select(
+            "new_id",
+            "dup_of",
+            "inter",
+            uni.alias("uni"),
+            (F.col("inter").cast("double") / uni.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
