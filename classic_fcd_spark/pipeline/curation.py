@@ -40,14 +40,19 @@ def curate_corpus(
     pack_budget: int = 512,
     bench: DataFrame | None = None,
     decon_ngram: int = 13,
+    index_docs: DataFrame | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → packed training
     rows (doc_id, source, n_tokens, bin_id, offset, spans_boundary,
     stage column dropped).  Lazy end to end; call curation_stats for the
     per-stage funnel.  Pass `bench` (an eval-set DataFrame with a text
-    column) to add benchmark decontamination as a drop stage."""
+    column) to add benchmark decontamination as a drop stage; pass
+    `index_docs` (already-ingested corpus, ids disjoint from the batch)
+    to drop batch docs that near-duplicate it — the incremental-ingest
+    shape (operators.dedup.incremental_near_dups)."""
     staged = _with_stages(
-        docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench, decon_ngram
+        docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
+        decon_ngram, index_docs,
     )
     kept = staged.filter(F.col("__stage") == "kept")
     packed = pack_concat_and_cut(
@@ -68,6 +73,7 @@ def _with_stages(
     sample_rates: dict[str, float] | None,
     bench: DataFrame | None = None,
     decon_ngram: int = 13,
+    index_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Tag every document with the FIRST stage that drops it (or 'kept').
 
@@ -135,12 +141,38 @@ def _with_stages(
         out = out.join(decon, "doc_id", "left")
     else:
         out = out.withColumn("contaminated", F.lit(False))
+    if index_docs is not None:
+        # incremental ingest: batch docs near-duplicating the ALREADY
+        # INGESTED corpus are dropped before intra-batch dedup — the
+        # index side contributes only its band table + candidate
+        # shingles (see operators.dedup.incremental_near_dups)
+        from classic_fcd_spark.operators.dedup import (
+            banded_signatures,
+            incremental_near_dups,
+        )
+
+        batch_sh = base.filter(F.size(ws_tokens("text")) >= 3).select(
+            "doc_id", word_shingles("text").alias("shingles")
+        )
+        idx_sh = index_docs.filter(F.size(ws_tokens("text")) >= 3).select(
+            "doc_id", word_shingles("text").alias("shingles")
+        )
+        idx_banded = banded_signatures(idx_sh, "doc_id", "shingles")
+        index_dups = incremental_near_dups(
+            batch_sh, idx_banded, idx_sh, "doc_id", "shingles"
+        ).select(F.col("new_id").alias("doc_id")).distinct()
+        out = out.join(
+            index_dups.withColumn("index_dup", F.lit(True)), "doc_id", "left"
+        )
+    else:
+        out = out.withColumn("index_dup", F.lit(False))
     out = out.withColumn(
         "__stage",
         F.when(q < min_quality, "drop:quality")
         .when(~lang_ok, "drop:lang")
         .when(~rep_ok, "drop:repetition")
         .when(F.col("contaminated"), "drop:contaminated")
+        .when(F.coalesce("index_dup", F.lit(False)), "drop:index_dup")
         .when(~F.col("exact_keep"), "drop:exact_dup")
         # nodes absent from the pair graph have no cc row -> keepers
         .when(~F.coalesce("near_keep", F.lit(True)), "drop:near_dup")
@@ -158,11 +190,13 @@ def curation_stats(
     sample_rates: dict[str, float] | None = None,
     bench: DataFrame | None = None,
     decon_ngram: int = 13,
+    index_docs: DataFrame | None = None,
 ) -> DataFrame:
     """The funnel: documents and tokens dropped per stage — what a
     data-mix owner reviews before a training run."""
     staged = _with_stages(
-        docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench, decon_ngram
+        docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
+        decon_ngram, index_docs,
     )
     return (
         staged.groupBy("__stage")
