@@ -118,3 +118,54 @@ def time_weighted_avg(
             (F.sum(F.col(value_col) * F.col("__dur")) / F.sum("__dur")).alias(out_col)
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Gap-based sessionization: events of a key belong to one session
+    until a silence longer than `gap_seconds` starts a new one — the
+    standard web/product-analytics operator (and the batch twin of
+    Structured Streaming's session_window, which this engine would use
+    on the live path).
+
+    Formulation: is_new = (ts - lag(ts)) > gap; session ordinal =
+    running SUM of is_new per key — two stacked windows over ONE
+    partitioning/ordering, so Catalyst plans a single sort + a single
+    shuffle on the key.  Output adds `session_id` (ordinal within key,
+    0-based): deterministic, join-backable onto the input row.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col, 1).over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > int(gap_seconds) * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        (F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast(
+            "long"
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Per-session rollup over sessionize: (key, session_id, start, end,
+    n_events, duration_secs) — one extra map-side-combining aggregate on
+    (key, session_id)."""
+    s = sessionize(df, key_cols, ts_col, gap_seconds)
+    return s.groupBy(*key_cols, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / 1_000_000.0
+        ).alias("duration_secs"),
+    )

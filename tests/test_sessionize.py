@@ -1,0 +1,102 @@
+"""Sessionization contracts (operators/windows.py sessionize/session_stats).
+
+Gates: DuckDB oracle over the driver's events table (same lag+cumsum
+formulation recomputed independently in SQL), hand-pinned gap semantics,
+and a single-shuffle plan assert (both windows must share one
+partitioning)."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from tests.conftest import SF_SMALL
+
+
+def _ts(s):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+class TestSessionize:
+    def test_gap_semantics_pinned(self, spark):
+        from classic_fcd_spark.operators.windows import sessionize
+
+        rows = [(1, _ts(0)), (1, _ts(100)), (1, _ts(401)), (1, _ts(500)), (2, _ts(0))]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r["user_id"], r["ts"]): r["session_id"]
+            for r in sessionize(df, ["user_id"], "ts", 300).collect()
+        }
+        # gap of exactly 300s does NOT split (strictly-greater); 301s does
+        assert got[(1, _ts(0))] == 0
+        assert got[(1, _ts(100))] == 0  # 100s gap
+        assert got[(1, _ts(401))] == 1  # 301s gap > 300 -> new session
+        assert got[(1, _ts(500))] == 1
+        assert got[(2, _ts(0))] == 0  # fresh key restarts ordinals
+
+    def test_exact_gap_does_not_split(self, spark):
+        from classic_fcd_spark.operators.windows import sessionize
+
+        df = spark.createDataFrame(
+            [(1, _ts(0)), (1, _ts(300))], "user_id long, ts timestamp"
+        )
+        got = {r["ts"]: r["session_id"] for r in sessionize(df, ["user_id"], "ts", 300).collect()}
+        assert got[_ts(300)] == 0
+
+    def test_matches_duckdb_oracle_on_events(self, spark):
+        from classic_fcd_spark.operators.windows import session_stats
+        from classic_fcd_spark.session import load_tables
+
+        ev = load_tables(spark, SF_SMALL)["events"].select("user_id", "ts")
+        gap = 600
+        got = {
+            (r["user_id"], r["session_id"]): (
+                str(r["session_start"]),
+                str(r["session_end"]),
+                r["n_events"],
+            )
+            for r in session_stats(ev, ["user_id"], "ts", gap).collect()
+        }
+        con = duckdb.connect()
+        expected = {
+            (r[0], r[1]): (str(r[2]), str(r[3]), r[4])
+            for r in con.sql(
+                f"""
+                WITH ev AS (
+                    SELECT user_id, ts,
+                           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts) AS gap_us
+                    FROM read_parquet('{SF_SMALL}/events.parquet')
+                ),
+                tagged AS (
+                    SELECT user_id, ts,
+                           SUM(CASE WHEN gap_us IS NULL OR gap_us > {gap} * 1000000
+                                    THEN 1 ELSE 0 END) OVER (
+                               PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                    FROM ev
+                )
+                SELECT user_id, session_id, MIN(ts), MAX(ts), COUNT(*)
+                FROM tagged GROUP BY 1, 2
+                """
+            ).fetchall()
+        }
+        assert got == expected
+        assert len(got) > 0
+
+    def test_single_shuffle_plan(self, spark):
+        from classic_fcd_spark.operators.windows import sessionize
+        from classic_fcd_spark.session import load_tables
+
+        ev = load_tables(spark, SF_SMALL)["events"].select("user_id", "ts")
+        plan = (
+            sessionize(ev, ["user_id"], "ts", 600)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # both window expressions must share one partitioning: exactly
+        # one hash exchange in the plan (plus none hidden as BNLJ)
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan
