@@ -137,6 +137,12 @@ def sessionize(
     partitioning/ordering, so Catalyst plans a single sort + a single
     shuffle on the key.  Output adds `session_id` (ordinal within key,
     0-based): deterministic, join-backable onto the input row.
+
+    Boundary convention matches Structured Streaming's session_window
+    (verified empirically in tests/test_sessionize.py): an event arriving
+    EXACTLY `gap_seconds` after the previous one still MERGES into the
+    session — only a strictly longer silence splits — so the batch and
+    streaming twins compute identical sessions.
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
     gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col, 1).over(w))

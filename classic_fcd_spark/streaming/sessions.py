@@ -1,0 +1,92 @@
+"""Streaming sessionization: the live twin of operators.windows.sessionize.
+
+Structured Streaming has a native session_window (gap-merging event-time
+windows with watermark-driven state eviction); the batch operator and
+this stream compute the SAME sessions — proven by the equivalence test
+in tests/test_sessionize.py — so a pipeline can backfill with the batch
+path and serve live with this one, the same batch/stream duality the
+minute rollup uses (streaming/minute_pipeline.py).
+
+State size is bounded by open sessions x keys; the watermark closes
+sessions `gap + watermark` after their last event and evicts them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def session_stats_stream(
+    spark: SparkSession,
+    events_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Unbound per-session aggregate plan over a file-source stream
+    (caller attaches the sink) — same output columns as the batch
+    session_stats.
+
+    Session-window aggregation supports APPEND output only: a session
+    row is emitted once, when the watermark passes its end — so the sink
+    sees each session exactly once, closed.  One file per micro-batch so
+    the watermark advances between files like live ingestion."""
+    from classic_fcd_spark.session import normalize_event_time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    src = normalize_event_time(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("w"),
+            *key_cols,
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("w.start").alias("session_start"),
+            # session_window's end = last event + gap; subtract the gap to
+            # report the LAST EVENT time like the batch session_stats
+            (
+                F.col("w.end").cast("timestamp")
+                - F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+            ).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_stats_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 600,
+) -> list:
+    """Drain all available files (availableNow) and return the final
+    session rows — the backfill/catch-up path."""
+    plan = session_stats_stream(
+        spark, events_dir, key_cols, ts_col, gap_seconds
+    )
+    sink: list = []
+
+    def collect(batch_df: DataFrame, batch_id: int) -> None:
+        sink.extend(batch_df.collect())
+
+    q = (
+        plan.writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink

@@ -28,14 +28,19 @@ class TestSessionize:
             (r["user_id"], r["ts"]): r["session_id"]
             for r in sessionize(df, ["user_id"], "ts", 300).collect()
         }
-        # gap of exactly 300s does NOT split (strictly-greater); 301s does
+        # session_window convention (empirical): exact-gap arrivals
+        # MERGE; only strictly longer silences split
         assert got[(1, _ts(0))] == 0
         assert got[(1, _ts(100))] == 0  # 100s gap
         assert got[(1, _ts(401))] == 1  # 301s gap > 300 -> new session
         assert got[(1, _ts(500))] == 1
         assert got[(2, _ts(0))] == 0  # fresh key restarts ordinals
 
-    def test_exact_gap_does_not_split(self, spark):
+    def test_exact_gap_merges_like_session_window(self, spark):
+        """An event exactly `gap` after the previous one MERGES into the
+        session — Structured Streaming's session_window does the same
+        (the equivalence test below covers the chained case), so the
+        batch and streaming twins agree at the boundary."""
         from classic_fcd_spark.operators.windows import sessionize
 
         df = spark.createDataFrame(
@@ -100,3 +105,52 @@ class TestSessionize:
         # one hash exchange in the plan (plus none hidden as BNLJ)
         assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_streaming_twin_agrees_with_batch(self, spark, tmp_path):
+        """The Structured Streaming session_window path must produce the
+        SAME sessions (start, end=last event, count) as the batch
+        operator over identical data — the backfill/live duality."""
+        from classic_fcd_spark.operators.windows import session_stats
+        from classic_fcd_spark.streaming.sessions import (
+            run_session_stats_available_now,
+        )
+
+        rows = [
+            (1, _ts(0)), (1, _ts(100)), (1, _ts(700)), (1, _ts(720)),
+            (2, _ts(0)), (2, _ts(599)), (2, _ts(1199)),  # chained: one session
+            (3, _ts(0)), (3, _ts(600)),  # exact gap: merges
+            (4, _ts(0)), (4, _ts(601)),  # gap > 600: splits
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        events_dir = str(tmp_path / "events")
+        df.coalesce(1).write.parquet(events_dir)
+        # sentinel file (separate micro-batch): one far-future event per
+        # the watermark's GLOBAL clock, so every real session closes and
+        # append mode emits it; excluded from the comparison below
+        spark.createDataFrame(
+            [(99, _ts(10_000_000))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+        batch = {
+            (r["user_id"], str(r["session_start"])): (
+                str(r["session_end"]),
+                r["n_events"],
+            )
+            for r in session_stats(
+                spark.read.parquet(events_dir), ["user_id"], "ts", 600
+            ).collect()
+            if r["user_id"] != 99
+        }
+        streamed = {
+            (r["user_id"], str(r["session_start"])): (
+                str(r["session_end"]),
+                r["n_events"],
+            )
+            for r in run_session_stats_available_now(
+                spark, events_dir, str(tmp_path / "ckpt"), ["user_id"], gap_seconds=600
+            )
+            if r["user_id"] != 99
+        }
+        assert streamed == batch
+        # users 1-3 each one merged session; user 4 splits into two
+        assert len(batch) == 5
