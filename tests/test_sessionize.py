@@ -154,3 +154,43 @@ class TestSessionize:
         assert streamed == batch
         # users 1-3 each one merged session; user 4 splits into two
         assert len(batch) == 5
+
+    def test_streaming_restart_resumes_from_checkpoint(self, spark, tmp_path):
+        """T2 shape for sessions: a second availableNow run with the same
+        checkpoint processes ONLY newly-arrived files — already-emitted
+        sessions do not re-emit, later events keep forming sessions."""
+        from classic_fcd_spark.streaming.sessions import (
+            run_session_stats_available_now,
+        )
+
+        events_dir = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [(1, _ts(0)), (1, _ts(100))], "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(events_dir)
+        # flush sentinel closes the first session
+        spark.createDataFrame(
+            [(99, _ts(100_000))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+        first = run_session_stats_available_now(
+            spark, events_dir, ckpt, ["user_id"], gap_seconds=600
+        )
+        got1 = {(r["user_id"], str(r["session_start"])) for r in first}
+        assert (1, str(_ts(0))) in got1
+
+        # new data arrives; a later flush closes it
+        spark.createDataFrame(
+            [(2, _ts(200_000)), (2, _ts(200_100))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+        spark.createDataFrame(
+            [(99, _ts(300_000))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+        second = run_session_stats_available_now(
+            spark, events_dir, ckpt, ["user_id"], gap_seconds=600
+        )
+        got2 = {(r["user_id"], str(r["session_start"])): r["n_events"] for r in second}
+        # user 1's session was emitted in run 1 and must NOT re-emit
+        assert (1, str(_ts(0))) not in got2
+        assert got2.get((2, str(_ts(200_000)))) == 2
