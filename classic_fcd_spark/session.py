@@ -40,6 +40,13 @@ _DEFAULTS = {
     # type for; read as long and convert in load_tables (truncate to µs,
     # matching DuckDB's ns→µs cast semantics).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark's write default is still legacy INT96 timestamps, which carry
+    # NO parquet min/max statistics — every timestamp predicate then
+    # reads every row group, silently disabling the row-group pruning the
+    # time layout exists for (proven in tests/test_layout.py).  Standard
+    # µs timestamps get full stats and are what every other reader
+    # (DuckDB, pyarrow) expects.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
     # The engine compiles many large generated classes (wide aggregates,
