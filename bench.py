@@ -63,6 +63,8 @@ HEADLINE = [
     "simhash_docs",
     "ann_lsh_buckets",
     "incremental_dedup",
+    "sessionized_events",
+    "interval_joined_events",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -84,6 +86,38 @@ def _extra_workloads():
         ann_topk_bruteforce,
     )
 
+    def sessionized_events(spark, sf_dir):
+        from classic_fcd_spark.operators.windows import session_stats
+        from classic_fcd_spark.session import load_tables
+
+        ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts")
+        return session_stats(ev, ["user_id"], "ts", 600)
+
+    def interval_joined_events(spark, sf_dir):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.rangejoin import interval_join
+        from classic_fcd_spark.session import load_tables
+
+        ev = load_tables(spark, sf_dir)["events"].select("event_id", "ts")
+        lo = ev.agg(F.min("ts")).collect()[0][0]
+        base = int(lo.replace(tzinfo=datetime.timezone.utc).timestamp())
+        epoch = datetime.datetime(1970, 1, 1)
+        iv = spark.createDataFrame(
+            [
+                (
+                    j,
+                    epoch + datetime.timedelta(seconds=base + j * 7200),
+                    epoch + datetime.timedelta(seconds=base + j * 7200 + 3600),
+                )
+                for j in range(200)
+            ],
+            "iv_id long, start timestamp, end timestamp",
+        )
+        return interval_join(ev, "ts", iv, "start", "end", 1800)
+
     def incremental_dedup(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -93,9 +127,7 @@ def _extra_workloads():
             word_shingles,
             ws_tokens,
         )
-        from classic_fcd_spark.session import load_tables
-
-        from classic_fcd_spark.session import scoped_persist
+        from classic_fcd_spark.session import load_tables, scoped_persist
 
         docs = load_tables(spark, sf_dir)["documents"]
         split = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
@@ -120,6 +152,8 @@ def _extra_workloads():
         "ann_ivf_search_trained": ann_ivf_search_trained,
         "ann_pq_search_trained": ann_pq_search_trained,
         "incremental_dedup": incremental_dedup,
+        "sessionized_events": sessionized_events,
+        "interval_joined_events": interval_joined_events,
     }
 
 
