@@ -239,9 +239,11 @@ _SIMHASH_K = 1  # 4 byte-bands guarantee recall up to hamming <= 3 (pigeonhole);
 # hundreds of thousands of hamming<=1 false-kin pairs (see simhash_docs).
 
 
-@register(
-    "simhash_near_dups",
-    f"""
+# Oracle retained for the in-test DuckDB gate (tests/test_dedup_similarity.py):
+# r5 rotated the driver slot to incremental_dedup — `near_dup_groups` already
+# re-proves this exact banding inside its gated plan (it builds its edges from
+# these simhash pairs), so a separate driver row was a pattern-twin.
+SIMHASH_ORACLE_SQL = f"""
     WITH {duck_simhash32_cte(_SH, f"documents WHERE len({_D_TOKS}) >= 3")},
     banded AS (
         -- pure-integer divisors: // on DOUBLE operands does not floor
@@ -256,19 +258,19 @@ _SIMHASH_K = 1  # 4 byte-bands guarantee recall up to hamming <= 3 (pigeonhole);
     )
     SELECT i, j, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_K}
-    """,
-    doc="SimHash near-dup search: the 32-bit fingerprint is split into 4 "
-    "byte bands; two docs within hamming distance {k} of each other "
-    "agree on at least one whole band (pigeonhole), so the band equi-join "
-    "finds EVERY such pair — exact recall, collision-bounded cost, never "
-    "n² (the same banding argument as MinHash-LSH).  Verification is "
-    "bit_count(xor) on the two fingerprints — one long op per candidate. "
-    "Also the SimHash signature gate: the oracle regenerates the "
-    "fingerprints in SQL, so a hash match proves simhash32_table too.".format(
-        k=_SIMHASH_K
-    ),
-)
+    """
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup search: the 32-bit fingerprint is split into 4
+    byte bands; two docs within hamming distance k of each other agree on
+    at least one whole band (pigeonhole), so the band equi-join finds
+    EVERY such pair — exact recall, collision-bounded cost, never n².
+    Verification is bit_count(xor) per candidate.  Driver-gated in
+    r3/r4 (green both rounds); since r5 the slot belongs to
+    incremental_dedup and this is gated by the in-test DuckDB oracle
+    (SIMHASH_ORACLE_SQL) plus `near_dup_groups`, whose gated plan
+    composes these same pairs."""
     from classic_fcd_spark.operators.dedup import simhash_hamming_pairs
 
     docs = load_tables(spark, sf_dir)["documents"]

@@ -111,8 +111,8 @@ _PACK_BUDGET = 512  # tokens per training window
         FROM toks
     )
     SELECT doc_id, source, n_tokens,
-           before // {_PACK_BUDGET} AS bin_id,
-           before % {_PACK_BUDGET} AS tok_offset,
+           CAST(before // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(before % {_PACK_BUDGET} AS BIGINT) AS tok_offset,
            (before % {_PACK_BUDGET}) + n_tokens > {_PACK_BUDGET} AS spans_boundary
     FROM pos
     """,

@@ -53,6 +53,42 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_class(dt) -> str:
+    """Collapse a pandas dtype to the class the driver's value-hash can
+    distinguish: int sizes render identically ("5"), datetime units render
+    identically, but int-vs-float (0 vs 0.0), float32-vs-float64 (precision),
+    and bool-vs-object DO render differently and flip the driver's hash."""
+    kind = dt.kind if hasattr(dt, "kind") else "O"
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return f"float{dt.itemsize * 8}"
+    if kind == "M":
+        return "datetime"
+    if kind == "b":
+        return "bool"
+    return str(dt)
+
+
+def dtype_problems(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Strict pre-coercion dtype check: the driver's value-hash is
+    dtype/rendering-sensitive (r4: DuckDB HUGEINT -> float64 0.0 vs Spark
+    int64 0 hashed differently while values compared equal).  The loose
+    coercing comparator masked exactly that, so local green did not predict
+    driver green; this check closes the gap."""
+    out = []
+    for c in spark_df.columns:
+        if c not in oracle_df.columns:
+            continue
+        sc, oc = _dtype_class(spark_df[c].dtype), _dtype_class(oracle_df[c].dtype)
+        if sc != oc:
+            out.append(
+                f"dtype mismatch col {c}: spark={spark_df[c].dtype} ({sc}) "
+                f"oracle={oracle_df[c].dtype} ({oc}) — driver hash would differ"
+            )
+    return out
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
@@ -60,6 +96,7 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
             f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
         )
         return problems
+    problems.extend(dtype_problems(spark_df, oracle_df))
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count differs: spark={len(spark_df)} oracle={len(oracle_df)}")
     s, o = normalize(spark_df), normalize(oracle_df)
