@@ -58,13 +58,14 @@ HEADLINE = [
     "fcd_swap_volume",
     "fcd_rewards_converted",
     "fcd_proposals",
+    # registered in r5 (driver-gated slot rotation)
+    "incremental_dedup",
+    "interval_joined_events",
+    "sessionized_events",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
     "simhash_docs",
     "ann_lsh_buckets",
-    "incremental_dedup",
-    "sessionized_events",
-    "interval_joined_events",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -78,82 +79,33 @@ def _extra_workloads():
     folded in r3) but still benched: the multi-way TPC-H join and the
     signature/bucket projections."""
     from classic_fcd_spark.queries.core import revenue_by_nation
-    from classic_fcd_spark.queries.dedup import simhash_docs
+
+    # r5 slot rotation: incremental_dedup / interval_joined_events /
+    # sessionized_events are now REGISTERED (driver-gated) queries —
+    # resolved via query_fn_map like the rest.  simhash_near_dups and the
+    # individual ann_lsh_search / ann_ivf_search rotated the other way
+    # (driver slots -> in-test oracles / merged `ann_search` row) but
+    # keep their per-workload bench timings here.
+    from classic_fcd_spark.queries.dedup import simhash_docs, simhash_near_dups
     from classic_fcd_spark.queries.similarity import (
+        ann_ivf_search,
         ann_ivf_search_trained,
         ann_lsh_buckets,
+        ann_lsh_search,
         ann_pq_search_trained,
         ann_topk_bruteforce,
     )
 
-    def sessionized_events(spark, sf_dir):
-        from classic_fcd_spark.operators.windows import session_stats
-        from classic_fcd_spark.session import load_tables
-
-        ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts")
-        return session_stats(ev, ["user_id"], "ts", 600)
-
-    def interval_joined_events(spark, sf_dir):
-        import datetime
-
-        from pyspark.sql import functions as F
-
-        from classic_fcd_spark.operators.rangejoin import interval_join
-        from classic_fcd_spark.session import load_tables
-
-        ev = load_tables(spark, sf_dir)["events"].select("event_id", "ts")
-        lo = ev.agg(F.min("ts")).collect()[0][0]
-        base = int(lo.replace(tzinfo=datetime.timezone.utc).timestamp())
-        epoch = datetime.datetime(1970, 1, 1)
-        iv = spark.createDataFrame(
-            [
-                (
-                    j,
-                    epoch + datetime.timedelta(seconds=base + j * 7200),
-                    epoch + datetime.timedelta(seconds=base + j * 7200 + 3600),
-                )
-                for j in range(200)
-            ],
-            "iv_id long, start timestamp, end timestamp",
-        )
-        return interval_join(ev, "ts", iv, "start", "end", 1800)
-
-    def incremental_dedup(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from classic_fcd_spark.operators.dedup import (
-            banded_signatures,
-            incremental_near_dups,
-            word_shingles,
-            ws_tokens,
-        )
-        from classic_fcd_spark.session import load_tables, scoped_persist
-
-        docs = load_tables(spark, sf_dir)["documents"]
-        split = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
-        # the shingle table feeds the band build AND both verify sides —
-        # persist it once (same reasoning as minhash_lsh_near_dups)
-        sh = scoped_persist(
-            docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-            .filter(F.size(ws_tokens("text")) >= 3)
-            .select("doc_id", word_shingles("text").alias("shingles")),
-            "bench:incremental_dedup:shingles",
-        )
-        index_docs = sh.filter(F.col("doc_id") < split)
-        new_docs = sh.filter(F.col("doc_id") >= split)
-        banded = banded_signatures(index_docs, "doc_id", "shingles")
-        return incremental_near_dups(new_docs, banded, index_docs, "doc_id", "shingles")
-
     return {
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
+        "simhash_near_dups": simhash_near_dups,
         "ann_lsh_buckets": ann_lsh_buckets,
+        "ann_lsh_search": ann_lsh_search,
+        "ann_ivf_search": ann_ivf_search,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_ivf_search_trained": ann_ivf_search_trained,
         "ann_pq_search_trained": ann_pq_search_trained,
-        "incremental_dedup": incremental_dedup,
-        "sessionized_events": sessionized_events,
-        "interval_joined_events": interval_joined_events,
     }
 
 

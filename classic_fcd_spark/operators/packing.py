@@ -49,7 +49,10 @@ def pack_concat_and_cut(
     ).cast("long")
     return (
         df.withColumn("__before", before)
-        .withColumn("bin_id", (F.col("__before") / budget).cast("long"))
+        # integer `div`, not double `/` + cast: double division is exact
+        # only below 2^53 tokens per shard — a bound a 100 TB shard can
+        # actually approach; `div` stays in long arithmetic at any size
+        .withColumn("bin_id", F.expr(f"__before div {int(budget)}"))
         .withColumn("offset", F.col("__before") % budget)
         .withColumn(
             "spans_boundary",

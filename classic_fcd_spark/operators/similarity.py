@@ -303,6 +303,16 @@ def pq_train(
         .select("m", (F.col("rk") - 1).alias("cid"), "sv")
         .collect()
     )
+    # every subspace has one row per corpus vector, so seeds come in
+    # complete groups of len(seeds)/m; fail fast on a corpus smaller
+    # than ks rather than let a None centroid poison the distance round
+    # (null distances win F.min over structs → silent training corruption)
+    n_seeded = len(seeds) // m
+    if n_seeded < ks:
+        raise ValueError(
+            f"pq_train needs >= ks={ks} corpus rows to seed each subspace; "
+            f"got {n_seeded} (pass a smaller ks or a bigger corpus)"
+        )
     books: list[list[list[float]]] = [[None] * ks for _ in range(m)]
     for r in seeds:
         books[r["m"]][r["cid"]] = [float(x) for x in r["sv"]]

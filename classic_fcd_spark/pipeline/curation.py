@@ -98,10 +98,40 @@ def _with_stages(
         "doc_id", (F.col("doc_id") == F.col("keeper")).alias("exact_keep")
     )
 
+    # incremental ingest: batch docs near-duplicating the ALREADY INGESTED
+    # corpus, computed BEFORE the intra-batch near-dup stage — the index
+    # side contributes only its band table + candidate shingles (see
+    # operators.dedup.incremental_near_dups)
+    index_dups = None
+    if index_docs is not None:
+        from classic_fcd_spark.operators.dedup import (
+            banded_signatures,
+            incremental_near_dups,
+            word_shingles,
+        )
+
+        batch_sh = base.filter(F.size(ws_tokens("text")) >= 3).select(
+            "doc_id", word_shingles("text").alias("shingles")
+        )
+        idx_sh = index_docs.filter(F.size(ws_tokens("text")) >= 3).select(
+            "doc_id", word_shingles("text").alias("shingles")
+        )
+        idx_banded = banded_signatures(idx_sh, "doc_id", "shingles")
+        index_dups = incremental_near_dups(
+            batch_sh, idx_banded, idx_sh, "doc_id", "shingles"
+        ).select(F.col("new_id").alias("doc_id")).distinct()
+
     # near-dup groups over simhash hamming<=k pairs; keeper = min of the
     # connected component (only computed for exact-survivors — the
     # expensive stage sees the smallest input)
     survivors = base.join(exact.filter("exact_keep"), "doc_id", "left_semi")
+    if index_dups is not None:
+        # index dups leave the batch IN FULL before intra-batch dedup:
+        # excluded from the component edges AND from keeper election —
+        # an index dup elected keeper would drop its whole family (its
+        # non-index-dup siblings lose the election, then the keeper
+        # itself is dropped as drop:index_dup)
+        survivors = survivors.join(index_dups, "doc_id", "left_anti")
     # shingle features, matching the gated simhash_near_dups query: on a
     # small-vocabulary corpus unigram sets are near-identical across all
     # docs and the fingerprints collapse into false-kin mega-cliques
@@ -141,26 +171,7 @@ def _with_stages(
         out = out.join(decon, "doc_id", "left")
     else:
         out = out.withColumn("contaminated", F.lit(False))
-    if index_docs is not None:
-        # incremental ingest: batch docs near-duplicating the ALREADY
-        # INGESTED corpus are dropped before intra-batch dedup — the
-        # index side contributes only its band table + candidate
-        # shingles (see operators.dedup.incremental_near_dups)
-        from classic_fcd_spark.operators.dedup import (
-            banded_signatures,
-            incremental_near_dups,
-        )
-
-        batch_sh = base.filter(F.size(ws_tokens("text")) >= 3).select(
-            "doc_id", word_shingles("text").alias("shingles")
-        )
-        idx_sh = index_docs.filter(F.size(ws_tokens("text")) >= 3).select(
-            "doc_id", word_shingles("text").alias("shingles")
-        )
-        idx_banded = banded_signatures(idx_sh, "doc_id", "shingles")
-        index_dups = incremental_near_dups(
-            batch_sh, idx_banded, idx_sh, "doc_id", "shingles"
-        ).select(F.col("new_id").alias("doc_id")).distinct()
+    if index_dups is not None:
         out = out.join(
             index_dups.withColumn("index_dup", F.lit(True)), "doc_id", "left"
         )

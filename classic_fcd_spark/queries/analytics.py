@@ -103,3 +103,124 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_segments") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join — promoted to the driver gate in r5 (the
+# fcd_market_cap slot; that A6/J6 pattern stays driver-green via
+# fcd_rewards_converted).  OSS Spark compiles BETWEEN joins to
+# BroadcastNestedLoopJoin; operators/rangejoin.py bucketizes instead —
+# this row proves the bucket math + residual filter exact against
+# DuckDB's native IEJoin plan for the same predicate.
+# ---------------------------------------------------------------------------
+_IV_N = 200  # intervals: [t0 + j*7200s, t0 + j*7200s + 3600s), j = 0..199
+_IV_STEP = 7200
+_IV_SPAN = 3600
+
+
+@register(
+    "interval_joined_events",
+    f"""
+    WITH base AS (SELECT CAST(min(ts) AS TIMESTAMP) AS t0 FROM events),
+    iv AS (
+        SELECT gs.j AS iv_id,
+               t0 + to_seconds(CAST(gs.j * {_IV_STEP} AS BIGINT)) AS ivstart,
+               t0 + to_seconds(CAST(gs.j * {_IV_STEP} + {_IV_SPAN} AS BIGINT)) AS ivend
+        FROM base, generate_series(0, {_IV_N - 1}) AS gs(j)
+    )
+    SELECT e.event_id AS event_id, iv.iv_id AS iv_id
+    FROM events e JOIN iv ON e.ts >= iv.ivstart AND e.ts < iv.ivend
+    """,
+    doc="Bucketized interval join (events x time-intervals, half-open "
+    "[start,end)): OSS Spark plans a BETWEEN join as BNLJ — O(|events| x "
+    "|intervals|), the scale-killer at 100 TB; operators/rangejoin.py "
+    "quantizes time, explodes each interval over its covered buckets, "
+    "equi-joins on the bucket id (shuffle-partitionable, AQE-skew-"
+    "splittable, broadcastable) and applies the exact predicate as a "
+    "residual filter.  The interval dim is data-derived (t0 = min event "
+    "time, 200 alternating on/off hours); the oracle is DuckDB's native "
+    "IEJoin over the same predicate — an independent algorithm, same "
+    "rows.  Microsecond-exact boundary semantics unit-gated in "
+    "tests/test_rangejoin.py.",
+)
+def interval_joined_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.rangejoin import interval_join
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "ts")
+    # base epoch computed Spark-side in µs (a collected naive datetime
+    # rendered in a non-UTC host tz would shift the whole interval grid)
+    base_us = ev.agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+    us = F.col("id") * (_IV_STEP * 1_000_000) + F.lit(base_us)
+    iv = spark.range(_IV_N).select(
+        F.col("id").alias("iv_id"),
+        F.timestamp_micros(us).alias("ivstart"),
+        F.timestamp_micros(us + _IV_SPAN * 1_000_000).alias("ivend"),
+    )
+    return interval_join(ev, "ts", iv, "ivstart", "ivend", 1800).select(
+        "event_id", "iv_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap sessionization — promoted to the driver gate in r5 (the slot freed
+# by merging the two ANN rows into `ann_search`).  The streaming twin
+# (streaming/sessions.py, native session_window) computes identical
+# sessions — exact batch/stream agreement is unit-gated in
+# tests/test_sessionize.py.
+# ---------------------------------------------------------------------------
+_SESSION_GAP_S = 600
+
+
+@register(
+    "sessionized_events",
+    f"""
+    WITH d AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                            > {_SESSION_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+        FROM d
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS start_str,
+           strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS end_str,
+           COUNT(*) AS n_events,
+           epoch_us(CAST(max(ts) AS TIMESTAMP))
+             - epoch_us(CAST(min(ts) AS TIMESTAMP)) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (600 s silence splits): lag-diff flags "
+    "session starts, a running sum numbers them — two stacked windows "
+    "over ONE (key, ts) partitioning, so Catalyst plans a single sort + "
+    "single shuffle (plan-asserted in tests/test_sessionize.py); the "
+    "rollup is one map-side-combining aggregate on (key, session_id).  "
+    "The standard product-analytics operator; the streaming twin uses "
+    "native session_window with watermark-evicted state and agrees "
+    "exactly (unit-gated).  Boundary convention: an event EXACTLY gap "
+    "seconds after the previous one merges — only strictly longer "
+    "silence splits — matching Structured Streaming.",
+)
+def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.windows import session_stats
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts")
+    st = session_stats(ev, ["user_id"], "ts", _SESSION_GAP_S)
+    return st.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_str"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_str"),
+        "n_events",
+        (
+            F.unix_micros("session_end") - F.unix_micros("session_start")
+        ).alias("duration_us"),
+    )

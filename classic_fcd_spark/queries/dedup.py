@@ -335,3 +335,77 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch probed against the stored corpus signature
+# index — promoted to the driver gate in r5 (the simhash_near_dups slot;
+# near_dup_groups still gates that banding).  The split is data-derived
+# and engine-identical: index = doc_id < max(doc_id) div 2, new = rest —
+# the monotone-id ingest shape (yesterday's corpus vs today's batch).
+# ---------------------------------------------------------------------------
+_INC_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SH} AS shingles
+        FROM documents WHERE len({_D_TOKS}) >= 3
+    ), hashed AS (
+        SELECT doc_id, shingles, {duck_shingle_hashes("shingles")} AS hs FROM sh
+    ), sig AS (
+        SELECT doc_id, shingles, {duck_minhash_from_hashes("hs")} AS sig FROM hashed
+    ), banded AS (
+        SELECT doc_id, b, md5(array_to_string(sig[(b*4+1):(b*4+4)], '|')) AS bh
+        FROM sig, (SELECT unnest([0,1,2,3]) AS b)
+    ), split AS (SELECT max(doc_id) // 2 AS s FROM documents),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, x.doc_id AS dup_of
+        FROM banded n JOIN banded x ON n.b = x.b AND n.bh = x.bh, split
+        WHERE n.doc_id >= s AND x.doc_id < s
+    )
+    SELECT new_id, dup_of,
+           len(list_intersect(a.shingles, b.shingles)) AS inter,
+           len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)) AS uni,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM cand JOIN sh a ON a.doc_id = new_id JOIN sh b ON b.doc_id = dup_of
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+"""
+
+
+@register(
+    "incremental_dedup",
+    _INC_ORACLE,
+    doc="Incremental near-dup dedup: the operator a 100 TB ingest actually "
+    "runs — a new batch probes the corpus's STORED banded signature index "
+    "(never a corpus self-join); corpus text is semi-joined down to band "
+    "collisions before its shingles explode, so cost follows the batch "
+    "size + collision count, not the corpus size.  Split is the monotone-"
+    "id ingest shape: index = doc_id < max div 2, new batch = the rest.  "
+    "Cross-split equivalence to the full-batch MinHash path is unit-gated "
+    "in tests/test_incremental_dedup.py.",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.dedup import (
+        banded_signatures,
+        incremental_near_dups,
+    )
+    from classic_fcd_spark.session import scoped_persist
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    split = docs.agg(F.expr("max(doc_id) div 2")).collect()[0][0]
+    par = spark.sparkContext.defaultParallelism
+    # the shingle table feeds the band build AND both verify sides —
+    # persist one generation (same reasoning as minhash_lsh_near_dups)
+    sh = scoped_persist(
+        docs.repartition(par, "doc_id")
+        .filter(F.size(ws_tokens("text")) >= 3)
+        .select("doc_id", word_shingles("text").alias("shingles")),
+        "incremental_dedup:shingles",
+    )
+    index_docs = sh.filter(F.col("doc_id") < split)
+    new_docs = sh.filter(F.col("doc_id") >= split)
+    banded = banded_signatures(index_docs, "doc_id", "shingles")
+    return incremental_near_dups(new_docs, banded, index_docs, "doc_id", "shingles")

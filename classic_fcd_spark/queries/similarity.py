@@ -108,8 +108,10 @@ def _duck_probe_arm(t: int) -> str:
     """
 
 
-@register(
-    "ann_lsh_search",
+# Oracle for the LSH arm of the merged `ann_search` driver row (r5: the
+# two ANN rows fold into one slot with a `method` column, freeing a slot
+# for sessionized_events; both arms stay fully oracle-gated every round).
+LSH_ORACLE_SQL = (
     "WITH cand AS (\n    "
     + "\n    UNION\n    ".join(_duck_probe_arm(t) for t in range(_N_TABLES))
     + f"""
@@ -127,22 +129,24 @@ def _duck_probe_arm(t: int) -> str:
     )
     SELECT qid, nid, rnk, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
     FROM ranked WHERE rnk <= {_TOP_K}
-    """,
-    doc="ANN multi-table LSH search: 8 independent 4-plane hash tables; "
-    "each query probes its bucket in EVERY table, the probe union is "
-    "deduped, and survivors are re-ranked by exact cosine — recall "
-    "1-(1-p^4)^8: measured 0.62-0.76 @5 on THIS corpus (random vectors, "
-    "weak cos≈0.45 neighbors; the r2 single-table probe measured 0.06) "
-    "and ≥0.99 by the same formula at genuine near-dup thresholds "
-    "cos≥0.85 — see BENCH_NOTES for the (k, L) dial.  All 8 bucket ids "
-    "are computed in one "
-    "projection and exploded, so candidates come from ONE equi-join on "
-    "(table, bucket) — collision-bounded, no shuffle of the corpus "
-    "vectors (ids only), arrays joined back per side.  Also the bucket-"
-    "assignment gate: the oracle recomputes the md5-derived hyperplane "
-    "buckets in SQL.",
+    """
 )
+
+
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN multi-table LSH search: 8 independent 4-plane hash tables;
+    each query probes its bucket in EVERY table, the probe union is
+    deduped, and survivors are re-ranked by exact cosine — recall
+    1-(1-p^4)^8: measured 0.62-0.76 @5 on THIS corpus (random vectors,
+    weak cos≈0.45 neighbors; the r2 single-table probe measured 0.06)
+    and ≥0.99 by the same formula at genuine near-dup thresholds
+    cos≥0.85 — see BENCH_NOTES for the (k, L) dial.  All 8 bucket ids
+    are computed in one projection and exploded, so candidates come from
+    ONE equi-join on (table, bucket) — collision-bounded, no shuffle of
+    the corpus vectors (ids only), arrays joined back per side.  Also
+    the bucket-assignment gate: the oracle recomputes the md5-derived
+    hyperplane buckets in SQL.  Driver-gated via `ann_search` (lsh arm);
+    individually benched."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     tables = F.array(
         *[
@@ -322,9 +326,8 @@ def _centroid_terms(vec: str, fold: str) -> str:
     return ", ".join(terms)
 
 
-@register(
-    "ann_ivf_search",
-    f"""
+# Oracle for the IVF arm of the merged `ann_search` driver row.
+IVF_ORACLE_SQL = f"""
     WITH cents AS (
         SELECT vec_id AS cid, embedding AS ce FROM embeddings
         WHERE vec_id < {_N_CENTROIDS}
@@ -352,20 +355,22 @@ def _centroid_terms(vec: str, fold: str) -> str:
     )
     SELECT qid, nid, rnk, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
     FROM ranked WHERE rnk <= {_TOP_K}
-    """,
-    doc="IVF-style ANN: every vector is assigned to its nearest of 16 "
-    "deterministic centroids (argmax cosine, encoded (floor(cos*1e9)+2e9)"
-    "*100+cid — strictly positive so %100 extracts cid on both engines "
-    "and GREATEST breaks ties identically); a query "
-    "probes only its own cell and re-ranks by exact cosine.  The "
-    "assignment is a projection against a broadcast codebook — no "
-    "shuffle; the probe is one equi-join on the cell id.  Production "
-    "swaps the codebook for trained centroids via "
-    "operators/similarity.kmeans_train (distributed spherical Lloyd "
-    "iterations, unit-tested); plumbing is unchanged — the oracle stays "
-    "exact because the registered query pins the deterministic codebook.",
-)
+    """
+
+
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: every vector is assigned to its nearest of 16
+    deterministic centroids (argmax cosine, encoded (floor(cos*1e9)+2e9)
+    *100+cid — strictly positive so %100 extracts cid on both engines
+    and GREATEST breaks ties identically); a query probes only its own
+    cell and re-ranks by exact cosine.  The assignment is a projection
+    against a broadcast codebook — no shuffle; the probe is one
+    equi-join on the cell id.  Production swaps the codebook for trained
+    centroids via operators/similarity.kmeans_train (distributed
+    spherical Lloyd iterations, unit-tested); plumbing is unchanged —
+    the oracle stays exact because the query pins the deterministic
+    codebook.  Driver-gated via `ann_search` (ivf arm); individually
+    benched."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     cents = {
         r["vec_id"]: r["embedding"]
@@ -399,6 +404,34 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("qid", "nid", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Merged ANN driver row (r5): both index structures in one gated query,
+# tagged by a `method` column — the LSH and IVF arms each keep their full
+# exact oracle (the SQL is the UNION ALL of the two r4 oracles), and the
+# freed slot went to sessionized_events.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_search",
+    f"""
+    SELECT 'lsh' AS method, * FROM ({LSH_ORACLE_SQL})
+    UNION ALL
+    SELECT 'ivf' AS method, * FROM ({IVF_ORACLE_SQL})
+    """,
+    doc="ANN search over both index structures in one gated row: "
+    "method='lsh' is the 8-table x 4-plane multi-probe hash search, "
+    "method='ivf' the 16-cell coarse-quantizer probe — see "
+    "ann_lsh_search / ann_ivf_search for the per-arm plan and recall "
+    "notes (both driver-green individually in r2-r4; merged to free a "
+    "slot, not to weaken the gate — the oracle is the UNION ALL of the "
+    "two exact oracles, so every value of both arms is still "
+    "hash-compared every round).",
+)
+def ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = ann_lsh_search(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
+    ivf = ann_ivf_search(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
+    return lsh.unionByName(ivf)
 
 
 # ---------------------------------------------------------------------------

@@ -45,9 +45,23 @@ def write_time_layout(
     day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    # Partition by (day [, time-slice salt]) under the session's default
+    # shuffle parallelism — NOT repartition(files_per_day, day), which
+    # caps the whole write at files_per_day tasks and still lands each
+    # day wholly in one of them (hash on day alone cannot split a day).
+    # The salt is the ts position within the day scaled to files_per_day
+    # slices, so a hot day splits into up to files_per_day CONTIGUOUS,
+    # non-overlapping time ranges — writers parallelize AND row-group
+    # min/max stats stay tight (a hash salt would interleave the ranges).
+    out = df.withColumn(DAY_COL, day)
+    keys = [F.col(DAY_COL)]
+    if files_per_day > 1:
+        us_in_day = F.pmod(F.unix_micros(F.col(ts_col)), F.lit(86_400_000_000))
+        keys.append(
+            F.floor(us_in_day * files_per_day / F.lit(86_400_000_000)).alias("__slice")
+        )
     (
-        df.withColumn(DAY_COL, day)
-        .repartition(files_per_day, F.col(DAY_COL))
+        out.repartition(*keys)
         .sortWithinPartitions(DAY_COL, *sort_cols)
         .write.mode("overwrite")
         .partitionBy(DAY_COL)

@@ -71,8 +71,19 @@ def run_session_stats_available_now(
     ts_col: str = "ts",
     gap_seconds: int = 600,
 ) -> list:
-    """Drain all available files (availableNow) and return the final
-    session rows — the backfill/catch-up path."""
+    """Drain all available files (availableNow) and return the CLOSED
+    session rows — the backfill/catch-up path.
+
+    Append-mode caveat (inherent to watermarked session windows): a
+    session is emitted only once the watermark passes its end + gap, so
+    sessions whose last event lies within gap+watermark of the stream's
+    max event time are withheld when the stream drains — they are
+    still-open state, not lost rows, and a later run (or any newer event
+    file) flushes them.  Callers needing every session NOW must either
+    append a sentinel event past max(ts) + gap + watermark before
+    draining (what tests/test_sessionize.py does) or take the tail from
+    the batch twin `operators.windows.session_stats`, which agrees
+    exactly on all closed sessions."""
     plan = session_stats_stream(
         spark, events_dir, key_cols, ts_col, gap_seconds
     )

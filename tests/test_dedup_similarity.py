@@ -106,8 +106,10 @@ class TestAnnPlans:
         BroadcastNestedLoopJoin means the all-pairs anti-pattern came
         back (VERDICT r1 'what's wrong' #2)."""
         from classic_fcd_spark.queries import query_fn_map
+        from classic_fcd_spark.queries.similarity import ann_lsh_search
 
         qmap = query_fn_map()
+        qmap = {**qmap, "ann_lsh_search": ann_lsh_search}
         for name in ("embedding_similar_pairs", "ann_lsh_search"):
             df = qmap[name](spark, SF_SMALL)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -118,15 +120,16 @@ class TestAnnPlans:
         """Bucket-probe results must be genuine neighbors: every (qid,
         nid) it returns also appears in the brute-force scoring with the
         same cos_e6."""
-        from classic_fcd_spark.queries import query_fn_map
-        from classic_fcd_spark.queries.similarity import ann_topk_bruteforce
+        from classic_fcd_spark.queries.similarity import (
+            ann_lsh_search,
+            ann_topk_bruteforce,
+        )
 
-        qmap = query_fn_map()
         brute = {
             (r["qid"], r["nid"]): r["cos_e6"]
             for r in ann_topk_bruteforce(spark, SF_SMALL).collect()
         }
-        probed = qmap["ann_lsh_search"](spark, SF_SMALL).collect()
+        probed = ann_lsh_search(spark, SF_SMALL).collect()
         assert len(probed) > 0
         for r in probed:
             if (r["qid"], r["nid"]) in brute:
@@ -325,3 +328,31 @@ class TestParagraphBoilerplate:
             ).fetchall()
         }
         assert got == want
+
+
+class TestSimhashNearDupsOracle:
+    """simhash_near_dups left the driver window in r5 (slot rotated to
+    incremental_dedup); this is its oracle gate now — the same DuckDB SQL
+    that drove its green r3/r4 driver rows, run over sf0.01."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.dedup import (
+            SIMHASH_ORACLE_SQL,
+            simhash_near_dups,
+        )
+        from tests.conftest import SF_MEDIUM
+
+        got = {
+            (r["i"], r["j"]): r["hamming"]
+            for r in simhash_near_dups(spark, SF_MEDIUM).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_MEDIUM}/documents.parquet')"
+        )
+        expected = {(r[0], r[1]): r[2] for r in con.sql(SIMHASH_ORACLE_SQL).fetchall()}
+        assert got == expected
+        assert len(got) > 0

@@ -205,3 +205,27 @@ class TestFcdReadSurfaces:
         # liquid + delegated_vesting — preserved, not clamped
         assert rows[("terra1lazy5", "uluna")]["available"] == -50.0
         assert rows[("terra1grad1", "uluna")]["freed_vesting"] == 50.0
+
+
+class TestMarketCapOracle:
+    """fcd_market_cap left the driver window in r5 (slot rotated to
+    interval_joined_events); this is its oracle gate now — the same
+    self-contained fixture-CTE DuckDB SQL that drove its green r2-r4
+    driver rows."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.fcd import MARKET_CAP_ORACLE_SQL, fcd_market_cap
+        from tests.conftest import SF_SMALL
+
+        got = {
+            (str(r["day"]), r["denom"]): (r["issuance"], r["market_cap_usd_e6"])
+            for r in fcd_market_cap(spark, SF_SMALL).collect()
+        }
+        expected = {
+            (str(r[0]), r[1]): (r[2], r[3])
+            for r in duckdb.sql(MARKET_CAP_ORACLE_SQL).fetchall()
+        }
+        assert got == expected
+        assert len(got) == 16
