@@ -66,6 +66,7 @@ HEADLINE = [
     "revenue_by_nation",
     "simhash_docs",
     "ann_lsh_buckets",
+    "semantic_dedup",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -96,10 +97,27 @@ def _extra_workloads():
         ann_topk_bruteforce,
     )
 
+    def semantic_dedup(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.similarity import semantic_dedup as sd
+        from classic_fcd_spark.session import load_tables
+
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        # pinned 16-vector codebook: benches the dedup plumbing (assign +
+        # cell pair join + CC + keeper), not the trainer (that's the
+        # TRAIN_WORKLOADS' job)
+        cents = [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+        ]
+        return sd(emb, centroids=cents, eps=0.55)
+
     return {
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
+        "semantic_dedup": semantic_dedup,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,

@@ -444,3 +444,126 @@ def pq_adc_search(
         .filter(F.col("rnk") <= top_k)
         .select("qid", "nid", "rnk", F.floor(F.col("adist") * 1000000.0).cast("bigint").alias("adist_e6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
+# public literature): cluster the embedding space, then within each
+# cluster collapse groups of semantically-identical items (cosine >=
+# 1 - eps) down to one representative.  The step after exact/minhash
+# dedup in a modern curation funnel: it removes *paraphrase*-level
+# redundancy that token-hash methods cannot see.
+#
+# Scale shape at 100 TB:
+# - assignment is a broadcast of the k x dim codebook — a projection,
+#   no shuffle of the corpus;
+# - the pair search is an equi-join on the cluster id, so cost is
+#   sum(n_c^2) over clusters, never corpus^2 — k is the dial that keeps
+#   n_c bounded (the paper runs k=50k on LAION; here k defaults small
+#   because the test corpus is small);
+# - keeper election reuses connected_components (pointer-jumping CC)
+#   and one per-group min — both shuffle on bounded keys.
+# ---------------------------------------------------------------------------
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, cell, cos_c): nearest-centroid assignment by cosine
+    against a broadcast codebook; cos_c is the cosine to the OWN
+    centroid (SemDeDup's keeper criterion).  Argmax via max over
+    (cos, cid) structs — the honest form (see the r4 trained-IVF fix)."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in c]) for cid, c in enumerate(centroids)],
+        ["cid", "ce"],
+    )
+    scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cdf)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(F.expr(cosine_sql(vec_col, "ce")).alias("cos"), F.col("cid")).alias(
+            "sc"
+        ),
+    )
+    return (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.max("sc").alias("best"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("best.cid").alias("cell"),
+            F.col("best.cos").alias("cos_c"),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    k: int = 16,
+    n_iter: int = 3,
+    eps: float = 0.05,
+) -> DataFrame:
+    """(id, cell, group_id, keeper_id, is_kept): SemDeDup over `emb`.
+
+    Pairs within a cluster with cosine >= 1 - eps are semantic
+    duplicates; duplicate groups are the connected components of that
+    pair graph (transitively closed, as in the paper's implementation);
+    the kept representative is the member with the LOWEST cosine to its
+    cluster centroid (the paper's choice: keep the "edge" example,
+    discard the prototypical interior ones), ties broken by smallest id.
+    Singletons (no semantic twin) are all kept.
+
+    `centroids` pins a codebook (deterministic, oracle-friendly);
+    otherwise spherical k-means trains one (kmeans_train, k/n_iter).
+    Cross-cluster duplicate pairs are invisible by construction — the
+    paper's accepted approximation; raise k for cost, lower it for
+    recall."""
+    if centroids is None:
+        centroids, _ = kmeans_train(emb, vec_col, id_col, k=k, n_iter=n_iter)
+    assigned = assign_cells(emb, centroids, vec_col, id_col)
+
+    from classic_fcd_spark.session import scoped_persist
+
+    assigned = scoped_persist(
+        assigned.repartition(emb.sparkSession.sparkContext.defaultParallelism, id_col),
+        "semantic_dedup:assigned",
+    )
+    a = assigned.select(
+        "cell", F.col(id_col).alias("i"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("j"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("i") < F.col("j"))
+        .filter(F.expr(cosine_sql("va", "vb")) >= 1.0 - eps)
+        .select("i", "j")
+    )
+    from classic_fcd_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)  # (node, label); only non-singletons
+    members = assigned.join(
+        comp, assigned[id_col] == comp["node"], "left"
+    ).select(
+        id_col,
+        "cell",
+        "cos_c",
+        F.coalesce("label", F.col(id_col)).alias("group_id"),
+    )
+    keepers = members.groupBy("group_id").agg(
+        F.min(F.struct(F.col("cos_c").alias("c"), F.col(id_col).alias("n"))).alias(
+            "kp"
+        )
+    )
+    return members.join(keepers, "group_id").select(
+        id_col,
+        "cell",
+        "group_id",
+        F.col("kp.n").alias("keeper_id"),
+        (F.col(id_col) == F.col("kp.n")).alias("is_kept"),
+    )

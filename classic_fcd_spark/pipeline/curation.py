@@ -41,6 +41,9 @@ def curate_corpus(
     bench: DataFrame | None = None,
     decon_ngram: int = 13,
     index_docs: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    emb_centroids: list | None = None,
+    semantic_eps: float = 0.05,
 ) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → packed training
     rows (doc_id, source, n_tokens, bin_id, offset, spans_boundary,
@@ -49,10 +52,15 @@ def curate_corpus(
     column) to add benchmark decontamination as a drop stage; pass
     `index_docs` (already-ingested corpus, ids disjoint from the batch)
     to drop batch docs that near-duplicate it — the incremental-ingest
-    shape (operators.dedup.incremental_near_dups)."""
+    shape (operators.dedup.incremental_near_dups).  Pass `embeddings`
+    (doc_id-keyed array<float> column named `embedding`) to add SemDeDup
+    semantic dedup after token-level near-dup removal — paraphrase-level
+    redundancy token hashes cannot see (operators.similarity
+    .semantic_dedup; `emb_centroids` pins the codebook, else k-means
+    trains one)."""
     staged = _with_stages(
         docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
-        decon_ngram, index_docs,
+        decon_ngram, index_docs, embeddings, emb_centroids, semantic_eps,
     )
     kept = staged.filter(F.col("__stage") == "kept")
     packed = pack_concat_and_cut(
@@ -74,6 +82,9 @@ def _with_stages(
     bench: DataFrame | None = None,
     decon_ngram: int = 13,
     index_docs: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    emb_centroids: list | None = None,
+    semantic_eps: float = 0.05,
 ) -> DataFrame:
     """Tag every document with the FIRST stage that drops it (or 'kept').
 
@@ -149,6 +160,30 @@ def _with_stages(
         F.col("node").alias("doc_id"), (F.col("node") == F.col("label")).alias("near_keep")
     )
 
+    # SemDeDup semantic stage (optional): paraphrase-level redundancy
+    # over an embedding column — run on the docs that survive every
+    # token-level dedup stage, so the cluster pair joins see the
+    # smallest input (same only-shrink principle as the rest)
+    sem_drop = None
+    if embeddings is not None:
+        from classic_fcd_spark.operators.similarity import semantic_dedup
+
+        near_survivors = survivors.join(
+            cc.filter(~F.col("near_keep")), "doc_id", "left_anti"
+        )
+        emb_subset = embeddings.join(
+            near_survivors.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        sem_drop = (
+            semantic_dedup(
+                emb_subset, centroids=emb_centroids, eps=semantic_eps
+            )
+            .filter(~F.col("is_kept"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+
     sampled = (
         stratified_sample(base, "doc_id", "source", sample_rates)
         if sample_rates
@@ -160,6 +195,12 @@ def _with_stages(
         .join(cc, "doc_id", "left")
         .join(sampled, "doc_id", "left")
     )
+    if sem_drop is not None:
+        out = out.join(
+            sem_drop.withColumn("semantic_dup", F.lit(True)), "doc_id", "left"
+        )
+    else:
+        out = out.withColumn("semantic_dup", F.lit(False))
     if bench is not None:
         # broadcast n-gram overlap vs the eval set — the benchmark side
         # is tiny by construction, so this rides the same scan
@@ -187,6 +228,7 @@ def _with_stages(
         .when(~F.col("exact_keep"), "drop:exact_dup")
         # nodes absent from the pair graph have no cc row -> keepers
         .when(~F.coalesce("near_keep", F.lit(True)), "drop:near_dup")
+        .when(F.coalesce("semantic_dup", F.lit(False)), "drop:semantic_dup")
         .when(F.col("in_sample").isNull(), "drop:sampled_out")
         .otherwise("kept"),
     )
@@ -202,12 +244,15 @@ def curation_stats(
     bench: DataFrame | None = None,
     decon_ngram: int = 13,
     index_docs: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    emb_centroids: list | None = None,
+    semantic_eps: float = 0.05,
 ) -> DataFrame:
     """The funnel: documents and tokens dropped per stage — what a
     data-mix owner reviews before a training run."""
     staged = _with_stages(
         docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
-        decon_ngram, index_docs,
+        decon_ngram, index_docs, embeddings, emb_centroids, semantic_eps,
     )
     return (
         staged.groupBy("__stage")

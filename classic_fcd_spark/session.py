@@ -173,6 +173,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     # Set at runtime too so the driver's own session (which may not use our
     # factory) can still read the ns-timestamp events table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read naive parquet timestamps (timestamp[us] without tz) directly as
+    # TIMESTAMP instead of TIMESTAMP_NTZ: identical semantics to the
+    # normalize_timestamps NTZ→TIMESTAMP cast under the UTC session tz
+    # (wall-clock reinterpreted as UTC), but done AT THE SCAN — the cast
+    # projection the r4 fix added on every table cost a measured ~25-30%
+    # on sub-second queries (r5 bisection, BENCH_NOTES).  The cast leg of
+    # normalize_timestamps stays as a no-op safety net for sessions where
+    # this conf is absent or pre-set.
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:  # noqa: BLE001 — older sessions without the conf
+        pass
     dfs = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -37,31 +37,33 @@ def write_time_layout(
     """Write df day-partitioned by `ts_col`, rows sorted by `sort_cols`
     (default: the timestamp) within each file.
 
-    repartition(partition key) + sortWithinPartitions gives each output
-    file a contiguous, sorted key range — the layout that makes parquet
-    min/max stats selective.  `files_per_day` > 1 spreads hot days
-    across writers (size-based splitting still applies on read)."""
+    repartitionByRange(day, ts) + sortWithinPartitions gives each output
+    file a contiguous, NON-OVERLAPPING (day, ts) range — the layout that
+    makes parquet min/max stats selective — and splits hot days across
+    writer tasks in proportion to their sampled row volume.
+    `files_per_day` > 1 multiplies the range-partition budget for
+    write-heavier layouts (size-based splitting still applies on read)."""
     sort_cols = sort_cols or [ts_col]
     day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    # Partition by (day [, time-slice salt]) under the session's default
-    # shuffle parallelism — NOT repartition(files_per_day, day), which
-    # caps the whole write at files_per_day tasks and still lands each
-    # day wholly in one of them (hash on day alone cannot split a day).
-    # The salt is the ts position within the day scaled to files_per_day
-    # slices, so a hot day splits into up to files_per_day CONTIGUOUS,
-    # non-overlapping time ranges — writers parallelize AND row-group
-    # min/max stats stay tight (a hash salt would interleave the ranges).
-    out = df.withColumn(DAY_COL, day)
-    keys = [F.col(DAY_COL)]
-    if files_per_day > 1:
-        us_in_day = F.pmod(F.unix_micros(F.col(ts_col)), F.lit(86_400_000_000))
-        keys.append(
-            F.floor(us_in_day * files_per_day / F.lit(86_400_000_000)).alias("__slice")
-        )
+    # RANGE-partition on (day, ts) — not repartition(files_per_day, day),
+    # which caps the whole write at files_per_day tasks and still lands
+    # each day wholly in one of them (hashing the day alone cannot split
+    # a day), and not a hash salt, which interleaves a day's time ranges
+    # across its files.  The range partitioner samples the key
+    # distribution, so a HOT day automatically spans multiple writer
+    # tasks in proportion to its row volume while every produced file
+    # covers a contiguous, non-overlapping (day, ts) range — writers
+    # parallelize AND row-group min/max stats stay tight for pruning.
+    # `files_per_day` scales the partition budget relative to the
+    # session's shuffle parallelism for write-heavier layouts.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200")) * max(
+        1, files_per_day
+    )
     (
-        out.repartition(*keys)
+        df.withColumn(DAY_COL, day)
+        .repartitionByRange(n_parts, F.col(DAY_COL), F.col(ts_col))
         .sortWithinPartitions(DAY_COL, *sort_cols)
         .write.mode("overwrite")
         .partitionBy(DAY_COL)

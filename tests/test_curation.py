@@ -151,3 +151,62 @@ class TestCurationPipeline:
                 ).collect()
             }
             assert set(fresh_flagged) <= verified
+
+
+class TestSemanticStage:
+    def test_semantic_stage_drops_paraphrases_keeps_edge_member(self, spark):
+        """With embeddings supplied, paraphrase groups (near-identical
+        vectors) that survive token-level dedup lose every member except
+        the one farthest from its cluster centroid."""
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.pipeline.curation import curation_stats
+
+        docs = spark.createDataFrame(
+            [
+                # distinct token content (survives exact/near token dedup)
+                # but planted near-identical embeddings for 1, 2
+                # long enough that the top-2-gram fraction clears the
+                # repetition filter (every 2-gram unique -> 2/n <= 0.2)
+                (1, "alpha beta gamma delta epsilon zeta eta theta iota "
+                    "kappa lam mu nu xi omicron pi rho sigma tau upsilon", "en", "src0", 35),
+                (2, "one two three four five six seven eight nine ten "
+                    "eleven twelve thirteen fourteen fifteen sixteen "
+                    "seventeen eighteen nineteen twenty", "en", "src0", 33),
+                (3, "red orange yellow green blue indigo violet crimson "
+                    "maroon teal cyan magenta olive navy coral amber "
+                    "ivory jade pearl slate", "en", "src0", 35),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.02, 0.0, 0.0]),
+                (2, [1.0, 0.05, 0.0, 0.0]),  # paraphrase of 1, more edge-y
+                (3, [0.0, 0.0, 1.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+        stats = {
+            r["stage"]: r["n_docs"]
+            for r in curation_stats(
+                docs,
+                min_quality=0.0,
+                embeddings=emb,
+                emb_centroids=cents,
+                semantic_eps=0.01,
+            ).collect()
+        }
+        assert stats.get("drop:semantic_dup") == 1
+        # and the dropped one is doc 1 (closer to centroid than 2)
+        from classic_fcd_spark.pipeline.curation import _with_stages
+
+        staged = _with_stages(
+            docs, 0.0, ("en",), 1, None,
+            embeddings=emb, emb_centroids=cents, semantic_eps=0.01,
+        )
+        tags = {r["doc_id"]: r["__stage"] for r in staged.collect()}
+        assert tags[1] == "drop:semantic_dup"
+        assert tags[2] == "kept"
+        assert tags[3] == "kept"

@@ -76,3 +76,50 @@ class TestTimeLayout:
         a = {r["event_id"] for r in ev.select("event_id").collect()}
         b = {r["event_id"] for r in back.select("event_id").collect()}
         assert a == b
+
+
+class TestHotDaySplitting:
+    def test_files_per_day_splits_into_contiguous_slices(self, spark, tmp_path):
+        """files_per_day > 1 must actually parallelize a hot day (the r4
+        version hash-partitioned on the day alone, so every day still
+        landed wholly in one writer task) — and a day's files must cover
+        NON-OVERLAPPING time ranges so row-group min/max stats stay
+        tight (range partitioning gives this by construction; a hash
+        salt would interleave the ranges)."""
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.session import load_tables
+        from classic_fcd_spark.sources.layout import write_time_layout
+
+        ev = load_tables(spark, SF_SMALL)["events"]
+        out = str(tmp_path / "events_salted")
+        write_time_layout(ev, out, "ts", files_per_day=4)
+        day_dirs = sorted(glob.glob(os.path.join(out, "day_pt=*")))
+        assert day_dirs
+        multi = 0
+        for d in day_dirs:
+            files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            # range partitions split proportional to sampled volume; a
+            # partition may straddle a day boundary, so allow some slack
+            assert 1 <= len(files) <= 10, d
+            if len(files) > 1:
+                multi += 1
+                # non-overlapping ts ranges across the day's files
+                ranges = []
+                for f in files:
+                    md = pq.read_metadata(f)
+                    col = pq.read_schema(f).names.index("ts")
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(col).statistics
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    ranges.append((min(mins), max(maxs)))
+                ranges.sort()
+                for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+                    assert hi1 <= lo2, (d, ranges)
+        # the synthetic stream is dense: most days must genuinely split
+        assert multi >= len(day_dirs) // 2, (multi, len(day_dirs))
+        # round trip unchanged
+        back = spark.read.parquet(out)
+        assert back.count() == ev.count()
