@@ -67,6 +67,7 @@ HEADLINE = [
     "simhash_docs",
     "ann_lsh_buckets",
     "semantic_dedup",
+    "dsir_select",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -113,11 +114,23 @@ def _extra_workloads():
         ]
         return sd(emb, centroids=cents, eps=0.55)
 
+    def dsir_select(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.dsir import dsir_select as sel
+        from classic_fcd_spark.session import load_tables
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        target = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+        raw = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+        return sel(raw, target, k=200)
+
     return {
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
         "semantic_dedup": semantic_dedup,
+        "dsir_select": dsir_select,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,
