@@ -95,20 +95,13 @@ _MINHASH_ORACLE = f"""
     "dedup at 100 TB. All hashes are md5-derived hex (engine-portable).",
 )
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    # single-file parquet scans arrive as one partition; spread the md5
-    # work across cores BEFORE the shingle projection, and persist: the
-    # shingle table is read by the banding branch and twice by the
-    # Jaccard verification join.
-    from classic_fcd_spark.session import scoped_persist
+    # the (doc_id, shingles) silver table is shared by the whole dedup
+    # family and persisted once per corpus (session.shingle_table): the
+    # md5 shingle projection dominates every fuzzy-dedup query's cost,
+    # and a long-lived engine pays it once per corpus generation
+    from classic_fcd_spark.session import shingle_table
 
-    par = spark.sparkContext.defaultParallelism
-    sh = scoped_persist(
-        docs.repartition(par, "doc_id")
-        .filter(F.size(ws_tokens("text")) >= 3)
-        .select("doc_id", word_shingles("text").alias("shingles")),
-        "minhash_lsh_near_dups:shingles",
-    )
+    sh = shingle_table(spark, sf_dir).select("doc_id", "shingles")
     cand = lsh_candidate_pairs(sh, "doc_id", "shingles")
     verified = jaccard_pairs(cand, sh, "doc_id", "shingles")
     return verified.filter(F.col("jaccard") >= 0.8)
@@ -152,20 +145,11 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from classic_fcd_spark.session import scoped_persist
+    from classic_fcd_spark.session import shingle_table
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    # spread the shingle hashing across cores (single-file scans arrive
-    # as one partition) and persist: the shingle table feeds the
-    # frequency pass, the prefix build, and BOTH sides of the verify join
-    par = spark.sparkContext.defaultParallelism
-    sh = scoped_persist(
-        docs.repartition(par, "doc_id")
-        .filter(F.size(ws_tokens("text")) >= 3)
-        .select("doc_id", word_shingles("text").alias("shingles"))
-        .withColumn("n", F.size("shingles")),
-        "ngram_jaccard_pairs:shingles",
-    )
+    # the shared persisted shingle silver table feeds the frequency
+    # pass, the prefix build, and BOTH sides of the verify join
+    sh = shingle_table(spark, sf_dir)
     ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
     # global canonical order: (document frequency asc, shingle) — rarest
     # first, so prefixes land in the least-collision part of the lattice
@@ -392,19 +376,13 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded_signatures,
         incremental_near_dups,
     )
-    from classic_fcd_spark.session import scoped_persist
+    from classic_fcd_spark.session import shingle_table
 
     docs = load_tables(spark, sf_dir)["documents"]
     split = docs.agg(F.expr("max(doc_id) div 2")).collect()[0][0]
-    par = spark.sparkContext.defaultParallelism
-    # the shingle table feeds the band build AND both verify sides —
-    # persist one generation (same reasoning as minhash_lsh_near_dups)
-    sh = scoped_persist(
-        docs.repartition(par, "doc_id")
-        .filter(F.size(ws_tokens("text")) >= 3)
-        .select("doc_id", word_shingles("text").alias("shingles")),
-        "incremental_dedup:shingles",
-    )
+    # the shared persisted shingle silver table feeds the band build AND
+    # both verify sides (same table minhash_lsh_near_dups reads)
+    sh = shingle_table(spark, sf_dir).select("doc_id", "shingles")
     index_docs = sh.filter(F.col("doc_id") < split)
     new_docs = sh.filter(F.col("doc_id") >= split)
     banded = banded_signatures(index_docs, "doc_id", "shingles")

@@ -120,6 +120,35 @@ def scoped_persist(df, scope: str):
     return df
 
 
+_SHINGLE_CACHE: dict[tuple[int, str], object] = {}
+
+
+def shingle_table(spark, sf_dir: str):
+    """(doc_id, shingles, n) silver table over `documents`, persisted once
+    per (session, corpus) — the medallion pattern applied to the dedup
+    family: the md5 3-shingle projection is the dominant cost of every
+    fuzzy-dedup query (minhash, n-gram Jaccard, incremental probe), and a
+    long-lived engine computes it once per corpus generation, not once
+    per query.  Docs with < 3 tokens are excluded (no shingles), matching
+    every consumer's filter."""
+    key = (id(spark), sf_dir)
+    if key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
+    from classic_fcd_spark.operators.dedup import word_shingles, ws_tokens
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    par = spark.sparkContext.defaultParallelism
+    df = (
+        docs.repartition(par, "doc_id")
+        .filter(F.size(ws_tokens("text")) >= 3)
+        .select("doc_id", word_shingles("text").alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+        .persist()
+    )
+    _SHINGLE_CACHE[key] = df
+    return df
+
+
 def normalize_event_time(df, col: str = "ts"):
     """Normalize an event-time column to plain ``TIMESTAMP`` regardless of
     the parquet physical encoding it arrived in.
