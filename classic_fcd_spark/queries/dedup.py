@@ -256,14 +256,13 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SIMHASH_ORACLE_SQL) plus `near_dup_groups`, whose gated plan
     composes these same pairs."""
     from classic_fcd_spark.operators.dedup import simhash_hamming_pairs
+    from classic_fcd_spark.session import shingle_table
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    par = spark.sparkContext.defaultParallelism
+    # fingerprints are majority votes over the same word 3-shingles the
+    # rest of the dedup family uses — read the shared persisted table
+    sh = shingle_table(spark, sf_dir)
     return simhash_hamming_pairs(
-        docs.repartition(par, "doc_id").filter(F.size(ws_tokens("text")) >= 3),
-        "doc_id",
-        word_shingles("text"),
-        max_hamming=_SIMHASH_K,
+        sh, "doc_id", F.col("shingles"), max_hamming=_SIMHASH_K
     )
 
 
@@ -306,15 +305,13 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_component_edges,
     )
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    par = spark.sparkContext.defaultParallelism
+    from classic_fcd_spark.session import shingle_table
+
+    sh = shingle_table(spark, sf_dir)
     # collapsed star+rep edges: same components as the full pair graph,
     # orders fewer edges on a dup-heavy corpus (see simhash_component_edges)
     edges = simhash_component_edges(
-        docs.repartition(par, "doc_id").filter(F.size(ws_tokens("text")) >= 3),
-        "doc_id",
-        word_shingles("text"),
-        max_hamming=_SIMHASH_K,
+        sh, "doc_id", F.col("shingles"), max_hamming=_SIMHASH_K
     )
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc_id")
