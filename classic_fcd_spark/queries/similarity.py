@@ -326,6 +326,17 @@ def _centroid_terms(vec: str, fold: str) -> str:
     return ", ".join(terms)
 
 
+def _seq_norm(vec: list[float]) -> float:
+    """sqrt of the left-to-right double fold of vec·vec — the exact ops
+    the Spark/DuckDB folds run, so the literal equals their value."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 # Oracle for the IVF arm of the merged `ann_search` driver row.
 IVF_ORACLE_SQL = f"""
     WITH cents AS (
@@ -376,16 +387,34 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"]: r["embedding"]
         for r in emb.filter(F.col("vec_id") < _N_CENTROIDS).collect()
     }
-    # the 16-centroid assignment is the heavy projection (16 cosine folds
-    # per row) — spread the single-file scan across cores first
-    wide = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    for cid in range(_N_CENTROIDS):
-        arr = F.array(*[F.lit(float(x)) for x in cents[cid]])
-        wide = wide.withColumn(f"__c{cid}", arr)
-    assigned = wide.select(
-        "vec_id",
-        "embedding",
-        (F.expr(f"GREATEST({_centroid_terms('embedding', 'spark')})") % 100).alias("cell"),
+    # Assignment as a broadcast join + map-side argmax, NOT a 16-wide
+    # literal-array projection: materializing 16 x 64 constant doubles
+    # per row was the stage's real cost (array literals are rebuilt per
+    # row).  Per (vector, centroid) pair we compute ONE fold — the
+    # query-vector norm is hoisted to a per-row column and the centroid
+    # norm is a precomputed literal in the broadcast side — and the
+    # argmax uses the SAME encoding as the oracle's GREATEST form
+    # ((floor(cos*1e9)+2e9)*100+cid, max, %100), so cell assignment is
+    # bit-for-bit identical (re-proven by the ann_search oracle row).
+    from classic_fcd_spark.operators.similarity import dot_sql
+
+    nb_consts = [_seq_norm(cents[cid]) for cid in range(_N_CENTROIDS)]
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in cents[cid]], nb_consts[cid]) for cid in range(_N_CENTROIDS)],
+        "cid int, ce array<double>, nc double",
+    )
+    withn = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id").withColumn(
+        "__na", F.expr(f"sqrt({dot_sql('embedding', 'embedding')})")
+    )
+    cos = F.expr(dot_sql("embedding", "ce")) / (F.col("__na") * F.col("nc"))
+    enc = (
+        F.floor(cos * F.lit(1000000000.0)).cast("bigint") + F.lit(2000000000)
+    ) * 100 + F.col("cid")
+    assigned = (
+        withn.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", enc.alias("enc"))
+        .groupBy("vec_id", "embedding")
+        .agg((F.max("enc") % 100).cast("int").alias("cell"))
     )
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell"
