@@ -210,3 +210,46 @@ class TestSemanticStage:
         assert tags[1] == "drop:semantic_dup"
         assert tags[2] == "kept"
         assert tags[3] == "kept"
+
+
+class TestIndexDupKeeperElection:
+    def test_index_dup_cannot_drop_its_whole_family(self, spark):
+        """r5 regression gate: an index-dup doc must NOT participate in
+        intra-batch keeper election.  Before the fix, an index dup
+        elected keeper made its non-index-dup sibling lose the election
+        (drop:near_dup) while itself being dropped as drop:index_dup —
+        the whole family vanished."""
+        from classic_fcd_spark.pipeline.curation import _with_stages
+
+        base_text = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        # doc 10 is identical to index doc 1 (an index dup, J=1.0); doc
+        # 11 is a SIMHASH near-dup of 10 (hamming=1 over word 3-shingle
+        # fingerprints) but NOT an index dup itself (Jaccard 0.5 < 0.8
+        # vs index doc 1) — the sibling text was searched offline for
+        # exactly this (hamming<=1, J<0.8) regime.  doc 10 < doc 11, so
+        # pre-fix it would win the min-id keeper election.
+        sibling = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu fern rook opal rho sigma tau echo"
+        )
+        docs = spark.createDataFrame(
+            [
+                (10, base_text, "en", "src0", 90),
+                (11, sibling, "en", "src0", 90),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        index_docs = spark.createDataFrame(
+            [(1, base_text)], "doc_id long, text string"
+        )
+        staged = _with_stages(
+            docs, 0.0, ("en",), 1, None, index_docs=index_docs
+        )
+        tags = {r["doc_id"]: r["__stage"] for r in staged.collect()}
+        assert tags[10] == "drop:index_dup"
+        # the sibling must SURVIVE: with 10 out of the election, 11 is
+        # its own keeper
+        assert tags[11] == "kept", tags

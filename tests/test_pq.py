@@ -114,3 +114,20 @@ class TestPQ:
         truth_of = {r[0]: r[1] for r in rows}
         hits = sum(1 for r in got if truth_of[r["nid"]] == truth_of[r["qid"]])
         assert hits / len(got) >= 0.95, hits / len(got)
+
+
+class TestPqTrainGuards:
+    def test_corpus_smaller_than_ks_fails_fast(self, spark):
+        """r5 regression gate: with fewer corpus rows than ks, seeding
+        would leave None centroids that silently corrupt training (null
+        distances win F.min over structs) — must raise instead."""
+        import pytest as _pytest
+
+        from classic_fcd_spark.operators.similarity import pq_train
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(3)],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(ValueError, match="ks"):
+            pq_train(emb, m=2, ks=8, n_iter=1)
