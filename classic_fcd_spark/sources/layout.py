@@ -76,3 +76,61 @@ def read_time_layout(spark, out_dir: str) -> DataFrame:
     string, same convention as streaming.minute_pipeline)."""
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     return spark.read.parquet(out_dir)
+
+
+def compact_time_layout(
+    spark,
+    out_dir: str,
+    ts_col: str = "ts",
+    sort_cols: list[str] | None = None,
+    max_files_per_day: int = 1,
+) -> list[str]:
+    """Small-file compaction for a write_time_layout table: rewrite ONLY
+    the day partitions holding more than `max_files_per_day` files,
+    restoring the sorted single-range layout reads want.
+
+    The 100 TB maintenance reality: streaming/incremental writers leave
+    many small files per partition (each micro-batch/task writes its
+    own); scans then pay per-file open cost and row-group stats lose
+    selectivity.  Compaction is the standard background job — and it
+    must be PARTITION-SCOPED: rewriting the whole table to fix 3 hot
+    days is how maintenance jobs become the biggest query in the
+    cluster.  Dynamic partition overwrite replaces exactly the rewritten
+    day directories, same mechanism as the streaming MERGE sink
+    (streaming/minute_pipeline.py).
+
+    Returns the list of day values compacted (empty = nothing to do)."""
+    import glob as _glob
+    import os as _os
+
+    sort_cols = sort_cols or [ts_col]
+    fragmented = []
+    for day_dir in sorted(_glob.glob(_os.path.join(out_dir, f"{DAY_COL}=*"))):
+        if len(_glob.glob(_os.path.join(day_dir, "*.parquet"))) > max_files_per_day:
+            fragmented.append(_os.path.basename(day_dir).split("=", 1)[1])
+    if not fragmented:
+        return []
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        touched = read_time_layout(spark, out_dir).filter(
+            F.col(DAY_COL).isin(fragmented)
+        )
+        if max_files_per_day == 1:
+            # hash on the day: EXACTLY one task (one file) per day —
+            # the deterministic full-compaction contract
+            touched = touched.repartition(len(fragmented), F.col(DAY_COL))
+        else:
+            # >1 target: range partitioning splits each day into
+            # contiguous slices (same reasoning as the writer)
+            touched = touched.repartitionByRange(
+                len(fragmented) * max_files_per_day,
+                F.col(DAY_COL),
+                F.col(ts_col),
+            )
+        touched = touched.sortWithinPartitions(DAY_COL, *sort_cols)
+        touched.write.mode("overwrite").partitionBy(DAY_COL).parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return fragmented

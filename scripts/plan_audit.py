@@ -35,6 +35,10 @@ ALLOW: dict[str, dict[str, str]] = {
     # side that is constant-bounded by construction, never data x data
     "fcd_dashboard": {"nested_loop": f"{_SCALAR} (A23 freshness stamps)"},
     "fcd_market_cap": {"nested_loop": f"{_GRID}; plus {_SCALAR}"},
+    # r5 review: the IVF arm's cell assignment is corpus x broadcast
+    # 16-row codebook (constant-bounded dim cross, one fold per pair);
+    # the corpus-x-corpus probe itself is the cell equi-join
+    "ann_search": {"nested_loop": "corpus x broadcast 16-row codebook cross"},
     "fcd_minute_fees": {"nested_loop": _GRID},
     "fcd_rewards_converted": {"nested_loop": _GRID},
     "fcd_total_staking_return": {"nested_loop": f"{_GRID}; plus {_SCALAR}"},

@@ -123,3 +123,53 @@ class TestHotDaySplitting:
         # round trip unchanged
         back = spark.read.parquet(out)
         assert back.count() == ev.count()
+
+
+class TestCompaction:
+    def test_compacts_only_fragmented_days_preserves_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.session import load_tables
+        from classic_fcd_spark.sources.layout import (
+            DAY_COL,
+            compact_time_layout,
+            read_time_layout,
+            write_time_layout,
+        )
+
+        ev = load_tables(spark, SF_SMALL)["events"]
+        out = str(tmp_path / "events_frag")
+        write_time_layout(ev, out, "ts", files_per_day=4)
+        frag_before = {
+            os.path.basename(d).split("=", 1)[1]: len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(out, f"{DAY_COL}=*"))
+        }
+        assert any(n > 1 for n in frag_before.values())  # precondition
+        n_rows = ev.count()
+
+        compacted = compact_time_layout(spark, out, "ts", max_files_per_day=1)
+        assert set(compacted) == {d for d, n in frag_before.items() if n > 1}
+
+        frag_after = {
+            os.path.basename(d).split("=", 1)[1]: len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(out, f"{DAY_COL}=*"))
+        }
+        assert set(frag_after) == set(frag_before)  # no partition lost
+        assert all(n == 1 for n in frag_after.values())
+        back = read_time_layout(spark, out)
+        assert back.count() == n_rows
+        # idempotent: second pass is a no-op
+        assert compact_time_layout(spark, out, "ts", max_files_per_day=1) == []
+
+        # compacted files are still internally sorted (row-group stats
+        # non-overlapping within each rewritten file)
+        for d in glob.glob(os.path.join(out, f"{DAY_COL}=*")):
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                md = pq.read_metadata(f)
+                col = pq.read_schema(f).names.index("ts")
+                prev_max = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col).statistics
+                    if prev_max is not None:
+                        assert st.min >= prev_max
+                    prev_max = st.max
