@@ -175,3 +175,48 @@ def session_stats(
             (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / 1_000_000.0
         ).alias("duration_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history from a snapshot stream: collapse repeated per-entity
+# snapshots (the reference polls validator/general_info state daily —
+# src/collector/general: same shape) into change intervals
+# (valid_from, valid_to], the warehouse "slowly changing dimension
+# type 2" layout.  Storage shrinks from O(snapshots) to O(changes), and
+# point-in-time enrichment becomes an interval join / as-of join against
+# the collapsed table (operators/rangejoin.py, operators/asof.py).
+#
+# Plan shape: change detection is lag() per attribute and interval
+# closing is lead() — BOTH over the same (key, ts) partitioning, so
+# Catalyst plans ONE shuffle + one sort for the whole collapse.
+# ---------------------------------------------------------------------------
+def scd2_from_snapshots(
+    snaps: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """(keys, attrs, valid_from, valid_to, is_current) — one row per
+    (entity, attribute-state run).  A row is opened by the first
+    snapshot where any attribute differs from the entity's previous
+    snapshot (null-safe comparison: NULL -> value counts as a change);
+    `valid_to` is the next change's timestamp (exclusive) or NULL for
+    the open (current) run.  Deterministic given distinct snapshot
+    timestamps per key — the snapshot-poller contract."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a, 1).over(w))
+    first = F.lag(ts_col, 1).over(w).isNull()
+    starts = (
+        snaps.select(*key_cols, ts_col, *attr_cols)
+        .withColumn("__chg", first | changed)
+        .filter(F.col("__chg"))
+        .drop("__chg")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col)
+    return (
+        starts.withColumn("valid_to", F.lead(ts_col, 1).over(w2))
+        .withColumnRenamed(ts_col, "valid_from")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
