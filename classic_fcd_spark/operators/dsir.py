@@ -55,17 +55,20 @@ def ngram_buckets(text, n: int = 2, buckets: int = 256) -> Column:
 
 
 def bucket_log_probs(
-    docs: DataFrame, text_col: str = "text", n: int = 2, buckets: int = 256
+    docs: DataFrame, text_col: str = "text", n: int = 2, buckets: int = 256,
+    exploded: DataFrame | None = None,
 ) -> dict[int, float]:
     """Laplace-smoothed log p[bucket] over a corpus: (cnt_b + 1) /
     (total + B).  One explode + one groupBy (map-side combined); only
-    the B-row histogram is collected — the model, bounded by B."""
-    cnts = (
-        docs.select(F.explode(ngram_buckets(text_col, n, buckets)).alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("c"))
-        .collect()
+    the B-row histogram is collected — the model, bounded by B.
+    `exploded` (an (id, b) table) skips the explode when the caller
+    already materialized it."""
+    ex = (
+        exploded.select("b")
+        if exploded is not None
+        else docs.select(F.explode(ngram_buckets(text_col, n, buckets)).alias("b"))
     )
+    cnts = ex.groupBy("b").agg(F.count("*").alias("c")).collect()
     by_bucket = {int(r["b"]): int(r["c"]) for r in cnts}
     total = sum(by_bucket.values())
     denom = float(total + buckets)
@@ -87,13 +90,20 @@ def dsir_scores(
     driver-side (2 x B floats) and broadcast; scoring is explode +
     broadcast equi-join + per-doc sum — one shuffle of narrow rows."""
     spark = raw_docs.sparkSession
+    # the raw side's exploded bucket table feeds BOTH the raw model fit
+    # and the per-doc scoring — materialize the md5 hashing once
+    from classic_fcd_spark.session import scoped_persist
+
+    ex = scoped_persist(
+        raw_docs.select(
+            F.col(id_col), F.explode(ngram_buckets(text_col, n, buckets)).alias("b")
+        ),
+        "dsir:raw_buckets",
+    )
     lp_t = bucket_log_probs(target_docs, text_col, n, buckets)
-    lp_r = bucket_log_probs(raw_docs, text_col, n, buckets)
+    lp_r = bucket_log_probs(raw_docs, text_col, n, buckets, exploded=ex)
     ratio = spark.createDataFrame(
         [(b, lp_t[b] - lp_r[b]) for b in range(buckets)], ["b", "lr"]
-    )
-    ex = raw_docs.select(
-        F.col(id_col), F.explode(ngram_buckets(text_col, n, buckets)).alias("b")
     )
     return (
         ex.join(F.broadcast(ratio), "b")
