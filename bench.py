@@ -68,6 +68,7 @@ HEADLINE = [
     "ann_lsh_buckets",
     "semantic_dedup",
     "dsir_select",
+    "approx_top_ngrams",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -125,12 +126,24 @@ def _extra_workloads():
         raw = docs.filter(F.col("source") != "src0").select("doc_id", "text")
         return sel(raw, target, k=200)
 
+    def approx_top_ngrams(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.dedup import word_shingles
+        from classic_fcd_spark.operators.heavyhitters import approx_top_items
+        from classic_fcd_spark.session import load_tables
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        grams = docs.select(F.explode(word_shingles("text", 2)).alias("gram"))
+        return approx_top_items(grams, "gram", k=20, capacity=1024)
+
     return {
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
         "semantic_dedup": semantic_dedup,
         "dsir_select": dsir_select,
+        "approx_top_ngrams": approx_top_ngrams,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,

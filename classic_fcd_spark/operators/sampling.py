@@ -119,3 +119,30 @@ def temperature_mix_sample(
         for r in temperature_mix_rates(df, stratum_col, temperature).collect()
     }
     return stratified_sample(df, key, stratum_col, rates, salt)
+
+
+def grouped_reservoir_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Uniform k-per-group sample, deterministic: rank rows inside each
+    group by md5(salt||key) and keep the k smallest — the A-Res
+    reservoir scheme (Efraimidis & Spirakis, public) with unit weights,
+    the hash standing in for the random key.  Eval-set construction
+    ("k docs per source for human review") needs exactly this: per-group
+    uniformity AND stability under re-runs/retries/repartitioning.
+
+    One window over one (group) partitioning — a single shuffle; groups
+    smaller than k come back whole."""
+    from pyspark.sql import Window
+
+    c = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(c.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -230,3 +230,46 @@ class TestTemperatureMix:
         # the most-upweighted (smallest) source keeps every row
         smallest = min(natural, key=natural.get)
         assert mixed[smallest] == natural[smallest]
+
+
+class TestGroupedReservoir:
+    def test_k_per_group_deterministic_and_uniformish(self, spark):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.sampling import grouped_reservoir_sample
+        from classic_fcd_spark.session import load_tables
+        from tests.conftest import SF_MEDIUM
+
+        docs = load_tables(spark, SF_MEDIUM)["documents"]
+        k = 5
+        a = grouped_reservoir_sample(docs, "source", "doc_id", k)
+        b = grouped_reservoir_sample(docs, "source", "doc_id", k)
+        rows_a = {(r["source"], r["doc_id"]) for r in a.collect()}
+        rows_b = {(r["source"], r["doc_id"]) for r in b.collect()}
+        assert rows_a == rows_b  # deterministic under re-run
+        per_group = (
+            a.groupBy("source").agg(F.count("*").alias("n")).collect()
+        )
+        sizes = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for r in per_group:
+            assert r["n"] == min(k, sizes[r["source"]])
+        # stable under repartitioning (hash ranks don't depend on layout)
+        c = grouped_reservoir_sample(docs.repartition(7), "source", "doc_id", k)
+        assert {(r["source"], r["doc_id"]) for r in c.collect()} == rows_a
+        # matches the reference selection: k smallest md5(doc_id) per source
+        import hashlib
+
+        by_src: dict[str, list[tuple[str, int]]] = {}
+        for r in docs.select("source", "doc_id").collect():
+            by_src.setdefault(r["source"], []).append(
+                (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"])
+            )
+        expected = {
+            (src, did)
+            for src, lst in by_src.items()
+            for _, did in sorted(lst)[:k]
+        }
+        assert rows_a == expected
