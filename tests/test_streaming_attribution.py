@@ -6,8 +6,6 @@ from __future__ import annotations
 import os
 
 import duckdb
-import pytest
-from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 
