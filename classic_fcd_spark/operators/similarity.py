@@ -470,28 +470,49 @@ def assign_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, vec, cell, cos_c): nearest-centroid assignment by cosine
-    against a broadcast codebook; cos_c is the cosine to the OWN
-    centroid (SemDeDup's keeper criterion).  Argmax via max over
-    (cos, cid) structs — the honest form (see the r4 trained-IVF fix)."""
+    """(id, vec, vnorm, cell, cos_c): nearest-centroid assignment by
+    cosine against a broadcast codebook; cos_c is the cosine to the OWN
+    centroid (SemDeDup's keeper criterion) and vnorm the vector's L2
+    norm (hoisted once, reused by downstream pair cosines).  Argmax via
+    max over (cos, cid) structs — the honest form (see the r4
+    trained-IVF fix)."""
+    import math
+
     spark = emb.sparkSession
+
+    def _norm(c):
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    # centroid norms precomputed as literals and the row norm hoisted to
+    # one column: one fold per (vector, centroid) pair instead of three.
+    # Same IEEE ops in the same order as cosine_sql (sequential fold,
+    # correctly-rounded sqrt), so the cosines — and the argmax — are
+    # bit-identical to the naive form (the semdedup tests' pure-Python
+    # reference recomputes them independently).
     cdf = spark.createDataFrame(
-        [(cid, [float(x) for x in c]) for cid, c in enumerate(centroids)],
-        ["cid", "ce"],
+        [(cid, [float(x) for x in c], _norm(c)) for cid, c in enumerate(centroids)],
+        "cid int, ce array<double>, nc double",
     )
-    scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cdf)).select(
+    withn = emb.select(id_col, vec_col).withColumn(
+        "__nv", F.expr(f"sqrt({dot_sql(vec_col, vec_col)})")
+    )
+    cos = F.expr(dot_sql(vec_col, "ce")) / (F.col("__nv") * F.col("nc"))
+    scored = withn.crossJoin(F.broadcast(cdf)).select(
         F.col(id_col),
         F.col(vec_col),
-        F.struct(F.expr(cosine_sql(vec_col, "ce")).alias("cos"), F.col("cid")).alias(
-            "sc"
-        ),
+        "__nv",
+        F.struct(cos.alias("cos"), F.col("cid")).alias("sc"),
     )
     return (
-        scored.groupBy(id_col, vec_col)
+        scored.groupBy(id_col, vec_col, "__nv")
         .agg(F.max("sc").alias("best"))
         .select(
             id_col,
             vec_col,
+            F.col("__nv").alias("vnorm"),
             F.col("best.cid").alias("cell"),
             F.col("best.cos").alias("cos_c"),
         )
@@ -533,15 +554,24 @@ def semantic_dedup(
         "semantic_dedup:assigned",
     )
     a = assigned.select(
-        "cell", F.col(id_col).alias("i"), F.col(vec_col).alias("va")
+        "cell",
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("va"),
+        F.col("vnorm").alias("na"),
     )
     b = assigned.select(
-        "cell", F.col(id_col).alias("j"), F.col(vec_col).alias("vb")
+        "cell",
+        F.col(id_col).alias("j"),
+        F.col(vec_col).alias("vb"),
+        F.col("vnorm").alias("nb"),
     )
+    # pair cosine with both norms hoisted: ONE fold per candidate pair
+    # (dot), bit-identical to cosine_sql's dot/(sqrt*sqrt) form
+    pair_cos = F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
     pairs = (
         a.join(b, "cell")
         .filter(F.col("i") < F.col("j"))
-        .filter(F.expr(cosine_sql("va", "vb")) >= 1.0 - eps)
+        .filter(pair_cos >= 1.0 - eps)
         .select("i", "j")
     )
     from classic_fcd_spark.operators.dedup import connected_components
