@@ -44,6 +44,8 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     emb_centroids: list | None = None,
     semantic_eps: float = 0.05,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → packed training
     rows (doc_id, source, n_tokens, bin_id, offset, spans_boundary,
@@ -57,10 +59,13 @@ def curate_corpus(
     semantic dedup after token-level near-dup removal — paraphrase-level
     redundancy token hashes cannot see (operators.similarity
     .semantic_dedup; `emb_centroids` pins the codebook, else k-means
-    trains one)."""
+    trains one).  Pass `dsir_target` + `dsir_k` to make the final
+    selection stage DSIR importance resampling toward the target
+    distribution instead of the stratified rate mix."""
     staged = _with_stages(
         docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
         decon_ngram, index_docs, embeddings, emb_centroids, semantic_eps,
+        dsir_target, dsir_k,
     )
     kept = staged.filter(F.col("__stage") == "kept")
     packed = pack_concat_and_cut(
@@ -85,6 +90,8 @@ def _with_stages(
     embeddings: DataFrame | None = None,
     emb_centroids: list | None = None,
     semantic_eps: float = 0.05,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
 ) -> DataFrame:
     """Tag every document with the FIRST stage that drops it (or 'kept').
 
@@ -184,11 +191,26 @@ def _with_stages(
             .select(F.col("vec_id").alias("doc_id"))
         )
 
-    sampled = (
-        stratified_sample(base, "doc_id", "source", sample_rates)
-        if sample_rates
-        else base
-    ).select("doc_id", F.lit(True).alias("in_sample"))
+    # final selection stage: DSIR targeted importance resampling (pick
+    # the k docs most like `dsir_target` — the published data-mix
+    # selector, operators/dsir.py) when requested, else the per-source
+    # stratified rate mix, else keep everything.  Run over the docs
+    # still standing so the model fits the distribution actually being
+    # selected from.
+    if dsir_target is not None and dsir_k:
+        from classic_fcd_spark.operators.dsir import dsir_select
+
+        standing = base.join(exact.filter("exact_keep"), "doc_id", "left_semi")
+        if index_dups is not None:
+            standing = standing.join(index_dups, "doc_id", "left_anti")
+        sampled = dsir_select(
+            standing.select("doc_id", "text"), dsir_target, k=dsir_k
+        ).select("doc_id")
+    elif sample_rates:
+        sampled = stratified_sample(base, "doc_id", "source", sample_rates)
+    else:
+        sampled = base
+    sampled = sampled.select("doc_id", F.lit(True).alias("in_sample"))
 
     out = (
         base.join(exact, "doc_id", "left")
@@ -247,12 +269,15 @@ def curation_stats(
     embeddings: DataFrame | None = None,
     emb_centroids: list | None = None,
     semantic_eps: float = 0.05,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
 ) -> DataFrame:
     """The funnel: documents and tokens dropped per stage — what a
     data-mix owner reviews before a training run."""
     staged = _with_stages(
         docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
         decon_ngram, index_docs, embeddings, emb_centroids, semantic_eps,
+        dsir_target, dsir_k,
     )
     return (
         staged.groupBy("__stage")

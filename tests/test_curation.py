@@ -253,3 +253,45 @@ class TestIndexDupKeeperElection:
         # the sibling must SURVIVE: with 10 out of the election, 11 is
         # its own keeper
         assert tags[11] == "kept", tags
+
+
+class TestDsirSelectionStage:
+    def test_dsir_stage_selects_target_like_docs(self, spark):
+        """With dsir_target/dsir_k, the funnel's selection stage becomes
+        importance resampling: target-like docs are kept, off-target ones
+        fall to drop:sampled_out."""
+        from classic_fcd_spark.pipeline.curation import _with_stages
+
+        wiki = (
+            "the quick brown fox jumps over the lazy dog near the wide "
+            "river bank under a pale morning sky while birds circle slowly"
+        )
+        spam = (
+            "buy now cheap deals click here win prizes free offer act "
+            "fast limited stock exclusive discount join today instant savings"
+        )
+        docs = spark.createDataFrame(
+            [(i, wiki + f" tail{i}", "en", "src0", 90) for i in range(6)]
+            + [(100 + i, spam + f" tail{i}", "en", "src1", 90) for i in range(6)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        target = spark.createDataFrame(
+            [(1000 + i, wiki + f" extra{i}") for i in range(4)],
+            "doc_id long, text string",
+        )
+        staged = _with_stages(
+            docs, 0.0, ("en",), 1, None, dsir_target=target, dsir_k=5
+        )
+        tags = {r["doc_id"]: r["__stage"] for r in staged.collect()}
+        kept = [d for d, t in tags.items() if t == "kept"]
+        assert len(kept) == 5
+        # scores differ by tens of nats; allow the sampler one off-target
+        assert len([d for d in kept if d < 100]) >= 4
+        # the earlier intra-batch near-dup stage may catch the planted
+        # twins first (stage ORDER is the contract); everything else the
+        # DSIR stage rejects reads drop:sampled_out
+        assert all(
+            t in ("kept", "drop:sampled_out", "drop:near_dup")
+            for t in tags.values()
+        ), tags
+        assert any(t == "drop:sampled_out" for t in tags.values()), tags
