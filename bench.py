@@ -62,12 +62,12 @@ HEADLINE = [
     "incremental_dedup",
     "interval_joined_events",
     "sessionized_events",
+    "semantic_dedup",
+    "dsir_select",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
     "simhash_docs",
     "ann_lsh_buckets",
-    "semantic_dedup",
-    "dsir_select",
     "approx_top_ngrams",
 ]
 
@@ -99,32 +99,9 @@ def _extra_workloads():
         ann_topk_bruteforce,
     )
 
-    def semantic_dedup(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from classic_fcd_spark.operators.similarity import semantic_dedup as sd
-        from classic_fcd_spark.session import load_tables
-
-        emb = load_tables(spark, sf_dir)["embeddings"]
-        # pinned 16-vector codebook: benches the dedup plumbing (assign +
-        # cell pair join + CC + keeper), not the trainer (that's the
-        # TRAIN_WORKLOADS' job)
-        cents = [
-            r["embedding"]
-            for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
-        ]
-        return sd(emb, centroids=cents, eps=0.55)
-
-    def dsir_select(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from classic_fcd_spark.operators.dsir import dsir_select as sel
-        from classic_fcd_spark.session import load_tables
-
-        docs = load_tables(spark, sf_dir)["documents"]
-        target = docs.filter(F.col("source") == "src0").select("doc_id", "text")
-        raw = docs.filter(F.col("source") != "src0").select("doc_id", "text")
-        return sel(raw, target, k=200)
+    # semantic_dedup / dsir_select left this table late in r5: both are
+    # now REGISTERED driver-gated queries (same workload shapes — pinned
+    # 16-vector codebook / src0-target k=200) resolved via query_fn_map.
 
     def approx_top_ngrams(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -141,8 +118,6 @@ def _extra_workloads():
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
-        "semantic_dedup": semantic_dedup,
-        "dsir_select": dsir_select,
         "approx_top_ngrams": approx_top_ngrams,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,

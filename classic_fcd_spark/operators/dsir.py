@@ -84,11 +84,20 @@ def dsir_scores(
     text_col: str = "text",
     n: int = 2,
     buckets: int = 256,
+    quantize_e6: bool = False,
 ) -> DataFrame:
     """(id, score): importance log-ratio of every raw doc under the
     target-vs-raw hashed-ngram models.  The log-ratio table is built
     driver-side (2 x B floats) and broadcast; scoring is explode +
-    broadcast equi-join + per-doc sum — one shuffle of narrow rows."""
+    broadcast equi-join + per-doc sum — one shuffle of narrow rows.
+
+    `quantize_e6` emits integer fixed-point scores instead: each
+    bucket's log-ratio is floored to 1e-6 resolution BEFORE the per-doc
+    sum, so the sum is exact bigint arithmetic — order-free and
+    bit-identical across engines.  A float sum over an unordered groupBy
+    is not reproducible (IEEE addition does not commute with plan
+    order), which is why the driver-gated form uses this mode (same
+    lesson as floor_e6 in the ANN family)."""
     spark = raw_docs.sparkSession
     # the raw side's exploded bucket table feeds BOTH the raw model fit
     # and the per-doc scoring — materialize the md5 hashing once
@@ -102,16 +111,24 @@ def dsir_scores(
     )
     lp_t = bucket_log_probs(target_docs, text_col, n, buckets)
     lp_r = bucket_log_probs(raw_docs, text_col, n, buckets, exploded=ex)
-    ratio = spark.createDataFrame(
-        [(b, lp_t[b] - lp_r[b]) for b in range(buckets)], ["b", "lr"]
-    )
+    if quantize_e6:
+        ratio = spark.createDataFrame(
+            [(b, math.floor((lp_t[b] - lp_r[b]) * 1e6)) for b in range(buckets)],
+            "b bigint, lr bigint",
+        )
+        zero = F.lit(0).cast("bigint")
+    else:
+        ratio = spark.createDataFrame(
+            [(b, lp_t[b] - lp_r[b]) for b in range(buckets)], ["b", "lr"]
+        )
+        zero = F.lit(0.0)
     return (
         ex.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(F.sum("lr").alias("score"))
         .unionByName(  # docs with < n tokens: no features, score 0
             raw_docs.join(ex.select(id_col).distinct(), id_col, "left_anti").select(
-                F.col(id_col), F.lit(0.0).alias("score")
+                F.col(id_col), zero.alias("score")
             )
         )
     )
@@ -131,16 +148,27 @@ def gumbel_noise(key: Column | str, salt: str = "dsir") -> Column:
     return -F.log(-F.log(u))
 
 
+def gumbel_noise_e6(key: Column | str, salt: str = "dsir") -> Column:
+    """floor(gumbel * 1e6) as bigint — the fixed-point Gumbel draw the
+    integer-exact selection key uses (same scale as the e6 scores, so
+    score + noise stays a temperature-1 Gumbel-top-k in e6 units)."""
+    return F.floor(gumbel_noise(key, salt) * F.lit(1e6)).cast("bigint")
+
+
 def dsir_resample(
     scored: DataFrame,
     k: int,
     id_col: str = "doc_id",
     salt: str = "dsir",
+    quantize_e6: bool = False,
 ) -> DataFrame:
     """Top-k of score + Gumbel(md5) — samples k docs without replacement
     with probability ∝ exp(score), deterministically (Gumbel-top-k,
-    public result).  A TakeOrdered, no global sort materialized."""
-    key = (F.col("score") + gumbel_noise(id_col, salt)).alias("gumbel_key")
+    public result).  A TakeOrdered, no global sort materialized.
+    `quantize_e6`: score is already e6-fixed-point bigint; the noise is
+    floored to the same scale so the key is exact integer arithmetic."""
+    noise = gumbel_noise_e6(id_col, salt) if quantize_e6 else gumbel_noise(id_col, salt)
+    key = (F.col("score") + noise).alias("gumbel_key")
     return (
         scored.select(id_col, "score", key)
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
@@ -157,8 +185,12 @@ def dsir_select(
     n: int = 2,
     buckets: int = 256,
     salt: str = "dsir",
+    quantize_e6: bool = False,
 ) -> DataFrame:
     """The composed selector: (id, score, gumbel_key) of the k raw docs
-    chosen to match the target distribution."""
-    scored = dsir_scores(raw_docs, target_docs, id_col, text_col, n, buckets)
-    return dsir_resample(scored, k, id_col, salt)
+    chosen to match the target distribution.  `quantize_e6` runs the
+    integer-exact fixed-point path (the driver-gated form)."""
+    scored = dsir_scores(
+        raw_docs, target_docs, id_col, text_col, n, buckets, quantize_e6=quantize_e6
+    )
+    return dsir_resample(scored, k, id_col, salt, quantize_e6=quantize_e6)

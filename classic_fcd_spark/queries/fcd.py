@@ -1321,9 +1321,11 @@ def fcd_cumulative_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cumulative_reward", F.col("cumulative_reward").cast("long"))
 
 
-@register(
-    "fcd_delegator_weights",
-    f"""
+# Oracle retained for the in-test DuckDB gate (tests/test_fcd_pipeline.py):
+# r5 (late) rotated the driver slot to semantic_dedup — A21's share-of-total
+# arithmetic is a thin twin of A22 (`fcd_richlist`, still driver-gated), and
+# the W11 ranking contract stays driver-gated there too.
+DELEGATOR_WEIGHTS_ORACLE_SQL = f"""
     WITH {DUCK_DELEGATIONS},
     mine AS (
         SELECT delegator, CAST(SUM(shares) AS BIGINT) AS shares
@@ -1335,13 +1337,17 @@ def fcd_cumulative_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // (SELECT SUM(shares) FROM mine) AS BIGINT) AS weight_e6,
            ROW_NUMBER() OVER (ORDER BY shares DESC, delegator) AS rnk
     FROM mine
-    """.replace("{val3}", valaddr_str(3)),
-    doc="A21 delegator weights (src/service/staking/getDelegators.ts:18-48): "
-    "weight = shares / total via an unpartitioned window over the "
-    "per-validator delegator set (bounded by delegator count), ranked "
-    "desc — W11 ordering contract.",
-)
+    """.replace("{val3}", valaddr_str(3))
+
+
 def fcd_delegator_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 delegator weights (src/service/staking/getDelegators.ts:18-48):
+    weight = shares / total via an unpartitioned window over the
+    per-validator delegator set (bounded by delegator count), ranked desc
+    — W11 ordering contract.  Driver-gated r2-r5 (green throughout);
+    now gated by the in-test oracle (DELEGATOR_WEIGHTS_ORACLE_SQL) while
+    `fcd_richlist` keeps the shared share-of-total + ranking pattern
+    driver-green."""
     from pyspark.sql import Window
 
     mine = (
@@ -1368,22 +1374,27 @@ def fcd_delegator_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # L3: in-memory page/limit contract (votes page).
 # ---------------------------------------------------------------------------
-@register(
-    "fcd_votes_page",
-    f"""
+# Oracle retained for the in-test DuckDB gate (tests/test_fcd_pipeline.py):
+# r5 (late) rotated the driver slot to dsir_select — the L3 offset/limit
+# contract is a thin twin of the driver-gated page contracts (L1
+# `keyset_page_orders`, L5 `fcd_price_buckets_15m`'s LIMIT-50).
+VOTES_PAGE_ORACLE_SQL = f"""
     WITH {DUCK_VOTES}
     SELECT vote_id, voter, option
     FROM votes WHERE proposal_id = 1
     ORDER BY vote_id DESC
     LIMIT 10 OFFSET 10
-    """,
-    doc="L3 page/limit (drop/take) over sorted votes "
-    "(src/service/governance/getVotes.ts:70-79, getDeposits.ts:119-137): "
-    "the reference slices an in-memory array; here ORDER BY + OFFSET + "
-    "LIMIT push into the plan (LimitPushDown) — page 2 of proposal 1's "
-    "votes, newest first.",
-)
+    """
+
+
 def fcd_votes_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 page/limit (drop/take) over sorted votes
+    (src/service/governance/getVotes.ts:70-79, getDeposits.ts:119-137):
+    the reference slices an in-memory array; here ORDER BY + OFFSET +
+    LIMIT push into the plan (LimitPushDown) — page 2 of proposal 1's
+    votes, newest first.  Driver-gated r2-r5 (green throughout); now
+    gated by the in-test oracle (VOTES_PAGE_ORACLE_SQL) while L1/L5 keep
+    the paging contracts driver-green."""
     return (
         gen_votes(spark)
         .filter(F.col("proposal_id") == 1)

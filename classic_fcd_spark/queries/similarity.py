@@ -579,3 +579,106 @@ def ann_pq_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("qid", "nid", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup driver row — promoted late in r5 (the
+# fcd_delegator_weights slot; A21's share-of-total twin stays gated via
+# fcd_richlist).  Pinned first-16-vector codebook, exactly like the
+# ann_search IVF arm: the assign + cell-pair-join + CC + keeper plumbing
+# is what runs at 100 TB and what the oracle must pin; the spherical
+# k-means trainer stays unit-gated (tests/test_semdedup.py runs the full
+# pure-Python-reference equivalence, trained path included).
+# ---------------------------------------------------------------------------
+_SEM_K = 16
+_SEM_EPS = 0.55  # pair threshold = 1 - eps = 0.45: corpus-calibrated — the
+# synthetic embeddings are near-orthogonal random vectors (max pair cosine
+# ~0.51 at sf0.01), so the paper's production eps≈0.05 would find zero
+# groups here; the operator semantics are threshold-independent.
+_SEM_THRESH = 1.0 - _SEM_EPS  # the Python float the engine compares against
+
+_DUCK_VN = (
+    f"sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) "
+    f"for i in range(1, {DIM + 1})]))"
+)
+_DUCK_NC = (
+    f"sqrt(list_sum([CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) "
+    f"for i in range(1, {DIM + 1})]))"
+)
+
+SEMANTIC_DEDUP_ORACLE_SQL = f"""
+    WITH RECURSIVE cents AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < {_SEM_K}
+    ),
+    cn AS (SELECT cid, ce, {_DUCK_NC} AS nc FROM cents),
+    vn AS (SELECT vec_id, embedding, {_DUCK_VN} AS nv FROM embeddings),
+    scored AS (
+        SELECT v.vec_id, v.embedding, v.nv, c.cid,
+               list_sum([CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
+                         for i in range(1, {DIM + 1})]) / (v.nv * c.nc) AS cos
+        FROM vn v CROSS JOIN cn c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nv, cid AS cell, cos AS cos_c
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, cid DESC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                        for i in range(1, {DIM + 1})]) / (a.nv * b.nv) >= {_SEM_THRESH!r}
+    ),
+    edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, reach.label FROM reach JOIN edges e ON reach.node = e.a
+    ),
+    comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+    members AS (
+        SELECT a.vec_id, a.cell, a.cos_c, COALESCE(c.label, a.vec_id) AS group_id
+        FROM assigned a LEFT JOIN comp c ON a.vec_id = c.node
+    ),
+    keep AS (
+        SELECT group_id, vec_id AS keeper_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY group_id
+                                           ORDER BY cos_c ASC, vec_id ASC) AS rn
+              FROM members)
+        WHERE rn = 1
+    )
+    SELECT m.vec_id, m.cell, m.group_id, k.keeper_id,
+           m.vec_id = k.keeper_id AS is_kept
+    FROM members m JOIN keep k USING (group_id)
+    """
+
+
+@register(
+    "semantic_dedup",
+    SEMANTIC_DEDUP_ORACLE_SQL,
+    doc="Semantic deduplication (SemDeDup, Abbas et al. 2023, "
+    "arXiv:2303.09540): cluster the embedding space, collapse "
+    "within-cluster groups at cosine >= 1-eps down to the member "
+    "FARTHEST from its centroid (the paper's keep-the-edge-example "
+    "criterion), keep all singletons.  Assignment is a broadcast 16-row "
+    "codebook join (no corpus shuffle); the pair search is a cell "
+    "equi-join so cost is sum(n_c^2), never corpus^2 — k is the dial at "
+    "100 TB; groups are pointer-jumping connected components; no float "
+    "column is emitted, so the hash gate sees only ints/bools.  The "
+    "codebook is pinned to the first 16 vectors for oracle exactness "
+    "(same pattern as the ann_search IVF arm); the spherical-k-means "
+    "trained path is unit-gated in tests/test_semdedup.py.",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.similarity import semantic_dedup
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
+    ]
+    return semantic_dedup(emb, centroids=cents, eps=_SEM_EPS)

@@ -143,6 +143,105 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR targeted selection — promoted to the driver gate late in r5 (the
+# fcd_votes_page slot; L3's offset/limit contract stays gated via L1/L5).
+# Target distribution = src0 (the same deterministic held-out split the
+# decontamination row uses); raw corpus = everything else.  The driver
+# row runs the INTEGER-EXACT path: per-bucket log-ratios floored to 1e-6
+# fixed point before the per-doc sum, Gumbel noise floored to the same
+# scale — every emitted column is bigint, so the value-hash cannot see
+# float-sum order or rendering drift (the sequence_packing r4 lesson).
+# ---------------------------------------------------------------------------
+_DSIR_TARGET = "src0"
+_DSIR_K = 200
+_DSIR_B = 256
+_DSIR_SALT = "dsir"
+_TOKS = "regexp_split_to_array(trim(text), ' +')"
+_DUCK_BUCKET = (
+    "CAST(CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS UBIGINT) "
+    f"% {_DSIR_B} AS BIGINT)"
+)
+_DUCK_GUMBEL_E6 = (
+    "CAST(floor((-ln(-ln((CAST(('0x' || substr(md5('"
+    + _DSIR_SALT
+    + "' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) + 0.5) "
+    "/ 1152921504606846976.0))) * 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "dsir_select",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS} AS t FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, source, unnest([{_DUCK_BUCKET} for i in range(1, len(t))]) AS b
+        FROM toks
+    ),
+    spine AS (SELECT unnest(range({_DSIR_B})) AS b),
+    tc AS (SELECT b, COUNT(*) AS c FROM ex WHERE source = '{_DSIR_TARGET}' GROUP BY 1),
+    rc AS (SELECT b, COUNT(*) AS c FROM ex WHERE source <> '{_DSIR_TARGET}' GROUP BY 1),
+    tot AS (
+        SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS tt,
+               (SELECT COALESCE(SUM(c), 0) FROM rc) AS tr
+    ),
+    lr AS (
+        SELECT spine.b,
+               CAST(floor((ln((COALESCE(tc.c, 0) + 1) / (tot.tt + {_DSIR_B}.0))
+                         - ln((COALESCE(rc.c, 0) + 1) / (tot.tr + {_DSIR_B}.0)))
+                         * 1000000.0) AS BIGINT) AS lr
+        FROM spine CROSS JOIN tot
+        LEFT JOIN tc ON spine.b = tc.b
+        LEFT JOIN rc ON spine.b = rc.b
+    ),
+    scores AS (
+        SELECT ex.doc_id, CAST(SUM(lr.lr) AS BIGINT) AS score_e6
+        FROM ex JOIN lr ON ex.b = lr.b
+        WHERE ex.source <> '{_DSIR_TARGET}'
+        GROUP BY 1
+    ),
+    all_scored AS (
+        SELECT d.doc_id, COALESCE(s.score_e6, 0) AS score_e6
+        FROM (SELECT doc_id FROM documents WHERE source <> '{_DSIR_TARGET}') d
+        LEFT JOIN scores s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, score_e6,
+           CAST(score_e6 + {_DUCK_GUMBEL_E6} AS BIGINT) AS gkey_e6
+    FROM all_scored
+    ORDER BY gkey_e6 DESC, doc_id ASC
+    LIMIT {_DSIR_K}
+    """,
+    doc="DSIR targeted data selection (Xie et al. 2023, arXiv:2302.03169): "
+    "select the 200 raw docs that best match the src0 target "
+    "distribution under hashed-bigram bag models.  Model fit = one "
+    "groupBy per side (B-row histograms, the only driver-side state); "
+    "scoring = explode + broadcast log-ratio join + per-doc sum; "
+    "selection = deterministic md5-Gumbel top-k (without-replacement "
+    "sampling ∝ exp(score) as a TakeOrdered).  Driver row runs the "
+    "integer-exact e6 fixed-point path: log-ratios and noise floored to "
+    "bigints BEFORE summing, so scores are order-free exact integers "
+    "(a float sum over an unordered groupBy is not reproducible).  "
+    "Full-float path + planted-mixture enrichment + pure-Python "
+    "reference equivalence stay unit-gated in tests/test_dsir.py.",
+)
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.dsir import dsir_select
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    target = docs.filter(F.col("source") == _DSIR_TARGET).select("doc_id", "text")
+    raw = docs.filter(F.col("source") != _DSIR_TARGET).select("doc_id", "text")
+    out = dsir_select(
+        raw, target, k=_DSIR_K, buckets=_DSIR_B, salt=_DSIR_SALT, quantize_e6=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("score").alias("score_e6"),
+        F.col("gumbel_key").alias("gkey_e6"),
+    )
+
+
 @register(
     "stratified_sample_docs",
     f"""

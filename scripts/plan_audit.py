@@ -39,13 +39,12 @@ ALLOW: dict[str, dict[str, str]] = {
     # 16-row codebook (constant-bounded dim cross, one fold per pair);
     # the corpus-x-corpus probe itself is the cell equi-join
     "ann_search": {"nested_loop": "corpus x broadcast 16-row codebook cross"},
+    # r5 (late) review: same constant-bounded codebook cross as ann_search's
+    # IVF arm — assignment is corpus x broadcast 16-row dim, one fold/pair
+    "semantic_dedup": {"nested_loop": "corpus x broadcast 16-row codebook cross"},
     "fcd_minute_fees": {"nested_loop": _GRID},
     "fcd_rewards_converted": {"nested_loop": _GRID},
     "fcd_total_staking_return": {"nested_loop": f"{_GRID}; plus {_SCALAR}"},
-    "fcd_delegator_weights": {
-        "global_window": "rank + total over the delegations dim (bounded: "
-        "delegator set of one chain, not a fact table)"
-    },
     # cumulative / full-history windows over DATE-grain aggregates: the
     # windowed relation is a per-day rollup (≤ a few thousand rows for
     # years of history), not the raw table
@@ -56,7 +55,6 @@ ALLOW: dict[str, dict[str, str]] = {
     # keyset / offset page contracts: ordering a page-bounded or
     # pre-aggregated relation
     "keyset_page_orders": {"global_window": "row_number over one 100-row page"},
-    "fcd_votes_page": {"global_window": "offset/limit page over proposals"},
     "fcd_price_buckets_15m": {
         "global_window": "LIMIT-50 candle contract",
         "nested_loop": _GRID,

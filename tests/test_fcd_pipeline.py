@@ -229,3 +229,55 @@ class TestMarketCapOracle:
         }
         assert got == expected
         assert len(got) == 16
+
+
+class TestDelegatorWeightsOracle:
+    """fcd_delegator_weights left the driver window late in r5 (slot
+    rotated to semantic_dedup); this is its oracle gate now — the same
+    fixture-CTE DuckDB SQL that drove its green r2-r5 driver rows.  The
+    share-of-total + ranking pattern stays driver-gated via
+    fcd_richlist (A22/W11)."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.fcd import (
+            DELEGATOR_WEIGHTS_ORACLE_SQL,
+            fcd_delegator_weights,
+        )
+        from tests.conftest import SF_SMALL
+
+        got = {
+            r["delegator"]: (r["shares"], r["weight_e6"], r["rnk"])
+            for r in fcd_delegator_weights(spark, SF_SMALL).collect()
+        }
+        expected = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duckdb.sql(DELEGATOR_WEIGHTS_ORACLE_SQL).fetchall()
+        }
+        assert got == expected
+        assert len(got) == 2
+
+
+class TestVotesPageOracle:
+    """fcd_votes_page left the driver window late in r5 (slot rotated to
+    dsir_select); this is its oracle gate now.  The page contracts stay
+    driver-gated via keyset_page_orders (L1) and fcd_price_buckets_15m
+    (L5)."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.fcd import (
+            VOTES_PAGE_ORACLE_SQL,
+            fcd_votes_page,
+        )
+        from tests.conftest import SF_SMALL
+
+        got = [
+            (r["vote_id"], r["voter"], r["option"])
+            for r in fcd_votes_page(spark, SF_SMALL).collect()
+        ]
+        expected = [tuple(r) for r in duckdb.sql(VOTES_PAGE_ORACLE_SQL).fetchall()]
+        assert got == expected
+        assert len(got) == 10
