@@ -69,6 +69,7 @@ HEADLINE = [
     "simhash_docs",
     "ann_lsh_buckets",
     "approx_top_ngrams",
+    "duplicated_spans",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -103,6 +104,12 @@ def _extra_workloads():
     # now REGISTERED driver-gated queries (same workload shapes — pinned
     # 16-vector codebook / src0-target k=200) resolved via query_fn_map.
 
+    def duplicated_spans(spark, sf_dir):
+        from classic_fcd_spark.operators.spans import duplicated_spans as ds
+        from classic_fcd_spark.session import load_tables
+
+        return ds(load_tables(spark, sf_dir)["documents"], k=8)
+
     def approx_top_ngrams(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -119,6 +126,7 @@ def _extra_workloads():
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
         "approx_top_ngrams": approx_top_ngrams,
+        "duplicated_spans": duplicated_spans,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,

@@ -1,0 +1,163 @@
+"""Span-level exact-substring deduplication (the ExactSubstr operator of
+Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499 — public literature).
+
+Doc-level dedup (exact / MinHash / SimHash — operators/dedup.py) removes
+whole documents; ExactSubstr removes the duplicated *regions inside*
+otherwise-unique documents (boilerplate headers, licence blocks, quoted
+passages).  The paper builds a single suffix array over the whole corpus
+and scans it for repeated substrings >= 50 tokens — inherently
+single-machine (one giant sorted array).  The Spark-first re-expression
+works at k-token resolution:
+
+1. Slide a k-token window over every document: (doc, pos, md5(window)).
+   A repeated substring of length L >= k contributes L-k+1 windows, each
+   of which appears >= 2 times corpus-wide; so duplicated-window
+   positions are exactly the token positions covered by duplicated
+   substrings (up to the k-grain boundary).
+2. Keep positions whose window hash occurs >= min_count times — ONE
+   shuffle, keyed on the fixed-width md5 (never the window text).
+3. Per document, merge overlapping-or-adjacent duplicated positions into
+   maximal spans — a lag + running-sum window over (doc, pos), the same
+   single-shuffle shape as gap sessionization.
+
+Semantics note (the honest delta vs a suffix array): a maximal merged
+span marks a maximal run of k-windows that are EACH duplicated somewhere
+in the corpus — different windows of one span may match different source
+documents.  That is the same merge the paper applies to its overlapping
+duplicate ranges before cutting; resolution is k tokens (spans shorter
+than k are invisible, boundaries are exact).
+
+Scale shape at 100 TB:
+- the exploded (doc, pos, hash) table is ~n_tokens rows of fixed width —
+  linear, shuffled once on the hash;
+- no self-join anywhere: the duplicate test is a windowed count over the
+  hash partition (map-side combinable via the groupBy+join variant if a
+  hot hash ever skews — md5 keys cannot skew by construction);
+- span merge shuffles (doc, pos) pairs only — narrow rows, one key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.dedup import ws_tokens
+
+
+def kgram_positions(text, k: int) -> Column:
+    """Array of (pos, gh) structs: 1-based token position and md5 of the
+    k-token window starting there.  Docs with fewer than k tokens yield
+    an empty array (no window fits)."""
+    toks = ws_tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    entry = lambda i: F.struct(  # noqa: E731
+        i.alias("pos"), F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("gh")
+    )
+    return F.when(F.size(toks) >= k, F.transform(idx, entry)).otherwise(
+        F.array().cast("array<struct<pos:int,gh:string>>")
+    )
+
+
+def duplicated_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, pos) of every k-window whose hash occurs >= min_count times
+    corpus-wide (all occurrences count, including repeats within one
+    document — suffix-array semantics).  One shuffle, keyed on md5."""
+    ex = docs.select(
+        F.col(id_col), F.explode(kgram_positions(text_col, k)).alias("s")
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    w = Window.partitionBy("gh")
+    return (
+        ex.withColumn("c", F.count("*").over(w))
+        .filter(F.col("c") >= min_count)
+        .select(id_col, "pos")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, span_start, span_end, span_len, n_grams): maximal duplicated
+    regions per document, token-indexed (1-based, inclusive).
+
+    Two duplicated windows at positions p < q merge iff q - p <= k
+    (overlapping or exactly adjacent — the paper's overlapping-range
+    merge); the merge is a lag + running-sum window over (doc, pos),
+    identical in shape to operators/windows.sessionize.  span_end =
+    last_pos + k - 1 (the last covered token); n_grams = how many
+    duplicated windows support the span (span_len - n_grams exposes how
+    "gappy" a span is at the k grain)."""
+    dup = duplicated_positions(docs, id_col, text_col, k, min_count)
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    new_run = F.when(
+        F.col("pos") - F.lag("pos").over(wo) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    spans = dup.withColumn("nr", new_run).withColumn(
+        "sid", F.sum("nr").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        spans.groupBy(id_col, "sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_len"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("sid")
+    )
+
+
+def duck_duplicated_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> str:
+    """DuckDB oracle computing the identical spans (same md5 windows,
+    same windowed count, same merge) — an independent engine arriving at
+    the same integer answer."""
+    toks = f"regexp_split_to_array(trim({text_col}), ' +')"
+    return f"""
+    WITH toks AS (SELECT {id_col}, {toks} AS t FROM {table}),
+    ex AS (
+        SELECT {id_col},
+               unnest([{{'pos': i, 'gh': md5(array_to_string(t[i:i+{k - 1}], ' '))}}
+                       for i in range(1, len(t) - {k - 2})]) AS s
+        FROM toks
+    ),
+    flat AS (SELECT {id_col}, s.pos AS pos, s.gh AS gh FROM ex),
+    dup AS (
+        SELECT {id_col}, pos FROM (
+            SELECT {id_col}, pos, COUNT(*) OVER (PARTITION BY gh) AS c FROM flat
+        ) WHERE c >= {min_count}
+    ),
+    runs AS (
+        SELECT {id_col}, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY {id_col} ORDER BY pos)
+                         <= {k} THEN 0 ELSE 1 END AS nr
+        FROM dup
+    ),
+    spans AS (
+        SELECT {id_col}, pos,
+               SUM(nr) OVER (PARTITION BY {id_col} ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM runs
+    )
+    SELECT {id_col},
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS BIGINT) AS span_len,
+           COUNT(*) AS n_grams
+    FROM spans GROUP BY {id_col}, sid
+    """

@@ -1,0 +1,105 @@
+"""Span-level exact-substring dedup (operators/spans.py): planted-span
+semantics, merge behavior, and full DuckDB-oracle equivalence over the
+driver's synthetic documents table.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from classic_fcd_spark.operators.spans import (
+    duck_duplicated_spans_sql,
+    duplicated_spans,
+)
+from tests.conftest import SF_SMALL
+
+_SHARED = "the quick brown fox jumps over the lazy dog again and again"  # 12 tokens
+
+
+def _planted(spark):
+    rows = [
+        # docs 0 and 1 share the 12-token block at different offsets
+        (0, "alpha beta " + _SHARED + " gamma delta"),
+        (1, _SHARED + " epsilon zeta eta theta iota kappa"),
+        # doc 2: within-doc repetition (the k-window repeats inside one doc)
+        (2, "x1 x2 x3 x4 x5 x6 x7 x8 y " + "x1 x2 x3 x4 x5 x6 x7 x8"),
+        # doc 3: fully unique
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestPlantedSpans:
+    def test_shared_block_found_in_both_docs(self, spark):
+        out = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+            for r in duplicated_spans(_planted(spark), k=8).collect()
+            if r["doc_id"] in (0, 1)
+        }
+        # doc 0: tokens 3..14 hold the shared block -> windows 3..7 merge
+        # to one span [3, 14]; doc 1: block at 1..12 -> span [1, 12]
+        assert out[0] == (3, 14, 12)
+        assert out[1] == (1, 12, 12)
+
+    def test_within_doc_repetition_counts(self, spark):
+        rows = [
+            r
+            for r in duplicated_spans(_planted(spark), k=8).collect()
+            if r["doc_id"] == 2
+        ]
+        # the repeated x1..x8 window occurs twice inside doc 2: both
+        # occurrences are duplicated positions (suffix-array semantics);
+        # positions 1 and 10 are k-adjacent at k=8? gap = 9 > 8 -> two spans
+        assert sorted((r["span_start"], r["span_end"]) for r in rows) == [
+            (1, 8),
+            (10, 17),
+        ]
+
+    def test_unique_doc_has_no_spans(self, spark):
+        assert (
+            len(
+                [
+                    r
+                    for r in duplicated_spans(_planted(spark), k=8).collect()
+                    if r["doc_id"] == 3
+                ]
+            )
+            == 0
+        )
+
+    def test_adjacent_windows_merge_into_one_span(self, spark):
+        # two docs sharing a 16-token block: every 8-window inside it is
+        # duplicated, consecutive positions differ by 1 <= k -> ONE span
+        block = " ".join(f"w{i}" for i in range(16))
+        df = spark.createDataFrame(
+            [(0, block + " tail0"), (1, "head1 " + block)], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+            for r in duplicated_spans(df, k=8).collect()
+        }
+        assert out[0] == (1, 16, 9)  # windows 1..9 merged
+        assert out[1] == (2, 17, 9)
+
+
+class TestSpansOracle:
+    def test_matches_duckdb_on_documents(self, spark, tables):
+        got = {
+            (r["doc_id"], r["span_start"]): (
+                r["span_end"],
+                r["span_len"],
+                r["n_grams"],
+            )
+            for r in duplicated_spans(tables["documents"], k=8).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/documents.parquet')"
+        )
+        want = {
+            (r[0], r[1]): (r[2], r[3], r[4])
+            for r in con.sql(duck_duplicated_spans_sql(k=8)).fetchall()
+        }
+        assert got == want
+        assert len(got) > 0  # the synthetic corpus plants dup groups
