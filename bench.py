@@ -70,6 +70,7 @@ HEADLINE = [
     "ann_lsh_buckets",
     "approx_top_ngrams",
     "duplicated_spans",
+    "bm25_search",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -110,6 +111,15 @@ def _extra_workloads():
 
         return ds(load_tables(spark, sf_dir)["documents"], k=8)
 
+    def bm25_search(spark, sf_dir):
+        from classic_fcd_spark.operators.bm25 import bm25_topk
+        from classic_fcd_spark.session import load_tables
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        qs = [(0, ["join", "merge"]), (1, ["window", "sort", "scan"]),
+              (2, ["scan", "column"]), (3, ["agg", "value", "key"])]
+        return bm25_topk(docs, qs)
+
     def approx_top_ngrams(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -127,6 +137,7 @@ def _extra_workloads():
         "simhash_near_dups": simhash_near_dups,
         "approx_top_ngrams": approx_top_ngrams,
         "duplicated_spans": duplicated_spans,
+        "bm25_search": bm25_search,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,

@@ -1,0 +1,164 @@
+"""BM25 lexical retrieval over the document corpus (Robertson/Walker
+Okapi BM25, public literature; the +1 idf smoothing is the Lucene
+variant so scores are always non-negative).
+
+The lexical complement to the embedding ANN family: keyword search over
+100 TB of text, and the retrieval step of lexical data-selection /
+decontamination recipes.
+
+Scale shape:
+- The (doc, term, tf) postings table is the materialized inverted-index
+  silver — one explode + one groupBy per corpus generation, reusable
+  across every query batch (like session.shingle_table for dedup).
+- Query time: the query-term set is tiny → broadcast; postings are
+  semi-joined down to query terms BEFORE any scoring work, so cost
+  follows matching postings, never the corpus.  Per-query top-k is a
+  bounded window.
+- Corpus stats (N, total tokens) are a 1-row aggregate — the only
+  driver-side state.
+
+Numeric policy (the driver-hash lesson): per-(query, doc, term) BM25
+partials are computed in double with ONE fixed expression shape shared
+by the Spark column and the DuckDB oracle (literals embedded via repr,
+same association order), then floored to e6 fixed point BEFORE the
+per-doc sum — so document scores are order-free exact integers, immune
+to float-sum nondeterminism (same trick as operators/dsir.py's
+quantize_e6 path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.dedup import ws_tokens
+
+
+def bm25_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf, dl): term frequencies with per-doc length — the
+    inverted-index silver table.  One explode + one groupBy; dl rides
+    along via a size() column computed before the explode (no second
+    tokenize pass, no second shuffle)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(ws_tokens(text_col)).alias("dl"),
+        F.explode(ws_tokens(text_col)).alias("term"),
+    )
+    return toks.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+
+
+def _score_expr(n: int, avgdl: float, k1: float, b: float):
+    """The shared BM25 per-term partial, association order fixed:
+    ((idf * tf) * (k1+1)) / (tf + k1 * ((1-b) + ((b*dl)/avgdl)))."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.lit(avgdl)
+    )
+    return idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, id, rnk, score_e6): top-k BM25 docs per query.
+
+    `postings` reuses a pre-materialized bm25_postings table (the
+    long-lived-engine shape); otherwise it is built from `docs`.  N and
+    avgdl come from one scalar aggregate (bounded driver state)."""
+    spark = docs.sparkSession
+    post = postings if postings is not None else bm25_postings(docs, id_col, text_col)
+    row = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size(ws_tokens(text_col))).alias("tot")
+    ).collect()[0]
+    n, avgdl = int(row["n"]), int(row["tot"]) / int(row["n"])
+
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms], ["qid", "term"]
+    )
+    # document frequency of QUERY terms only: postings pruned by the
+    # broadcast term set first, so df never aggregates the full vocab
+    terms = qdf.select("term").distinct()
+    matched = post.join(F.broadcast(terms), "term")
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qdf), "term")
+        .withColumn(
+            "s_e6",
+            F.floor(_score_expr(n, avgdl, k1, b) * F.lit(1000000.0)).cast("bigint"),
+        )
+    )
+    agg = scored.groupBy("qid", id_col).agg(F.sum("s_e6").alias("score_e6"))
+    w = Window.partitionBy("qid").orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("qid", id_col, "rnk", "score_e6")
+    )
+
+
+def duck_bm25_sql(
+    queries: list[tuple[int, list[str]]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> str:
+    """DuckDB oracle: same tokenization, same postings, same fixed-shape
+    float expression (literals via repr → bit-identical doubles), same
+    e6 floor-then-integer-sum."""
+    toks = f"regexp_split_to_array(trim({text_col}), ' +')"
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    score = (
+        f"ln(1.0 + (CAST(stats.n AS DOUBLE) - qdf.df + 0.5) / (qdf.df + 0.5))"
+        f" * tf.tf * {k1 + 1.0!r}"
+        f" / (tf.tf + {k1!r} * ({1.0 - b!r} + ({b!r} * tf.dl) / stats.avgdl))"
+    )
+    return f"""
+    WITH toks AS (SELECT {id_col}, {toks} AS t FROM {table}),
+    stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM toks
+    ),
+    post AS (SELECT {id_col}, len(t) AS dl, unnest(t) AS term FROM toks),
+    tf AS (SELECT {id_col}, dl, term, COUNT(*) AS tf FROM post GROUP BY 1, 2, 3),
+    q(qid, term) AS (VALUES {qvals}),
+    qdf AS (
+        SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+    ),
+    scored AS (
+        SELECT q.qid, tf.{id_col},
+               CAST(floor({score} * 1000000.0) AS BIGINT) AS s_e6
+        FROM q
+        JOIN tf USING (term)
+        JOIN qdf USING (term)
+        CROSS JOIN stats
+    ),
+    agg AS (
+        SELECT qid, {id_col}, CAST(SUM(s_e6) AS BIGINT) AS score_e6
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT qid, {id_col}, rnk, score_e6 FROM (
+        SELECT qid, {id_col}, score_e6,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score_e6 DESC, {id_col} ASC) AS rnk
+        FROM agg
+    ) WHERE rnk <= {top_k}
+    """

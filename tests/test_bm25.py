@@ -1,0 +1,100 @@
+"""BM25 lexical retrieval (operators/bm25.py): pure-Python reference
+equivalence on a planted corpus, full DuckDB-oracle equivalence over the
+synthetic documents table, and the broadcast plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from classic_fcd_spark.operators.bm25 import bm25_postings, bm25_topk, duck_bm25_sql
+from tests.conftest import SF_SMALL
+
+K1, B = 1.2, 0.75
+
+ROWS = [
+    (0, "spark shuffles the sorted rows across executors"),
+    (1, "the broadcast join avoids the shuffle for small tables"),
+    (2, "a window function partitions and sorts the rows"),
+    (3, "broadcast broadcast broadcast tiny dims everywhere"),
+    (4, "rows rows rows and more rows in the shuffle"),
+]
+QUERIES = [(0, ["broadcast", "shuffle"]), (1, ["rows"]), (2, ["absentterm"])]
+
+
+def _ref_topk(rows, queries, k1=K1, b=B, top_k=10):
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for qid, terms in queries:
+        scores = {}
+        for term in terms:
+            df = sum(1 for v in toks.values() if term in v)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+            for i, v in toks.items():
+                tf = v.count(term)
+                if tf == 0:
+                    continue
+                denom = tf + k1 * ((1.0 - b) + (b * len(v)) / avgdl)
+                s = idf * tf * (k1 + 1.0) / denom
+                scores[i] = scores.get(i, 0) + math.floor(s * 1000000.0)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        for rnk, (i, s) in enumerate(ranked, 1):
+            out[(qid, i)] = (rnk, s)
+    return out
+
+
+class TestBM25Reference:
+    def test_matches_python_reference(self, spark):
+        df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+        got = {
+            (r["qid"], r["doc_id"]): (r["rnk"], r["score_e6"])
+            for r in bm25_topk(df, QUERIES, k1=K1, b=B).collect()
+        }
+        assert got == _ref_topk(ROWS, QUERIES)
+        # sanity: tf saturation (the point of BM25 over raw tf) — doc 1
+        # matches BOTH query terms once and outranks doc 3's tf=3 on a
+        # single term
+        assert got[(0, 1)][0] == 1
+        assert got[(0, 3)][0] == 2
+
+    def test_postings_reuse_is_equivalent(self, spark):
+        df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+        post = bm25_postings(df)
+        a = sorted(map(tuple, bm25_topk(df, QUERIES).collect()))
+        b_ = sorted(map(tuple, bm25_topk(df, QUERIES, postings=post).collect()))
+        assert a == b_
+
+
+class TestBM25Oracle:
+    QUERIES = [(0, ["join", "merge"]), (1, ["window", "sort", "scan"]), (2, ["scan"])]
+
+    def test_matches_duckdb_on_documents(self, spark, tables):
+        got = sorted(
+            (r["qid"], r["doc_id"], r["rnk"], r["score_e6"])
+            for r in bm25_topk(tables["documents"], self.QUERIES).collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/documents.parquet')"
+        )
+        want = sorted(map(tuple, con.sql(duck_bm25_sql(self.QUERIES)).fetchall()))
+        assert got == want
+        assert len(got) == 30  # 3 queries x top-10 on a 500-doc corpus
+
+
+class TestBM25Plan:
+    def test_query_side_is_broadcast_no_cartesian(self, spark, tables):
+        df = bm25_topk(tables["documents"], self.QUERIES)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    QUERIES = [(0, ["join"])]
