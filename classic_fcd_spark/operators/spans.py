@@ -161,3 +161,97 @@ def duck_duplicated_spans_sql(
            COUNT(*) AS n_grams
     FROM spans GROUP BY {id_col}, sid
     """
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_span_len: int | None = None,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """(id, text_clean, n_tokens, n_removed): the ExactSubstr text
+    surgery — rebuild every document with its duplicated regions cut
+    out (Lee et al. 2021 §3.1 cut duplicated spans from the training
+    text; dropping ALL occurrences is the conservative variant — the
+    paper's keep-one-copy needs a global per-substring keeper election
+    that k-grain merged spans cannot express honestly, so this operator
+    does not pretend to).
+
+    `min_span_len` only removes spans at least that long (the paper
+    uses 50 tokens); `spans` reuses a precomputed duplicated_spans
+    output.  The cut is pure column algebra: spans are collected per
+    doc (bounded: spans per doc <= n_tokens / k), joined back, and the
+    token array is filtered by a positional higher-order function — no
+    UDF, no extra shuffle beyond the span build + one join."""
+    sp = spans if spans is not None else duplicated_spans(
+        docs, id_col, text_col, k, min_count
+    )
+    if min_span_len is not None:
+        sp = sp.filter(F.col("span_len") >= min_span_len)
+    agg = sp.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = ws_tokens(text_col)
+    spans_col = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    in_span = lambda i: F.exists(  # noqa: E731 — i is the 0-based token index
+        spans_col,
+        lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+    )
+    kept = F.filter(toks, lambda x, i: ~in_span(i))
+    return (
+        docs.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("text_clean"),
+            F.size(toks).alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).alias("n_removed"),
+        )
+    )
+
+
+def duck_remove_duplicated_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_span_len: int | None = None,
+    min_count: int = 2,
+) -> str:
+    """DuckDB oracle for the span cut: nests the span oracle as a
+    subquery and filters token positions with the same containment
+    test."""
+    toks = f"regexp_split_to_array(trim({text_col}), ' +')"
+    min_len = f"WHERE span_len >= {min_span_len}" if min_span_len is not None else ""
+    return f"""
+    WITH spans AS (
+        SELECT * FROM ({duck_duplicated_spans_sql(table, id_col, text_col, k, min_count)})
+        {min_len}
+    ),
+    agg AS (
+        SELECT {id_col},
+               list({{'s': span_start, 'e': span_end}}) AS sp
+        FROM spans GROUP BY {id_col}
+    ),
+    base AS (
+        SELECT d.{id_col}, {toks} AS t, COALESCE(a.sp, []) AS sp
+        FROM {table} d LEFT JOIN agg a ON d.{id_col} = a.{id_col}
+    )
+    SELECT {id_col},
+           -- COALESCE: array_to_string([]) is NULL in DuckDB but
+           -- array_join([]) is '' in Spark — a fully-cut doc must agree
+           COALESCE(array_to_string(
+               [t[i] for i in range(1, len(t) + 1)
+                if len(list_filter(sp, x -> i >= x.s AND i <= x.e)) = 0],
+               ' '), '') AS text_clean,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len([t[i] for i in range(1, len(t) + 1)
+                if len(list_filter(sp, x -> i >= x.s AND i <= x.e)) = 0])
+                AS BIGINT) AS n_removed
+    FROM base
+    """

@@ -103,3 +103,60 @@ class TestSpansOracle:
         }
         assert got == want
         assert len(got) > 0  # the synthetic corpus plants dup groups
+
+
+class TestRemoveSpans:
+    def test_cut_matches_duckdb_on_documents(self, spark, tables):
+        from classic_fcd_spark.operators.spans import (
+            duck_remove_duplicated_spans_sql,
+            remove_duplicated_spans,
+        )
+
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+            for r in remove_duplicated_spans(
+                tables["documents"], k=8, min_span_len=10
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/documents.parquet')"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.sql(
+                duck_remove_duplicated_spans_sql(k=8, min_span_len=10)
+            ).fetchall()
+        }
+        assert got == want
+        assert len(got) == 500  # every doc survives (possibly shortened)
+        assert any(v[2] > 0 for v in got.values())  # something was cut
+
+    def test_planted_cut_is_exact(self, spark):
+        from classic_fcd_spark.operators.spans import remove_duplicated_spans
+
+        block = " ".join(f"w{i}" for i in range(12))
+        df = spark.createDataFrame(
+            [(0, "alpha beta " + block + " gamma"), (1, block + " tail here now")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: (r["text_clean"], r["n_removed"])
+            for r in remove_duplicated_spans(df, k=8).collect()
+        }
+        assert out[0] == ("alpha beta gamma", 12)
+        assert out[1] == ("tail here now", 12)
+
+    def test_min_span_len_spares_short_spans(self, spark):
+        from classic_fcd_spark.operators.spans import remove_duplicated_spans
+
+        block = " ".join(f"w{i}" for i in range(8))  # exactly k tokens
+        df = spark.createDataFrame(
+            [(0, block + " unique0 a b c"), (1, block + " unique1 d e f")],
+            ["doc_id", "text"],
+        )
+        spared = remove_duplicated_spans(df, k=8, min_span_len=9).collect()
+        assert all(r["n_removed"] == 0 for r in spared)
+        cut = remove_duplicated_spans(df, k=8, min_span_len=8).collect()
+        assert all(r["n_removed"] == 8 for r in cut)
