@@ -71,6 +71,7 @@ HEADLINE = [
     "approx_top_ngrams",
     "duplicated_spans",
     "bm25_search",
+    "ccnet_perplexity",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -120,6 +121,15 @@ def _extra_workloads():
               (2, ["scan", "column"]), (3, ["agg", "value", "key"])]
         return bm25_topk(docs, qs)
 
+    def ccnet_perplexity(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.lm import unigram_nll_scores
+        from classic_fcd_spark.session import load_tables
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        return unigram_nll_scores(docs, docs.filter(F.col("source") == "src0"))
+
     def approx_top_ngrams(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -138,6 +148,7 @@ def _extra_workloads():
         "approx_top_ngrams": approx_top_ngrams,
         "duplicated_spans": duplicated_spans,
         "bm25_search": bm25_search,
+        "ccnet_perplexity": ccnet_perplexity,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,

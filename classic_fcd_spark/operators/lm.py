@@ -1,0 +1,137 @@
+"""Language-model perplexity quality scoring (the CCNet recipe —
+Wenzek et al. 2019, arXiv:1911.00359, public literature: score web text
+by its perplexity under an LM trained on a clean reference corpus, then
+bucket into head/middle/tail by perplexity percentile).
+
+CCNet uses a KenLM 5-gram; the container has no KenLM, so the model
+here is a Laplace-smoothed HASHED-UNIGRAM LM — an honest, deterministic
+stand-in whose distributed plumbing (fit = one groupBy histogram; score
+= explode + broadcast log-prob join + per-doc sum; bucket = sketch
+quantile thresholds) is IDENTICAL for any n-gram order: swapping the
+featurizer for higher-order grams with backoff changes only the
+`ngram_buckets` call and the model-row count.
+
+Numeric policy: per-bucket negative-log-probs are floored to e6 fixed
+point BEFORE the per-doc sum (bigint arithmetic, order-free — the same
+discipline as operators/dsir.quantize_e6), and the mean is an integer
+division — so every emitted score is an exact integer on both engines.
+
+Scale shape at 100 TB: the model is a B-row broadcast; scoring is one
+explode + map-side join + one narrow shuffle; the percentile thresholds
+come from a mergeable quantile sketch (2 numbers collected), never a
+global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.dsir import bucket_log_probs, ngram_buckets
+
+
+def unigram_nll_scores(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """(id, n_tokens, sum_nll_e6, mean_nll_e6): negative log-likelihood
+    of every doc under the hashed-unigram model fit on `model_docs`.
+
+    mean_nll_e6 = sum_nll_e6 div n_tokens (integer division — exact);
+    perplexity = exp(mean_nll_e6 / 1e6), monotone in mean_nll_e6, so
+    thresholds/buckets operate on the integer column directly."""
+    spark = docs.sparkSession
+    lp = bucket_log_probs(model_docs, text_col, n=1, buckets=buckets)
+    model = spark.createDataFrame(
+        [(b, math.floor(-lp[b] * 1e6)) for b in range(buckets)],
+        "b bigint, nll_e6 bigint",
+    )
+    ex = docs.select(
+        F.col(id_col), F.explode(ngram_buckets(text_col, 1, buckets)).alias("b")
+    )
+    sums = (
+        ex.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("nll_e6").alias("sum_nll_e6"))
+    )
+    return sums.select(
+        id_col,
+        "n_tokens",
+        "sum_nll_e6",
+        F.expr("sum_nll_e6 div n_tokens").alias("mean_nll_e6"),
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """(id, n_tokens, mean_nll_e6, bucket): CCNet's head/middle/tail
+    split — head = lowest-perplexity third (most reference-like).
+
+    Thresholds come from approxQuantile (Greenwald-Khanna mergeable
+    sketch, same machinery as operators/sketches.py) — TWO scalars
+    collected, no global sort; at 100 TB that is the only honest way to
+    rank by percentile.  Bucket boundaries inherit the sketch's
+    documented rank error (rel_err)."""
+    scored = unigram_nll_scores(docs, model_docs, id_col, text_col, buckets)
+    from classic_fcd_spark.session import scoped_persist
+
+    scored = scoped_persist(scored, "ccnet:scores")
+    lo, hi = scored.approxQuantile("mean_nll_e6", list(cuts), rel_err)
+    bucket = (
+        F.when(F.col("mean_nll_e6") <= lo, F.lit("head"))
+        .when(F.col("mean_nll_e6") <= hi, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(id_col, "n_tokens", "mean_nll_e6", bucket.alias("bucket"))
+
+
+def duck_unigram_nll_sql(
+    table: str = "documents",
+    model_filter: str = "source = 'src0'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> str:
+    """DuckDB oracle for unigram_nll_scores: same md5 bucket hashing,
+    same Laplace-smoothed model, same e6 floor-then-integer-sum."""
+    toks = f"regexp_split_to_array(trim({text_col}), ' +')"
+    bucket = (
+        "CAST(CAST(('0x' || substr(md5(t[i]), 1, 15)) AS UBIGINT) "
+        f"% {buckets} AS BIGINT)"
+    )
+    return f"""
+    WITH toks AS (SELECT {id_col}, {toks} AS t, ({model_filter}) AS is_model
+                  FROM {table}),
+    ex AS (
+        SELECT {id_col}, is_model,
+               unnest([{bucket} for i in range(1, len(t) + 1)]) AS b
+        FROM toks
+    ),
+    mc AS (SELECT b, COUNT(*) AS c FROM ex WHERE is_model GROUP BY 1),
+    tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM mc) AS mt),
+    spine AS (SELECT unnest(range({buckets})) AS b),
+    model AS (
+        SELECT spine.b,
+               CAST(floor(-ln((COALESCE(mc.c, 0) + 1) / (tot.mt + {buckets}.0))
+                          * 1000000.0) AS BIGINT) AS nll_e6
+        FROM spine CROSS JOIN tot LEFT JOIN mc ON spine.b = mc.b
+    )
+    SELECT ex.{id_col},
+           COUNT(*) AS n_tokens,
+           CAST(SUM(model.nll_e6) AS BIGINT) AS sum_nll_e6,
+           CAST(SUM(model.nll_e6) // COUNT(*) AS BIGINT) AS mean_nll_e6
+    FROM ex JOIN model ON ex.b = model.b
+    GROUP BY 1
+    """

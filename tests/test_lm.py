@@ -1,0 +1,84 @@
+"""CCNet-style LM perplexity scoring (operators/lm.py): DuckDB-oracle
+equivalence, planted in/out-of-domain separation, and the
+head/middle/tail bucketing contract.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.lm import (
+    ccnet_buckets,
+    duck_unigram_nll_sql,
+    unigram_nll_scores,
+)
+from tests.conftest import SF_SMALL
+
+
+class TestNLLOracle:
+    def test_matches_duckdb_on_documents(self, spark, tables):
+        docs = tables["documents"]
+        model = docs.filter(F.col("source") == "src0")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["sum_nll_e6"], r["mean_nll_e6"])
+            for r in unigram_nll_scores(docs, model).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/documents.parquet')"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.sql(duck_unigram_nll_sql()).fetchall()
+        }
+        assert got == want
+        assert len(got) == 500
+
+
+class TestPlantedSeparation:
+    def test_in_domain_beats_out_of_domain(self, spark):
+        model_rows = [(100 + i, "the cat sat on the mat " * 3) for i in range(4)]
+        probe = [
+            (0, "the cat sat on the mat"),  # in-domain
+            (1, "zebra quark flux bogon lorem ipsum"),  # all unseen
+        ]
+        docs = spark.createDataFrame(model_rows + probe, ["doc_id", "text"])
+        model = docs.filter(F.col("doc_id") >= 100)
+        out = {
+            r["doc_id"]: r["mean_nll_e6"]
+            for r in unigram_nll_scores(docs, model).collect()
+        }
+        assert out[0] < out[1]
+
+    def test_scores_are_length_invariant_for_repeated_text(self, spark):
+        # mean NLL of "x y" == mean NLL of "x y x y" (same distribution)
+        docs = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha beta alpha beta"), (2, "alpha beta")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["mean_nll_e6"]
+            for r in unigram_nll_scores(docs, docs).collect()
+        }
+        assert out[0] == out[1]
+
+
+class TestCCNetBuckets:
+    def test_buckets_partition_and_order(self, spark, tables):
+        docs = tables["documents"]
+        model = docs.filter(F.col("source") == "src0")
+        rows = ccnet_buckets(docs, model).collect()
+        assert len(rows) == 500
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r["bucket"], []).append(r["mean_nll_e6"])
+        assert set(by_bucket) == {"head", "middle", "tail"}
+        # thresholds are percentile cuts: head <= middle <= tail ranges
+        assert max(by_bucket["head"]) <= min(by_bucket["tail"])
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+        # roughly thirds (sketch rank error + integer ties allow slack)
+        assert 100 <= len(by_bucket["head"]) <= 233
+        assert 100 <= len(by_bucket["tail"]) <= 233
