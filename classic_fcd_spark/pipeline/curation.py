@@ -46,6 +46,10 @@ def curate_corpus(
     semantic_eps: float = 0.05,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
+    cut_spans_min_len: int | None = None,
+    cut_spans_k: int = 8,
+    lm_model_docs: DataFrame | None = None,
+    max_mean_nll_e6: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → packed training
     rows (doc_id, source, n_tokens, bin_id, offset, spans_boundary,
@@ -61,11 +65,18 @@ def curate_corpus(
     .semantic_dedup; `emb_centroids` pins the codebook, else k-means
     trains one).  Pass `dsir_target` + `dsir_k` to make the final
     selection stage DSIR importance resampling toward the target
-    distribution instead of the stratified rate mix."""
+    distribution instead of the stratified rate mix.  Pass
+    `cut_spans_min_len` to run the ExactSubstr span cut FIRST (every
+    doc's duplicated regions >= that many tokens are removed before any
+    filter sees the text — operators.spans.remove_duplicated_spans);
+    pass `lm_model_docs` + `max_mean_nll_e6` to drop docs whose CCNet
+    mean NLL under the reference-corpus LM exceeds the threshold
+    (operators.lm.unigram_nll_scores)."""
     staged = _with_stages(
         docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
         decon_ngram, index_docs, embeddings, emb_centroids, semantic_eps,
-        dsir_target, dsir_k,
+        dsir_target, dsir_k, cut_spans_min_len, cut_spans_k,
+        lm_model_docs, max_mean_nll_e6,
     )
     kept = staged.filter(F.col("__stage") == "kept")
     packed = pack_concat_and_cut(
@@ -92,11 +103,27 @@ def _with_stages(
     semantic_eps: float = 0.05,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
+    cut_spans_min_len: int | None = None,
+    cut_spans_k: int = 8,
+    lm_model_docs: DataFrame | None = None,
+    max_mean_nll_e6: int | None = None,
 ) -> DataFrame:
     """Tag every document with the FIRST stage that drops it (or 'kept').
 
     Tagging instead of filtering keeps one lineage for both the output
     and the funnel stats — the classic data-quality audit shape."""
+    # ExactSubstr span cut runs FIRST (a transform, not a drop stage):
+    # every later filter/dedup/selection sees the cleaned text, exactly
+    # as Lee et al. apply it before training-set assembly.  n_chars
+    # keeps the ORIGINAL length (provenance metadata, not re-derived).
+    if cut_spans_min_len is not None:
+        from classic_fcd_spark.operators.spans import remove_duplicated_spans
+
+        cut = remove_duplicated_spans(
+            docs, k=cut_spans_k, min_span_len=cut_spans_min_len
+        ).select("doc_id", F.col("text_clean").alias("text"))
+        docs = docs.drop("text").join(cut, "doc_id")
+
     q = T.quality_score("text")
     lang_ok = F.col("lang").isin(*keep_langs)
     rep_ok = passes_repetition_filter("text")
@@ -240,11 +267,23 @@ def _with_stages(
         )
     else:
         out = out.withColumn("index_dup", F.lit(False))
+    if lm_model_docs is not None and max_mean_nll_e6 is not None:
+        # CCNet perplexity gate: mean NLL under the reference-corpus LM
+        # (B-row broadcast model; one narrow shuffle — operators/lm.py)
+        from classic_fcd_spark.operators.lm import unigram_nll_scores
+
+        ppl = unigram_nll_scores(base, lm_model_docs).select(
+            "doc_id", (F.col("mean_nll_e6") > max_mean_nll_e6).alias("ppl_bad")
+        )
+        out = out.join(ppl, "doc_id", "left")
+    else:
+        out = out.withColumn("ppl_bad", F.lit(False))
     out = out.withColumn(
         "__stage",
         F.when(q < min_quality, "drop:quality")
         .when(~lang_ok, "drop:lang")
         .when(~rep_ok, "drop:repetition")
+        .when(F.coalesce("ppl_bad", F.lit(False)), "drop:perplexity")
         .when(F.col("contaminated"), "drop:contaminated")
         .when(F.coalesce("index_dup", F.lit(False)), "drop:index_dup")
         .when(~F.col("exact_keep"), "drop:exact_dup")
@@ -271,13 +310,18 @@ def curation_stats(
     semantic_eps: float = 0.05,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
+    cut_spans_min_len: int | None = None,
+    cut_spans_k: int = 8,
+    lm_model_docs: DataFrame | None = None,
+    max_mean_nll_e6: int | None = None,
 ) -> DataFrame:
     """The funnel: documents and tokens dropped per stage — what a
     data-mix owner reviews before a training run."""
     staged = _with_stages(
         docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
         decon_ngram, index_docs, embeddings, emb_centroids, semantic_eps,
-        dsir_target, dsir_k,
+        dsir_target, dsir_k, cut_spans_min_len, cut_spans_k,
+        lm_model_docs, max_mean_nll_e6,
     )
     return (
         staged.groupBy("__stage")

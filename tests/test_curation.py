@@ -295,3 +295,77 @@ class TestDsirSelectionStage:
             for t in tags.values()
         ), tags
         assert any(t == "drop:sampled_out" for t in tags.values()), tags
+
+
+class TestSpanCutAndPerplexityStages:
+    def test_span_cut_shrinks_kept_tokens(self, spark):
+        docs = _docs(spark)
+        plain = curate_corpus(docs, min_quality=0.0, keep_langs=("en", "de", "fr"))
+        cut = curate_corpus(
+            docs,
+            min_quality=0.0,
+            keep_langs=("en", "de", "fr"),
+            cut_spans_min_len=10,
+        )
+        t_plain = plain.agg(F.sum("n_tokens")).collect()[0][0]
+        t_cut = cut.agg(F.sum("n_tokens")).collect()[0][0]
+        # the synthetic corpus plants long duplicated regions -> the
+        # surgery must remove tokens from the packed output
+        assert t_cut < t_plain
+
+    def test_span_cut_matches_standalone_operator(self, spark):
+        from classic_fcd_spark.operators.spans import remove_duplicated_spans
+
+        docs = _docs(spark)
+        staged = _with_stages(
+            docs, 0.0, ("en", "de", "fr"), 1, None, cut_spans_min_len=10
+        )
+        in_funnel = {
+            r["doc_id"]: r["text"]
+            for r in staged.select("doc_id", "text").collect()
+        }
+        standalone = {
+            r["doc_id"]: r["text_clean"]
+            for r in remove_duplicated_spans(docs, k=8, min_span_len=10).collect()
+        }
+        assert in_funnel == standalone
+
+    def test_perplexity_stage_drops_above_threshold(self, spark):
+        from classic_fcd_spark.operators.lm import unigram_nll_scores
+
+        docs = _docs(spark)
+        model = docs.filter(F.col("source") == "src0")
+        # pick a threshold at the 90th percentile of actual scores so the
+        # stage must drop a NONZERO, known set
+        scores = unigram_nll_scores(docs, model)
+        thresh = scores.approxQuantile("mean_nll_e6", [0.9], 0.0)[0]
+        expect_bad = {
+            r["doc_id"]
+            for r in scores.filter(F.col("mean_nll_e6") > thresh).collect()
+        }
+        assert expect_bad
+        staged = _with_stages(
+            docs,
+            0.0,
+            ("en", "de", "fr"),
+            1,
+            None,
+            lm_model_docs=model,
+            max_mean_nll_e6=int(thresh),
+        )
+        dropped = {
+            r["doc_id"]
+            for r in staged.filter(F.col("__stage") == "drop:perplexity").collect()
+        }
+        # perplexity fires after quality/lang/repetition: every expected
+        # doc is either dropped here or caught by an EARLIER stage
+        earlier = {
+            r["doc_id"]
+            for r in staged.filter(
+                F.col("__stage").isin(
+                    "drop:quality", "drop:lang", "drop:repetition"
+                )
+            ).collect()
+        }
+        assert dropped == expect_bad - earlier
+        assert dropped  # nonzero with min_quality=0 and all langs kept
