@@ -40,8 +40,10 @@ def bm25_postings(
     """(id, term, tf, dl): term frequencies with per-doc length — the
     inverted-index silver table.  One explode + one groupBy; dl rides
     along via a size() column computed before the explode (no second
-    tokenize pass, no second shuffle)."""
-    toks = docs.select(
+    tokenize pass, no second shuffle).  The input is spread across cores
+    first — single-file scans arrive as one partition."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par, id_col).select(
         F.col(id_col),
         F.size(ws_tokens(text_col)).alias("dl"),
         F.explode(ws_tokens(text_col)).alias("term"),

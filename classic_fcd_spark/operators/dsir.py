@@ -103,8 +103,11 @@ def dsir_scores(
     # and the per-doc scoring — materialize the md5 hashing once
     from classic_fcd_spark.session import scoped_persist
 
+    # spread the md5 bigram hashing across cores before the explode —
+    # single-file scans arrive as one partition
+    par = spark.sparkContext.defaultParallelism
     ex = scoped_persist(
-        raw_docs.select(
+        raw_docs.repartition(par, id_col).select(
             F.col(id_col), F.explode(ngram_buckets(text_col, n, buckets)).alias("b")
         ),
         "dsir:raw_buckets",

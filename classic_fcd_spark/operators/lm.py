@@ -46,12 +46,15 @@ def unigram_nll_scores(
     perplexity = exp(mean_nll_e6 / 1e6), monotone in mean_nll_e6, so
     thresholds/buckets operate on the integer column directly."""
     spark = docs.sparkSession
-    lp = bucket_log_probs(model_docs, text_col, n=1, buckets=buckets)
+    # spread the md5 hashing across cores — single-file scans arrive as
+    # one partition (model fit and scoring both explode every token)
+    par = spark.sparkContext.defaultParallelism
+    lp = bucket_log_probs(model_docs.repartition(par), text_col, n=1, buckets=buckets)
     model = spark.createDataFrame(
         [(b, math.floor(-lp[b] * 1e6)) for b in range(buckets)],
         "b bigint, nll_e6 bigint",
     )
-    ex = docs.select(
+    ex = docs.repartition(par, id_col).select(
         F.col(id_col), F.explode(ngram_buckets(text_col, 1, buckets)).alias("b")
     )
     sums = (

@@ -69,7 +69,11 @@ def duplicated_positions(
     """(id, pos) of every k-window whose hash occurs >= min_count times
     corpus-wide (all occurrences count, including repeats within one
     document — suffix-array semantics).  One shuffle, keyed on md5."""
-    ex = docs.select(
+    # single-file scans arrive as ONE partition — spread the md5 window
+    # hashing across cores before the explode (same move as the shingle
+    # family; at real scale the source layout already provides splits)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    ex = docs.repartition(par, id_col).select(
         F.col(id_col), F.explode(kgram_positions(text_col, k)).alias("s")
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
     w = Window.partitionBy("gh")
