@@ -164,3 +164,44 @@ def duck_bm25_sql(
         FROM agg
     ) WHERE rnk <= {top_k}
     """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rnk_col: str = "rnk",
+    rrf_k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """(qid, id, rrf_e9, rnk): Reciprocal Rank Fusion over any number of
+    per-query rankings (Cormack et al. 2009, public literature) — the
+    standard lexical+dense hybrid: fuse bm25_topk with an ANN top-k and
+    the union outranks either system alone on mixed query loads.
+
+    score = sum over systems of 1e9 div (rrf_k + rank) — integer
+    division instead of the paper's float 1/(k+r), so fused scores are
+    exact bigints (deterministic under any partitioning / engine; the
+    floor loses < 1 part in 1e7 of the reciprocal and cannot reorder
+    single-system contributions, which are a fixed integer per rank).
+    Inputs only need (qid, id, rank); absent (query, doc) pairs simply
+    contribute nothing.  One unionByName + one groupBy on (qid, id) —
+    both bounded by systems x top-k rows per query, never corpus-sized."""
+    parts = [
+        r.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("__id"),
+            F.expr(f"1000000000 div ({rrf_k} + {rnk_col})").alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("qid", "__id").agg(F.sum("__c").alias("rrf_e9"))
+    w = Window.partitionBy("qid").orderBy(F.col("rrf_e9").desc(), F.col("__id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("qid", F.col("__id").alias(id_col), "rrf_e9", "rnk")
+    )

@@ -98,3 +98,51 @@ class TestBM25Plan:
         assert "BroadcastNestedLoopJoin" not in plan
 
     QUERIES = [(0, ["join"])]
+
+
+class TestRRFFusion:
+    def test_matches_python_reference(self, spark):
+        import math  # noqa: F401
+
+        from classic_fcd_spark.operators.bm25 import rrf_fuse
+
+        a = [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)]
+        b = [(0, 11, 1), (0, 13, 2), (1, 21, 1), (1, 20, 2)]
+        ra = spark.createDataFrame(a, ["qid", "doc_id", "rnk"])
+        rb = spark.createDataFrame(b, ["qid", "doc_id", "rnk"])
+        got = {
+            (r["qid"], r["doc_id"]): (r["rrf_e9"], r["rnk"])
+            for r in rrf_fuse([ra, rb], rrf_k=60).collect()
+        }
+        scores = {}
+        for sys_rows in (a, b):
+            for qid, d, rnk in sys_rows:
+                scores[(qid, d)] = scores.get((qid, d), 0) + 1000000000 // (60 + rnk)
+        by_q = {}
+        for (qid, d), s in scores.items():
+            by_q.setdefault(qid, []).append((d, s))
+        want = {}
+        for qid, items in by_q.items():
+            for rnk, (d, s) in enumerate(
+                sorted(items, key=lambda x: (-x[1], x[0])), 1
+            ):
+                want[(qid, d)] = (s, rnk)
+        assert got == want
+        # doc 11 appears in BOTH systems -> must outrank every
+        # single-system doc for query 0
+        assert got[(0, 11)][1] == 1
+
+    def test_hybrid_bm25_plus_ann_runs_on_testdata(self, spark, tables):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.bm25 import bm25_topk, rrf_fuse
+        from classic_fcd_spark.queries.similarity import ann_lsh_search
+        from tests.conftest import SF_SMALL
+
+        lex = bm25_topk(tables["documents"], [(0, ["join", "merge"])])
+        # the synthetic embeddings share the documents' id space; the
+        # ANN arm's qid 0 pairs with the lexical query 0
+        dense = ann_lsh_search(spark, SF_SMALL).withColumnRenamed("nid", "doc_id")
+        fused = rrf_fuse([lex, dense.filter(F.col("qid") == 0)]).collect()
+        assert len(fused) == 10
+        assert all(r["rrf_e9"] > 0 for r in fused)
