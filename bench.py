@@ -77,7 +77,7 @@ HEADLINE = [
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
 # only when SPARK_GRAFT_BENCH_TRAIN=1 so the headline total stays a
 # query-latency number (trained-IVF ≈ 6.3 s at sf0.1, see BENCH_NOTES.md).
-TRAIN_WORKLOADS = ["ann_ivf_search_trained", "ann_pq_search_trained"]
+TRAIN_WORKLOADS = ["ann_ivf_search_trained", "ann_pq_search_trained", "ann_ivfpq_search_trained"]
 
 
 def _extra_workloads():
@@ -121,6 +121,23 @@ def _extra_workloads():
               (2, ["scan", "column"]), (3, ["agg", "value", "key"])]
         return bm25_topk(docs, qs)
 
+    def ann_ivfpq_search_trained(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.similarity import (
+            ivfpq_search,
+            kmeans_train,
+            pq_train,
+        )
+        from classic_fcd_spark.session import load_tables
+
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        cents, _ = kmeans_train(emb, k=16, n_iter=3)
+        books, _ = pq_train(emb, m=8, ks=16, n_iter=3)
+        return ivfpq_search(
+            emb.filter(F.col("vec_id") < 10), emb, cents, books, nprobe=4
+        )
+
     def ccnet_perplexity(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -138,7 +155,12 @@ def _extra_workloads():
         from classic_fcd_spark.session import load_tables
 
         docs = load_tables(spark, sf_dir)["documents"]
-        grams = docs.select(F.explode(word_shingles("text", 2)).alias("gram"))
+        # single-file scan = ONE partition: without this the whole MG
+        # pass runs as one Python task (measured 7.5 s -> ~1 s at sf0.1)
+        par = spark.sparkContext.defaultParallelism
+        grams = docs.repartition(par, "doc_id").select(
+            F.explode(word_shingles("text", 2)).alias("gram")
+        )
         return approx_top_items(grams, "gram", k=20, capacity=1024)
 
     return {
@@ -149,6 +171,7 @@ def _extra_workloads():
         "duplicated_spans": duplicated_spans,
         "bm25_search": bm25_search,
         "ccnet_perplexity": ccnet_perplexity,
+        "ann_ivfpq_search_trained": ann_ivfpq_search_trained,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,

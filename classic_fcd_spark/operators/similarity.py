@@ -597,3 +597,123 @@ def semantic_dedup(
         F.col("kp.n").alias("keeper_id"),
         (F.col(id_col) == F.col("kp.n")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the two index halves composed the way Faiss's IndexIVFPQ does
+# (Jégou et al. 2011 §V) — coarse cells bound WHICH codes are scored,
+# PQ codes bound WHAT scoring a candidate costs.  The full production
+# shape: probe nprobe cells, ADC-score only their codes (M byte lookups
+# per candidate — never the raw vectors), then exact-refine a shortlist
+# (IndexRefineFlat).  At 100 TB the (id, cell, codes) index is the
+# stored artifact: 1/32 the corpus bytes, partitioned by cell so a
+# probe reads nprobe/k of it.
+# ---------------------------------------------------------------------------
+def ivfpq_search(
+    queries,
+    emb,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    shortlist: int = 50,
+    top_k: int = 5,
+    index=None,
+):
+    """(qid, nid, rnk, cos_e6): IVF-PQ top-k.
+
+    `index` reuses a prebuilt (id, cell, codes) DataFrame (the stored
+    index); otherwise it is assembled from `emb` via assign_cells +
+    pq_encode.  Query side: one broadcast centroid cross computes BOTH
+    the nprobe probe cells and rides next to the per-query ADC distance
+    table; candidate scoring is a cell equi-join + M-lookup fold;
+    refine fetches raw vectors for the shortlist only."""
+    from pyspark.sql import Window
+
+    m, ks = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    spark = emb.sparkSession
+
+    if index is None:
+        assigned = assign_cells(emb, centroids, vec_col, id_col)
+        codes = pq_encode(emb, codebooks, vec_col, id_col)
+        index = assigned.select(id_col, "cell").join(codes, id_col)
+
+    # --- query side: probe cells + ADC tables in one pass -----------------
+    import math as _math
+
+    def _norm(c):
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        return _math.sqrt(acc)
+
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in c], _norm(c)) for cid, c in enumerate(centroids)],
+        "cid int, ce array<double>, nc double",
+    )
+
+    def _lit_arr(vals):
+        return "array(" + ", ".join(repr(float(x)) for x in vals) + ")"
+
+    rows = []
+    for j in range(m):
+        cells = []
+        for c in range(ks):
+            sub = f"slice({vec_col}, {j * dsub + 1}, {dsub})"
+            cells.append(_SQDIST.format(a=sub, b=_lit_arr(codebooks[j][c])))
+        rows.append("array(" + ", ".join(cells) + ")")
+    dtab = F.expr("array(" + ", ".join(rows) + ")")
+
+    withn = queries.select(id_col, vec_col).withColumn(
+        "__nv", F.expr(f"sqrt({dot_sql(vec_col, vec_col)})")
+    )
+    qcos = F.expr(dot_sql(vec_col, "ce")) / (F.col("__nv") * F.col("nc"))
+    probe_w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("cell").asc()
+    )
+    q_cells = (
+        withn.crossJoin(F.broadcast(cdf))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qe"),
+            dtab.alias("dtab"),
+            F.col("cid").alias("cell"),
+            qcos.alias("cos"),
+        )
+        .withColumn("prk", F.row_number().over(probe_w))
+        .filter(F.col("prk") <= nprobe)
+        .select("qid", "qe", "dtab", "cell")
+    )
+
+    # --- ADC over probed cells' codes only --------------------------------
+    adc = F.expr(
+        "aggregate(zip_with(codes, dtab, (c, row) -> element_at(row, CAST(c AS INT) + 1)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    sl_w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("nid").asc())
+    short = (
+        F.broadcast(q_cells.select("qid", "dtab", "cell"))
+        .join(index.select(F.col(id_col).alias("nid"), "cell", "codes"), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", adc.alias("adist"))
+        # no dedup needed: every vector lives in exactly ONE cell, so a
+        # (qid, nid) pair can only arise from one probed cell
+        .withColumn("srk", F.row_number().over(sl_w))
+        .filter(F.col("srk") <= shortlist)
+        .select("qid", "nid")
+    )
+
+    # --- exact refine of the shortlist ------------------------------------
+    qe = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    ce = emb.select(F.col(id_col).alias("nid"), vec_col)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        short.join(F.broadcast(qe), "qid")
+        .join(ce, "nid")
+        .select("qid", "nid", cosine("qe", vec_col).alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("qid", "nid", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
+    )
