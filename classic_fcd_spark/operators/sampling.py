@@ -146,3 +146,39 @@ def grouped_reservoir_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    by_col: str | None = None,
+    higher_is_better: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Percentile-threshold gate: keep the best `frac` of rows by
+    `score_col`, per `by_col` group (the "top 30% per source by quality
+    score" curation step every published mix applies somewhere).
+
+    The threshold is percentile_approx per group — a mergeable sketch
+    aggregate over |groups| rows, broadcast back — NEVER a global sort
+    or rank window: at 100 TB ranking every row to keep a fraction is
+    the anti-pattern this operator exists to replace.  The boundary
+    inherits the sketch's rank error (1/accuracy); rows exactly AT the
+    threshold are kept, so the kept fraction is >= frac up to ties."""
+    q = 1.0 - frac if higher_is_better else frac
+    grp = [by_col] if by_col is not None else []
+    thresholds = df.groupBy(*grp).agg(
+        F.percentile_approx(score_col, F.lit(q), F.lit(accuracy)).alias("__thr")
+    )
+    joined = (
+        df.join(F.broadcast(thresholds), grp)
+        if grp
+        else df.crossJoin(F.broadcast(thresholds))
+    )
+    keep = (
+        F.col(score_col) >= F.col("__thr")
+        if higher_is_better
+        else F.col(score_col) <= F.col("__thr")
+    )
+    return joined.filter(keep).drop("__thr")

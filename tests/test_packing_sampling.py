@@ -273,3 +273,45 @@ class TestGroupedReservoir:
             for _, did in sorted(lst)[:k]
         }
         assert rows_a == expected
+
+
+class TestKeepTopFraction:
+    def test_per_group_fraction_and_ordering(self, spark):
+        from classic_fcd_spark.operators.sampling import keep_top_fraction
+
+        rows = [(f"s{g}", i, float(i + 100 * g)) for g in range(3) for i in range(200)]
+        df = spark.createDataFrame(rows, ["source", "i", "score"])
+        kept = keep_top_fraction(df, "score", 0.25, by_col="source").collect()
+        by_src = {}
+        for r in kept:
+            by_src.setdefault(r["source"], []).append(r["score"])
+        for g in range(3):
+            scores = by_src[f"s{g}"]
+            # fraction within sketch tolerance (exact here: accuracy >> n)
+            assert 50 <= len(scores) <= 52, len(scores)
+            # kept set = the TOP scores of that group, contiguously
+            assert min(scores) >= 100 * g + 148
+
+    def test_lower_is_better_keeps_low_scores(self, spark):
+        from classic_fcd_spark.operators.sampling import keep_top_fraction
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], ["i", "ppl"]
+        )
+        kept = [r["ppl"] for r in keep_top_fraction(
+            df, "ppl", 0.1, higher_is_better=False
+        ).collect()]
+        assert max(kept) <= 10.0 and len(kept) >= 10
+
+    def test_no_global_sort_in_plan(self, spark):
+        from classic_fcd_spark.operators.sampling import keep_top_fraction
+
+        df = spark.createDataFrame([(f"s{i%3}", float(i)) for i in range(50)], ["source", "score"])
+        plan = (
+            keep_top_fraction(df, "score", 0.5, by_col="source")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # threshold via sketch aggregate + broadcast join: no rank
+        # window, no range-partitioned global sort of the fact side
+        assert "windowspecdefinition" not in plan
+        assert "rangepartitioning" not in plan.lower()
