@@ -134,3 +134,60 @@ def compact_time_layout(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return fragmented
+
+
+SHARD_COL = "shard_pt"
+SOURCE_COL = "source_pt"
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = 512,
+    bins_per_shard: int = 64,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """The training pipeline's last mile: materialize a curated corpus
+    as loader-ready shard files.
+
+    Composes pack_concat_and_cut (bin/offset assignment — a prefix sum
+    per source shard) with the partitioned-write layout: shard =
+    bins_per_shard consecutive packing bins (~bins_per_shard x budget
+    tokens), one directory per (source, shard), EXACTLY one file per
+    shard (each shard's rows hash to one writer task), rows inside the
+    file in doc_id order — the loader mmaps one file and reads one
+    contiguous token stream.  Parallelism = number of shards; at 100 TB
+    that is the write's natural task count and no task holds more than
+    one loader file's data."""
+    from classic_fcd_spark.operators.dedup import ws_tokens
+    from classic_fcd_spark.operators.packing import pack_concat_and_cut
+
+    spark = docs.sparkSession
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    toks = docs.select(
+        id_col, source_col, text_col, F.size(ws_tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    packed = pack_concat_and_cut(
+        toks.select(id_col, source_col, "n_tokens"), source_col, id_col, "n_tokens", budget
+    )
+    rows = (
+        toks.select(id_col, text_col)
+        .join(packed, id_col)
+        .withColumn(SHARD_COL, F.expr(f"bin_id div {bins_per_shard}").cast("string"))
+        .withColumnRenamed(source_col, SOURCE_COL)
+    )
+    n_shards = rows.select(SOURCE_COL, SHARD_COL).distinct().count()
+    (
+        rows.repartition(max(1, n_shards), F.col(SOURCE_COL), F.col(SHARD_COL))
+        .sortWithinPartitions(SOURCE_COL, SHARD_COL, id_col)
+        .write.mode("overwrite")
+        .partitionBy(SOURCE_COL, SHARD_COL)
+        .parquet(out_dir)
+    )
+
+
+def read_training_shards(spark, out_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    return spark.read.parquet(out_dir)

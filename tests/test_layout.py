@@ -173,3 +173,75 @@ class TestCompaction:
                     if prev_max is not None:
                         assert st.min >= prev_max
                     prev_max = st.max
+
+
+class TestTrainingShards:
+    BUDGET, BPS = 64, 4  # shard ~= 256 tokens
+
+    def _write(self, spark, tmp_path):
+        from classic_fcd_spark.session import load_tables
+        from classic_fcd_spark.sources.layout import write_training_shards
+
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        out = str(tmp_path / "shards")
+        write_training_shards(
+            docs, out, budget=self.BUDGET, bins_per_shard=self.BPS
+        )
+        return docs, out
+
+    def test_one_file_per_shard_and_round_trip(self, spark, tmp_path):
+        import glob
+        import os
+
+        from classic_fcd_spark.sources.layout import read_training_shards
+
+        docs, out = self._write(spark, tmp_path)
+        shard_dirs = glob.glob(os.path.join(out, "source_pt=*", "shard_pt=*"))
+        assert shard_dirs
+        for d in shard_dirs:
+            assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+        back = read_training_shards(spark, out)
+        assert back.count() == docs.count()
+        assert {r[0] for r in back.select("doc_id").collect()} == {
+            r[0] for r in docs.select("doc_id").collect()
+        }
+
+    def test_in_file_doc_order_is_concat_order(self, spark, tmp_path):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        _, out = self._write(spark, tmp_path)
+        for f in glob.glob(os.path.join(out, "source_pt=*", "shard_pt=*", "*.parquet")):
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            assert ids == sorted(ids), f  # the loader's contiguous stream
+
+    def test_shard_assignment_matches_python_prefix_sum(self, spark, tmp_path):
+        """Exact reference: shard(doc) = (prefix_tokens_before // budget)
+        // bins_per_shard over doc_id order per source — recomputed
+        independently in Python and compared doc-for-doc (a doc longer
+        than the budget legitimately skips bins, so per-shard token sums
+        are NOT uniform; the assignment itself is the contract)."""
+        docs, out = self._write(spark, tmp_path)
+        from classic_fcd_spark.operators.dedup import ws_tokens
+        from classic_fcd_spark.sources.layout import read_training_shards
+        from pyspark.sql import functions as F
+
+        toks = sorted(
+            docs.select(
+                "doc_id", "source", F.size(ws_tokens("text")).alias("n")
+            ).collect(),
+            key=lambda r: (r["source"], r["doc_id"]),
+        )
+        want = {}
+        before = {}
+        for r in toks:
+            b = before.get(r["source"], 0)
+            want[r["doc_id"]] = (r["source"], (b // self.BUDGET) // self.BPS)
+            before[r["source"]] = b + r["n"]
+        got = {
+            r["doc_id"]: (r["source_pt"], int(r["shard_pt"]))
+            for r in read_training_shards(spark, out).collect()
+        }
+        assert got == want
