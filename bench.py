@@ -77,7 +77,12 @@ HEADLINE = [
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
 # only when SPARK_GRAFT_BENCH_TRAIN=1 so the headline total stays a
 # query-latency number (trained-IVF ≈ 6.3 s at sf0.1, see BENCH_NOTES.md).
-TRAIN_WORKLOADS = ["ann_ivf_search_trained", "ann_pq_search_trained", "ann_ivfpq_search_trained"]
+TRAIN_WORKLOADS = [
+    "ann_ivf_search_trained",
+    "ann_pq_search_trained",
+    "ann_ivfpq_search_trained",
+    "bpe_train_50",
+]
 
 
 def _extra_workloads():
@@ -138,6 +143,18 @@ def _extra_workloads():
             emb.filter(F.col("vec_id") < 10), emb, cents, books, nprobe=4
         )
 
+    def bpe_train_50(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.bpe import bpe_train
+        from classic_fcd_spark.session import load_tables
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        merges = bpe_train(docs, n_merges=50)
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)], ["rank", "a", "b"]
+        )
+
     def ccnet_perplexity(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -172,6 +189,7 @@ def _extra_workloads():
         "bm25_search": bm25_search,
         "ccnet_perplexity": ccnet_perplexity,
         "ann_ivfpq_search_trained": ann_ivfpq_search_trained,
+        "bpe_train_50": bpe_train_50,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,
