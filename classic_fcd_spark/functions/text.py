@@ -315,3 +315,60 @@ def with_canonical_url(df, url_col: str, out: str = "canonical_url"):
         ),
     )
     return t.drop("__u", "__hp", "__qs", "__host", "__path", "__params")
+
+
+def url_domain(url_col: str) -> Column:
+    """Registrable host of a URL: strip scheme/userinfo/port/path, lower,
+    drop a leading www. — the grouping key for per-domain corpus stats
+    and blocklist filtering (C4 §2.2 filters by domain blocklist; every
+    web-corpus recipe aggregates quality signals per domain)."""
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.trim(F.col(url_col)), r"^[A-Za-z][A-Za-z0-9+.-]*://", ""
+            ),
+            r"^[^/@]*@",  # userinfo
+            "",
+        ),
+        r"[:/?#].*$",  # port, path, query, fragment
+        "",
+    )
+    return F.regexp_replace(F.lower(host), r"^www\.", "")
+
+
+def filter_blocked_domains(
+    df,
+    url_col: str,
+    blocklist,
+    id_col: str = "doc_id",
+    subdomains_blocked: bool = True,
+):
+    """Drop rows whose URL's domain is on the blocklist (or is a
+    subdomain of a blocked domain, the C4 behavior).  The blocklist is a
+    broadcast join — list sizes are 10^4-10^6 rows, never corpus-shaped
+    (literal isin() would compile the whole list into the plan instead).
+    Subdomain matching explodes the domain's suffix chain
+    (a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+    com] — bounded, one row per dot level), semi-joins it against the
+    broadcast list, and anti-joins the hit IDs back — no regex scan, no
+    cross join, keyed on `id_col` throughout."""
+    spark = df.sparkSession
+    bl = spark.createDataFrame([(d.lower(),) for d in blocklist], ["__blocked"])
+    dom = url_domain(url_col)
+    if not subdomains_blocked:
+        return df.withColumn("__dom", dom).join(
+            F.broadcast(bl), F.col("__dom") == F.col("__blocked"), "left_anti"
+        ).drop("__dom")
+    parts = F.split(dom, r"\.")
+    n = F.size(parts)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+    hit = (
+        df.select(F.col(id_col), F.explode(suffixes).alias("__cand"))
+        .join(F.broadcast(bl), F.col("__cand") == F.col("__blocked"))
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hit, id_col, "left_anti")

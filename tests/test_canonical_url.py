@@ -77,3 +77,55 @@ class TestCanonicalUrl:
         assert c[7] == "files.example.com/data.bin"
         assert c[8] == "example.com"
         assert c[9] == "example.com/x"
+
+
+class TestDomainBlocklist:
+    ROWS = [
+        (0, "https://www.example.com/page?q=1"),
+        (1, "http://sub.bad.org/x"),
+        (2, "https://bad.org"),
+        (3, "https://goodbad.org/y"),  # NOT a subdomain of bad.org
+        (4, "ftp://user:pw@files.example.net:2121/a/b"),
+        (5, "https://ok.io/path#frag"),
+    ]
+
+    def test_domain_extraction(self, spark):
+        from classic_fcd_spark.functions.text import url_domain
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "url"])
+        got = {
+            r["doc_id"]: r["d"]
+            for r in df.select("doc_id", url_domain("url").alias("d")).collect()
+        }
+        assert got == {
+            0: "example.com",
+            1: "sub.bad.org",
+            2: "bad.org",
+            3: "goodbad.org",
+            4: "files.example.net",
+            5: "ok.io",
+        }
+
+    def test_blocklist_drops_domain_and_subdomains_only(self, spark):
+        from classic_fcd_spark.functions.text import filter_blocked_domains
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "url"])
+        kept = {
+            r["doc_id"]
+            for r in filter_blocked_domains(df, "url", ["bad.org"]).collect()
+        }
+        # 1 (subdomain) and 2 (exact) drop; 3 (goodbad.org) survives —
+        # suffix matching is dot-aligned, not substring
+        assert kept == {0, 3, 4, 5}
+
+    def test_exact_mode_spares_subdomains(self, spark):
+        from classic_fcd_spark.functions.text import filter_blocked_domains
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "url"])
+        kept = {
+            r["doc_id"]
+            for r in filter_blocked_domains(
+                df, "url", ["bad.org"], subdomains_blocked=False
+            ).collect()
+        }
+        assert kept == {0, 1, 3, 4, 5}
