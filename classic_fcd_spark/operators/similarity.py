@@ -160,6 +160,10 @@ def kmeans_train(
             ).alias("sc"),
         )
         assigned = scored.groupBy(id_col, vec_col).agg(F.max("sc").alias("best"))
+        # both per-round actions (distortion stat + centroid means) read
+        # the same assignment — persist it once instead of recomputing
+        # the broadcast join + argmax per action
+        assigned = assigned.persist()
         stats = assigned.agg(F.avg("best.cos").alias("m")).collect()[0]
         history.append(float(stats["m"]))
         # UPDATE: element-wise mean per cell — narrow (cell, pos, val)
@@ -173,6 +177,7 @@ def kmeans_train(
             .agg(F.avg(F.col("val").cast("double")).alias("m"))
             .collect()
         )
+        assigned.unpersist()
         by_cell: dict[int, dict[int, float]] = {}
         for r in new_rows:
             by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
@@ -333,6 +338,9 @@ def pq_train(
             .groupBy(id_col, "m", "sv")
             .agg(F.min("sc").alias("best"))
         )
+        # distortion stat + sub-centroid means read the same assignment:
+        # persist per round instead of recomputing the join + argmin
+        assigned = assigned.persist()
         history.append(float(assigned.agg(F.avg("best.d")).collect()[0][0]))
         new_rows = (
             assigned.select(
@@ -344,6 +352,7 @@ def pq_train(
             .agg(F.avg(F.col("val").cast("double")).alias("mean"))
             .collect()
         )
+        assigned.unpersist()
         upd: dict[tuple[int, int], dict[int, float]] = {}
         for r in new_rows:
             upd.setdefault((r["m"], r["cell"]), {})[r["pos"]] = r["mean"]
