@@ -12,6 +12,7 @@ scan.  For each queries() entry, build the plan at sf0.001 and flag:
     (printed, not fatal).
 
 Usage: python scripts/plan_audit.py [query ...]   (default: all)
+       python scripts/plan_audit.py --extras       (bench-only workloads too)
 Exit code 1 if any non-allowlisted red flag is found.  tests/ runs this
 via test_operators.py::test_plan_audit_clean so regressions fail CI.
 """
@@ -65,6 +66,31 @@ ALLOW: dict[str, dict[str, str]] = {
         "nested_loop": "8-row proposal fixture cross",
     },
     "fcd_general_info_daily": {"global_window": "first-row-per-date over minutes"},
+    # --- bench-only workloads (audited via --extras) ---------------------
+    "ann_topk_bruteforce": {
+        "nested_loop": "documented brute-force baseline: corpus x broadcast "
+        "10-query cross (the scale paths are the LSH/IVF workloads)"
+    },
+    "ann_lsh_search": {"nested_loop": "corpus x broadcast 32-plane literal bucket projection"},
+    "ann_ivf_search": {"nested_loop": "corpus x broadcast 16-row codebook cross"},
+    "ann_ivf_search_trained": {"nested_loop": "corpus x broadcast trained codebook cross"},
+    "ann_pq_search_trained": {
+        "nested_loop": "ADC scan: codes x broadcast 10-query distance tables "
+        "(flat-PQ by design; the cell-bounded form is ann_ivfpq_search_trained)"
+    },
+    "ann_ivfpq_search_trained": {
+        "nested_loop": "query x broadcast codebook cross (probe-cell selection); "
+        "candidate scoring itself is the cell equi-join"
+    },
+    "revenue_by_nation": {},
+    "simhash_docs": {},
+    "simhash_near_dups": {},
+    "approx_top_ngrams": {"global_window": "final top-20 over the bounded MG candidate set"},
+    "duplicated_spans": {},
+    "bm25_search": {},
+    "ccnet_perplexity": {},
+    "ann_lsh_buckets": {},
+    "bpe_train_50": {},
 }
 
 FLAGS = {
@@ -103,7 +129,14 @@ def main(argv):
     from classic_fcd_spark.session import get_spark
 
     spark = get_spark()
-    qmap = query_fn_map()
+    qmap = dict(query_fn_map())
+    extras = "--extras" in argv
+    argv = [a for a in argv if a != "--extras"]
+    if extras:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import bench as _bench
+
+        qmap.update(_bench._extra_workloads())
     names = argv or sorted(qmap)
     bad = 0
     for name in names:
