@@ -216,3 +216,100 @@ def resize_images(
             )
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Container-header sniffing — honestly implementable WITHOUT codecs:
+# image dimensions and audio sample rates live in fixed-layout container
+# headers (PNG IHDR, JPEG SOF markers, GIF logical screen descriptor,
+# BMP info header, WAV fmt chunk), so a few bytes of arithmetic recover
+# them.  This narrows the NotImplementedError boundary to actual PIXEL/
+# SAMPLE decoding; format detection and geometry filtering ("drop images
+# under 64px", the LAION/DataComp filter) run for real at scan speed.
+# ---------------------------------------------------------------------------
+SNIFF_SCHEMA = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+
+def sniff_media_header(content: bytes):
+    """(format, width, height, sample_rate) from container magic bytes —
+    pure byte arithmetic per the public format specs; unknown/truncated
+    content yields (None, None, None, None), never an exception."""
+    none = (None, None, None, None)
+    try:
+        b = bytes(content or b"")
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+                None,
+            )
+        if b[:3] == b"\xff\xd8\xff":
+            # walk JPEG segments to the first SOF0-SOF15 frame header
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                        None,
+                    )
+                i += 2 + seg_len
+            return ("jpeg", None, None, None)
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+                None,
+            )
+        if b[:2] == b"BM" and len(b) >= 26:
+            return (
+                "bmp",
+                int.from_bytes(b[18:22], "little", signed=True),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+                None,
+            )
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 28:
+            # fmt chunk: sample rate at offset 24 when fmt is first
+            if b[12:16] == b"fmt ":
+                return ("wav", None, None, int.from_bytes(b[24:28], "little"))
+            return ("wav", None, None, None)
+        return none
+    except Exception:  # noqa: BLE001 — sniffing must never fail a scan
+        return none
+
+
+def with_header_meta(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """media + a `sniffed` struct column (SNIFF_SCHEMA) via mapInPandas —
+    Arrow batches, a few byte reads per row, no codec import anywhere."""
+    out_schema = StructType(
+        media.schema.fields + [StructField("sniffed", SNIFF_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["sniffed"] = [
+                dict(zip(("format", "width", "height", "sample_rate"),
+                         sniff_media_header(c)))
+                for c in pdf[content_col]
+            ]
+            yield pdf
+
+    return media.mapInPandas(run, out_schema)

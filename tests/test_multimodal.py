@@ -110,3 +110,95 @@ class TestResize:
         assert imgs and all(
             (r["meta"]["width"], r["meta"]["height"]) == (64, 32) for r in imgs
         )
+
+
+class TestHeaderSniffing:
+    """Container-header parsing is byte arithmetic, not decoding — these
+    bytes are hand-built from the public format specs."""
+
+    PNG = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+    # JPEG: SOI, APP0 (16 bytes), SOF0 with height=333 width=222
+    JPEG = (
+        b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (333).to_bytes(2, "big") + (222).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    GIF = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little") + b"\x00" * 4
+    BMP = (
+        b"BM" + b"\x00" * 16
+        + (800).to_bytes(4, "little") + (-600).to_bytes(4, "little", signed=True)
+    )
+    WAV = (
+        b"RIFF" + b"\x00" * 4 + b"WAVE" + b"fmt "
+        + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + (44100).to_bytes(4, "little")
+    )
+
+    def test_pure_python_sniffing(self):
+        from classic_fcd_spark.multimodal.binary_ops import sniff_media_header
+
+        assert sniff_media_header(self.PNG) == ("png", 640, 480, None)
+        assert sniff_media_header(self.JPEG) == ("jpeg", 222, 333, None)
+        assert sniff_media_header(self.GIF) == ("gif", 12, 34, None)
+        # BMP: negative height means top-down rows; magnitude is the height
+        assert sniff_media_header(self.BMP) == ("bmp", 800, 600, None)
+        assert sniff_media_header(self.WAV) == ("wav", None, None, 44100)
+        assert sniff_media_header(b"") == (None, None, None, None)
+        assert sniff_media_header(b"\x89PNG\r\n\x1a") == (None, None, None, None)
+        assert sniff_media_header(b"garbage bytes here") == (None, None, None, None)
+
+    def test_with_header_meta_over_mixed_batch(self, spark):
+        from classic_fcd_spark.multimodal.binary_ops import with_header_meta
+
+        rows = [
+            (0, "image", bytearray(self.PNG)),
+            (1, "image", bytearray(self.JPEG)),
+            (2, "audio", bytearray(self.WAV)),
+            (3, "image", bytearray(b"not a real file")),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+        got = {
+            r["media_id"]: (
+                r["sniffed"]["format"],
+                r["sniffed"]["width"],
+                r["sniffed"]["height"],
+                r["sniffed"]["sample_rate"],
+            )
+            for r in with_header_meta(df).collect()
+        }
+        assert got == {
+            0: ("png", 640, 480, None),
+            1: ("jpeg", 222, 333, None),
+            2: ("wav", None, None, 44100),
+            3: (None, None, None, None),
+        }
+
+    def test_geometry_filter_runs_without_codec(self, spark):
+        """The LAION-style 'drop tiny images' filter — real header math,
+        no decode, no NotImplementedError."""
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.multimodal.binary_ops import with_header_meta
+
+        small_png = (
+            b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + (16).to_bytes(4, "big") + (16).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+        )
+        df = spark.createDataFrame(
+            [(0, "image", bytearray(self.PNG)), (1, "image", bytearray(small_png))],
+            "media_id long, kind string, content binary",
+        )
+        kept = [
+            r["media_id"]
+            for r in with_header_meta(df)
+            .filter(
+                (F.col("sniffed.width") >= 64) & (F.col("sniffed.height") >= 64)
+            )
+            .collect()
+        ]
+        assert kept == [0]
