@@ -353,7 +353,12 @@ def filter_blocked_domains(
     broadcast list, and anti-joins the hit IDs back — no regex scan, no
     cross join, keyed on `id_col` throughout."""
     spark = df.sparkSession
-    bl = spark.createDataFrame([(d.lower(),) for d in blocklist], ["__blocked"])
+    # normalize entries EXACTLY like url_domain normalizes hosts (lower,
+    # strip a leading www.) — real blocklists commonly list www hosts,
+    # which would otherwise never match; explicit schema so an empty
+    # blocklist is the identity filter, not a schema-inference crash
+    entries = [(d.lower().removeprefix("www."),) for d in blocklist]
+    bl = spark.createDataFrame(entries, "__blocked string")
     dom = url_domain(url_col)
     if not subdomains_blocked:
         return df.withColumn("__dom", dom).join(

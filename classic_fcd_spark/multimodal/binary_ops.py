@@ -257,6 +257,10 @@ def sniff_media_header(content: bytes):
             while i + 9 < len(b):
                 if b[i] != 0xFF:
                     break
+                # the spec allows any number of 0xFF fill bytes before a
+                # marker — skip padding so it is not misread as a marker
+                while i + 9 < len(b) and b[i + 1] == 0xFF:
+                    i += 1
                 marker = b[i + 1]
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2

@@ -78,12 +78,23 @@ def bm25_topk(
 
     `postings` reuses a pre-materialized bm25_postings table (the
     long-lived-engine shape); otherwise it is built from `docs`.  N and
-    avgdl come from one scalar aggregate (bounded driver state)."""
+    avgdl come from one scalar aggregate OVER THE POSTINGS' per-doc
+    lengths (bounded driver state) — never a second corpus tokenize:
+    every doc contributes >= 1 posting row under this tokenizer (empty
+    text yields one empty-string token), so distinct (id, dl) covers
+    the whole corpus.  An empty corpus returns an empty result."""
     spark = docs.sparkSession
     post = postings if postings is not None else bm25_postings(docs, id_col, text_col)
-    row = docs.agg(
-        F.count("*").alias("n"), F.sum(F.size(ws_tokens(text_col))).alias("tot")
-    ).collect()[0]
+    row = (
+        post.select(id_col, "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+        .collect()[0]
+    )
+    if not row["n"]:
+        return spark.createDataFrame(
+            [], f"qid bigint, {id_col} bigint, rnk int, score_e6 bigint"
+        )
     n, avgdl = int(row["n"]), int(row["tot"]) / int(row["n"])
 
     qdf = spark.createDataFrame(
@@ -125,7 +136,9 @@ def duck_bm25_sql(
     e6 floor-then-integer-sum."""
     toks = f"regexp_split_to_array(trim({text_col}), ' +')"
     qvals = ", ".join(
-        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+        "({}, '{}')".format(qid, t.replace("'", "''"))
+        for qid, terms in queries
+        for t in terms
     )
     score = (
         f"ln(1.0 + (CAST(stats.n AS DOUBLE) - qdf.df + 0.5) / (qdf.df + 0.5))"

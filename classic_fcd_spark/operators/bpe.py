@@ -183,4 +183,9 @@ def bpe_segment(
             ).alias(out_col)
         )
     )
-    return rejoined
+    # docs with no non-empty token (empty/whitespace text) produce zero
+    # exploded rows and would vanish from the inner-join rebuild — keep
+    # them with an empty token array (the "for every document" contract)
+    return docs.join(rejoined, docs.columns, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+    )

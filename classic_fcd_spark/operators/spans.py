@@ -31,9 +31,13 @@ than k are invisible, boundaries are exact).
 Scale shape at 100 TB:
 - the exploded (doc, pos, hash) table is ~n_tokens rows of fixed width —
   linear, shuffled once on the hash;
-- no self-join anywhere: the duplicate test is a windowed count over the
-  hash partition (map-side combinable via the groupBy+join variant if a
-  hot hash ever skews — md5 keys cannot skew by construction);
+- no self-join anywhere: the duplicate test is a map-side-combined
+  groupBy count + a semi-join back.  md5 randomizes DISTINCT windows,
+  but identical windows share one hash and high-multiplicity windows
+  are exactly what this operator hunts — so the count must be a partial
+  aggregate (never a window over the hash partition, which puts a
+  10^8-occurrence boilerplate gram on one task) and the join back is an
+  equi-join AQE's skew handling can split;
 - span merge shuffles (doc, pos) pairs only — narrow rows, one key.
 """
 
@@ -68,7 +72,7 @@ def duplicated_positions(
 ) -> DataFrame:
     """(id, pos) of every k-window whose hash occurs >= min_count times
     corpus-wide (all occurrences count, including repeats within one
-    document — suffix-array semantics).  One shuffle, keyed on md5."""
+    document — suffix-array semantics).  Keyed on md5 throughout."""
     # single-file scans arrive as ONE partition — spread the md5 window
     # hashing across cores before the explode (same move as the shingle
     # family; at real scale the source layout already provides splits)
@@ -76,12 +80,15 @@ def duplicated_positions(
     ex = docs.repartition(par, id_col).select(
         F.col(id_col), F.explode(kgram_positions(text_col, k)).alias("s")
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
-    w = Window.partitionBy("gh")
-    return (
-        ex.withColumn("c", F.count("*").over(w))
-        .filter(F.col("c") >= min_count)
-        .select(id_col, "pos")
+    # a groupBy + semi-join, NOT count().over(Window.partitionBy(gh)):
+    # the window form moves every occurrence of a hash onto one task,
+    # and a boilerplate window repeated 10^8 times corpus-wide is the
+    # expected input here.  The partial aggregate combines map-side and
+    # the join back is an equi-join AQE's skew handling can split.
+    dup_gh = (
+        ex.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= min_count)
     )
+    return ex.join(dup_gh.select("gh"), "gh", "left_semi").select(id_col, "pos")
 
 
 def duplicated_spans(

@@ -96,9 +96,11 @@ def streaming_top_items(
     """items: streaming DataFrame.  Returns the per-bucket survivor
     stream (OUTPUT_SCHEMA, update mode semantics — latest emission per
     bucket supersedes earlier ones)."""
-    keyed = items.select(
-        F.col(item_col).cast("string").alias("item"),
-        item_bucket(item_col, num_buckets).alias("bucket"),
+    # bucket from the CASTED string, so an offline recount applying
+    # item_bucket to the emitted string items routes identically even
+    # when the source column is non-string
+    keyed = items.select(F.col(item_col).cast("string").alias("item")).select(
+        "item", item_bucket("item", num_buckets).alias("bucket")
     )
     return keyed.groupBy("bucket").applyInPandasWithState(
         _make_mg_update(capacity),

@@ -136,7 +136,14 @@ def main(argv):
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import bench as _bench
 
-        qmap.update(_bench._extra_workloads())
+        extra = _bench._extra_workloads()
+        # trainer workloads run FULL training just to build a plan (and
+        # bpe_train_50's result is a driver-local LocalRelation — zero
+        # audit signal); their search-plan properties are asserted in
+        # their own tests (test_pq no-cartesian, recall contracts)
+        for name in _bench.TRAIN_WORKLOADS:
+            extra.pop(name, None)
+        qmap.update(extra)
     names = argv or sorted(qmap)
     bad = 0
     for name in names:

@@ -146,3 +146,32 @@ class TestRRFFusion:
         fused = rrf_fuse([lex, dense.filter(F.col("qid") == 0)]).collect()
         assert len(fused) == 10
         assert all(r["rrf_e9"] > 0 for r in fused)
+
+
+class TestBM25Edges:
+    def test_empty_corpus_returns_empty(self, spark):
+        from classic_fcd_spark.operators.bm25 import bm25_topk
+
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        out = bm25_topk(empty, [(0, ["anything"])])
+        assert out.count() == 0
+        assert out.columns == ["qid", "doc_id", "rnk", "score_e6"]
+
+    def test_oracle_escapes_quoted_terms(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.operators.bm25 import bm25_topk, duck_bm25_sql
+
+        rows = [(0, "don't stop believing"), (1, "stop right there")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        qs = [(0, ["don't", "stop"])]
+        got = sorted(
+            (r["qid"], r["doc_id"], r["rnk"], r["score_e6"])
+            for r in bm25_topk(df, qs).collect()
+        )
+        con = duckdb.connect()
+        pdf = df.toPandas()  # noqa: F841 — bound into duckdb
+        want = sorted(
+            map(tuple, con.sql(duck_bm25_sql(qs, table="pdf")).fetchall())
+        )
+        assert got == want and len(got) == 2

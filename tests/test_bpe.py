@@ -93,3 +93,16 @@ class TestBPESegment:
         for doc_id, text in CORPUS:
             restored = "".join(out[doc_id]).replace(_EOW, " ").strip()
             assert restored == text
+
+    def test_tokenless_docs_keep_empty_arrays(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "low low"), (1, ""), (2, "   ")], ["doc_id", "text"]
+        )
+        merges = bpe_train(docs, n_merges=3)
+        out = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment(docs, merges).collect()
+        }
+        assert set(out) == {0, 1, 2}  # nobody vanishes from the rebuild
+        assert out[1] == [] and out[2] == []
+        assert out[0] == _segment_word("low", merges) * 2

@@ -129,3 +129,21 @@ class TestDomainBlocklist:
             ).collect()
         }
         assert kept == {0, 1, 3, 4, 5}
+
+    def test_www_prefixed_blocklist_entry_matches(self, spark):
+        # real blocklists commonly list www hosts; url_domain strips the
+        # prefix, so the blocklist side must normalize identically
+        from classic_fcd_spark.functions.text import filter_blocked_domains
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "url"])
+        kept = {
+            r["doc_id"]
+            for r in filter_blocked_domains(df, "url", ["www.bad.org"]).collect()
+        }
+        assert kept == {0, 3, 4, 5}
+
+    def test_empty_blocklist_is_identity(self, spark):
+        from classic_fcd_spark.functions.text import filter_blocked_domains
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "url"])
+        assert filter_blocked_domains(df, "url", []).count() == len(self.ROWS)

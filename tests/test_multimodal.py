@@ -202,3 +202,15 @@ class TestHeaderSniffing:
             .collect()
         ]
         assert kept == [0]
+
+    def test_jpeg_fill_bytes_before_sof(self):
+        from classic_fcd_spark.multimodal.binary_ops import sniff_media_header
+
+        # 0xFF padding before the SOF marker is legal JPEG; the walker
+        # must not consume it as a marker code
+        jpeg = (
+            b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xff\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (99).to_bytes(2, "big") + (77).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+        )
+        assert sniff_media_header(jpeg) == ("jpeg", 77, 99, None)

@@ -107,3 +107,31 @@ class TestStreamingHeavyHitters:
         )
         assert sum(info["n"] for info in merged.values()) > n_first
         _assert_invariants(merged, exact)
+
+
+class TestNonStringItems:
+    def test_int_items_route_like_their_string_form(self, spark, tmp_path):
+        # the stream casts to string BEFORE bucketing, so an offline
+        # recount over the emitted strings lands in the same buckets
+        d = tmp_path / "ints"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"item": pa.array([7] * 40 + list(range(100, 120)), pa.int64())}),
+            f"{d}/part-0.parquet",
+        )
+        summary = run_available_now(
+            spark, str(d), str(tmp_path / "ck3"), capacity=CAPACITY,
+            num_buckets=BUCKETS,
+        )
+        exact = (
+            spark.read.parquet(str(d))
+            .select(F.col("item").cast("string").alias("item"))
+            .select("item", item_bucket("item", BUCKETS).alias("bucket"))
+            .groupBy("bucket", "item")
+            .agg(F.count("*").alias("cnt"))
+        )
+        ex: dict[int, dict[str, int]] = {}
+        for r in exact.collect():
+            ex.setdefault(r["bucket"], {})[r["item"]] = r["cnt"]
+        _assert_invariants(summary, ex)
+        assert any("7" in info["counters"] for info in summary.values())
