@@ -182,3 +182,44 @@ def keep_top_fraction(
         else F.col(score_col) <= F.col("__thr")
     )
     return joined.filter(keep).drop("__thr")
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted k-per-group sample without replacement, deterministic:
+    the full A-Res scheme (Efraimidis & Spirakis 2006, public) — each
+    row draws u ~ U(0,1) and keeps the k LARGEST u^(1/w), equivalently
+    the k smallest -ln(u)/w (the exponential-race form used here, which
+    avoids u^tiny underflow for large weights).  Inclusion probability
+    is proportional-to-size without replacement; u comes from
+    md5(salt||key), so the sample is stable under re-runs, retries, and
+    repartitioning — rand() is none of those.
+
+    Rows with weight <= 0 or NULL never qualify.  Same single-shuffle
+    shape as the uniform form: one window over the group partitioning;
+    groups with fewer than k positive-weight rows come back whole."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 60))
+    race = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__race").asc(), F.col(key).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__race", race)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__race", "__rk")
+    )

@@ -315,3 +315,58 @@ class TestKeepTopFraction:
         # window, no range-partitioned global sort of the fact side
         assert "windowspecdefinition" not in plan
         assert "rangepartitioning" not in plan.lower()
+
+
+class TestWeightedReservoir:
+    def test_matches_python_reference_exactly(self, spark):
+        import hashlib
+        import math
+
+        from classic_fcd_spark.operators.sampling import weighted_reservoir_sample
+
+        rows = [(f"g{i % 2}", i, float(1 + (i % 7))) for i in range(60)]
+        df = spark.createDataFrame(rows, ["grp", "id", "w"])
+        got = {
+            (r["grp"], r["id"])
+            for r in weighted_reservoir_sample(df, "grp", "id", "w", k=5).collect()
+        }
+
+        def race(i, wt):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            u = (h + 0.5) / float(1 << 60)
+            return -math.log(u) / wt
+
+        want = set()
+        for g in ("g0", "g1"):
+            grp = [(gg, i, wt) for gg, i, wt in rows if gg == g]
+            for gg, i, wt in sorted(grp, key=lambda r: (race(r[1], r[2]), r[1]))[:5]:
+                want.add((gg, i))
+        assert got == want
+
+    def test_weights_bias_inclusion(self, spark):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.sampling import weighted_reservoir_sample
+
+        # one group, half the rows carry 20x the weight; across many
+        # disjoint salt draws the heavy half must dominate the sample
+        rows = [("g", i, 20.0 if i % 2 == 0 else 1.0) for i in range(200)]
+        df = spark.createDataFrame(rows, ["grp", "id", "w"])
+        heavy = 0
+        for s in range(10):
+            picked = weighted_reservoir_sample(
+                df, "grp", "id", "w", k=20, salt=f"s{s}"
+            ).collect()
+            heavy += sum(1 for r in picked if r["w"] == 20.0)
+        # E[heavy fraction] ~ 0.9+; require a clear majority
+        assert heavy / 200 > 0.75
+
+    def test_nonpositive_weights_never_qualify_and_short_groups_whole(self, spark):
+        from classic_fcd_spark.operators.sampling import weighted_reservoir_sample
+
+        rows = [("g", 0, 1.0), ("g", 1, 0.0), ("g", 2, -3.0), ("g", 3, None), ("g", 4, 2.0)]
+        df = spark.createDataFrame(rows, "grp string, id long, w double")
+        got = sorted(
+            r["id"] for r in weighted_reservoir_sample(df, "grp", "id", "w", k=10).collect()
+        )
+        assert got == [0, 4]
