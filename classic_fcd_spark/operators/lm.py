@@ -138,3 +138,123 @@ def duck_unigram_nll_sql(
     FROM ex JOIN model ON ex.b = model.b
     GROUP BY 1
     """
+
+
+def bigram_nll_scores(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(id, n_tokens, sum_nll_e6, mean_nll_e6): NLL under an
+    INTERPOLATED hashed-bigram LM — p(w|c) = lam * p_bi(w|c) +
+    (1-lam) * p_uni(w), both Laplace-smoothed over md5 buckets.  The
+    n-gram generalization the unigram scorer's docstring promises:
+    same distributed plumbing, one more broadcast table.
+
+    Unlike the unigram model, this one SEES WORD ORDER — scrambling a
+    document raises its NLL (pinned in tests), which is most of what a
+    real fluency filter adds over a bag of words.
+
+    Model state (all driver-bounded, DSIR-style):
+    - observed (context-bucket, word-bucket) pair counts: <= B^2 rows,
+      typically far fewer (collected once, broadcast as e6 bigints);
+    - per-context totals -> a B-row unseen-pair fallback table;
+    - the B-row unigram model scores each document's FIRST token (no
+      context) and backs the interpolation.
+    Scoring = one explode + two broadcast left joins + an exact integer
+    per-doc sum; every emitted column is bigint."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    # --- fit (driver-bounded collects, exactly like bucket_log_probs) ---
+    mtoks = model_docs.repartition(par).select(
+        ngram_buckets(text_col, 1, buckets).alias("bs")
+    )
+    pair_rows = (
+        mtoks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("bs", 1, F.size("bs") - 1),
+                    F.slice("bs", 2, F.size("bs") - 1),
+                    lambda c, w_: F.struct(c.alias("c"), w_.alias("w")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    pair_cnt = {(int(r["p"]["c"]), int(r["p"]["w"])): int(r["n"]) for r in pair_rows}
+    ctx_tot: dict[int, int] = {}
+    for (c, _), n in pair_cnt.items():
+        ctx_tot[c] = ctx_tot.get(c, 0) + n
+    lp_uni = bucket_log_probs(model_docs.repartition(par), text_col, 1, buckets)
+
+    def _mix_nll_e6(c: int, w: int) -> int:
+        pb = (pair_cnt.get((c, w), 0) + 1) / (ctx_tot.get(c, 0) + float(buckets))
+        pu = math.exp(lp_uni[w])
+        return math.floor(-math.log(lam * pb + (1.0 - lam) * pu) * 1e6)
+
+    pair_model = spark.createDataFrame(
+        [(c, w, _mix_nll_e6(c, w)) for (c, w) in pair_cnt],
+        "c bigint, w bigint, nll_e6 bigint",
+    )
+    # Unseen (c, w) pairs: the exhaustive table is B^2-sized, but only
+    # pu varies per word once the context is fixed — so broadcast two
+    # B-row vectors (per-context smoothed pb0, per-word pu) and let the
+    # executors evaluate the SAME mix expression column-side.
+    ctx_vec = spark.createDataFrame(
+        [(c, 1.0 / (ctx_tot.get(c, 0) + float(buckets))) for c in range(buckets)],
+        "c bigint, pb0 double",
+    )
+    uni_vec = spark.createDataFrame(
+        [(w, math.exp(lp_uni[w])) for w in range(buckets)],
+        "w bigint, pu double",
+    )
+    first_model = spark.createDataFrame(
+        [(w, math.floor(-lp_uni[w] * 1e6)) for w in range(buckets)],
+        "w bigint, nll_e6 bigint",
+    )
+
+    # --- score ---------------------------------------------------------
+    toks = docs.repartition(par, id_col).select(
+        F.col(id_col), ngram_buckets(text_col, 1, buckets).alias("bs")
+    )
+    firsts = toks.select(
+        id_col, F.element_at("bs", 1).alias("w")
+    ).join(F.broadcast(first_model), "w")
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("bs", 1, F.size("bs") - 1),
+                F.slice("bs", 2, F.size("bs") - 1),
+                lambda c, w_: F.struct(c.alias("c"), w_.alias("w")),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.c").alias("c"), F.col("p.w").alias("w"))
+    unseen_nll = F.floor(
+        -F.log(F.lit(lam) * F.col("pb0") + F.lit(1.0 - lam) * F.col("pu"))
+        * F.lit(1e6)
+    ).cast("bigint")
+    scored_pairs = (
+        pairs.join(F.broadcast(pair_model), ["c", "w"], "left")
+        .join(F.broadcast(ctx_vec), "c")
+        .join(F.broadcast(uni_vec), "w")
+        .select(id_col, F.coalesce("nll_e6", unseen_nll).alias("nll_e6"))
+    )
+    per_doc = (
+        firsts.select(id_col, "nll_e6")
+        .unionByName(scored_pairs)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("nll_e6").alias("sum_nll_e6"))
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "sum_nll_e6",
+        F.expr("sum_nll_e6 div n_tokens").alias("mean_nll_e6"),
+    )

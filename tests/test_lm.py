@@ -82,3 +82,88 @@ class TestCCNetBuckets:
         # roughly thirds (sketch rank error + integer ties allow slack)
         assert 100 <= len(by_bucket["head"]) <= 233
         assert 100 <= len(by_bucket["tail"]) <= 233
+
+
+class TestBigramLM:
+    def _ref(self, docs, model_docs, buckets=256, lam=0.7):
+        import hashlib
+        import math
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % buckets
+
+        def toks(t):
+            return t.strip().split() if t.strip() else [""]
+
+        uni: dict[int, int] = {}
+        pair: dict[tuple[int, int], int] = {}
+        ctx: dict[int, int] = {}
+        total = 0
+        for _, t in model_docs:
+            bs = [bucket(x) for x in toks(t)]
+            for b in bs:
+                uni[b] = uni.get(b, 0) + 1
+                total += 1
+            for c, w in zip(bs, bs[1:]):
+                pair[(c, w)] = pair.get((c, w), 0) + 1
+                ctx[c] = ctx.get(c, 0) + 1
+        lp_uni = {
+            b: math.log((uni.get(b, 0) + 1) / float(total + buckets))
+            for b in range(buckets)
+        }
+        out = {}
+        for i, t in docs:
+            bs = [bucket(x) for x in toks(t)]
+            s = math.floor(-lp_uni[bs[0]] * 1e6)
+            for c, w in zip(bs, bs[1:]):
+                pb = (pair.get((c, w), 0) + 1) / (ctx.get(c, 0) + float(buckets))
+                pu = math.exp(lp_uni[w])
+                s += math.floor(-math.log(lam * pb + (1 - lam) * pu) * 1e6)
+            out[i] = (len(bs), s, s // len(bs))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from classic_fcd_spark.operators.lm import bigram_nll_scores
+
+        model = [(100 + i, "the cat sat on the mat while the dog ran") for i in range(3)]
+        probe = [
+            (0, "the cat sat on the mat"),
+            (1, "mat the on sat cat the"),  # scrambled
+            (2, "completely novel words here"),
+        ]
+        docs = spark.createDataFrame(model + probe, ["doc_id", "text"])
+        from pyspark.sql import functions as F
+
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["sum_nll_e6"], r["mean_nll_e6"])
+            for r in bigram_nll_scores(
+                docs, docs.filter(F.col("doc_id") >= 100)
+            ).collect()
+        }
+        assert got == self._ref(model + probe, model)
+
+    def test_word_order_sensitivity(self, spark):
+        """The whole point over the unigram model: a scrambled doc has
+        the SAME bag of words (identical unigram NLL) but a worse
+        bigram NLL."""
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.lm import (
+            bigram_nll_scores,
+            unigram_nll_scores,
+        )
+
+        model = [(100 + i, "the cat sat on the mat") for i in range(4)]
+        probe = [(0, "the cat sat on the mat"), (1, "mat the on sat cat the")]
+        docs = spark.createDataFrame(model + probe, ["doc_id", "text"])
+        mdocs = docs.filter(F.col("doc_id") >= 100)
+        uni = {
+            r["doc_id"]: r["mean_nll_e6"]
+            for r in unigram_nll_scores(docs, mdocs).collect()
+        }
+        bi = {
+            r["doc_id"]: r["mean_nll_e6"]
+            for r in bigram_nll_scores(docs, mdocs).collect()
+        }
+        assert uni[0] == uni[1]  # bag-of-words blind
+        assert bi[0] < bi[1]  # order-aware
