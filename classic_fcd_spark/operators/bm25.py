@@ -84,7 +84,17 @@ def bm25_topk(
     text yields one empty-string token), so distinct (id, dl) covers
     the whole corpus.  An empty corpus returns an empty result."""
     spark = docs.sparkSession
-    post = postings if postings is not None else bm25_postings(docs, id_col, text_col)
+    if postings is not None:
+        post = postings
+    else:
+        # the stats collect below is an ACTION: without a persist the
+        # scoring job would rebuild the whole postings lineage a second
+        # time (shuffles are not reused across separate jobs)
+        from classic_fcd_spark.session import scoped_persist
+
+        post = scoped_persist(
+            bm25_postings(docs, id_col, text_col), "bm25:postings"
+        )
     row = (
         post.select(id_col, "dl")
         .distinct()
@@ -92,8 +102,21 @@ def bm25_topk(
         .collect()[0]
     )
     if not row["n"]:
+        # empty-path schema must equal the non-empty path's, whatever
+        # type the id column carries
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        id_field = post.schema[id_col]
         return spark.createDataFrame(
-            [], f"qid bigint, {id_col} bigint, rnk int, score_e6 bigint"
+            [],
+            StructType(
+                [
+                    StructField("qid", LongType()),
+                    StructField(id_col, id_field.dataType),
+                    StructField("rnk", IntegerType()),
+                    StructField("score_e6", LongType()),
+                ]
+            ),
         )
     n, avgdl = int(row["n"]), int(row["tot"]) / int(row["n"])
 

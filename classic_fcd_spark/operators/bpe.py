@@ -139,8 +139,11 @@ def bpe_segment(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """docs + out_col: array of subword tokens for every document.
+    """docs + out_col: array of subword tokens for every document
+    (`id_col` must uniquely key docs — the rebuild joins on it alone, so
+    NULLs in other columns cannot break the match).
 
     Applying n merges is sequential per word, so it runs as an
     Arrow-batched pandas UDF — but over the batch's DISTINCT words only
@@ -169,11 +172,11 @@ def bpe_segment(
         .withColumn("__sub", seg("word"))
     )
     exploded = docs.select(
-        "*", F.posexplode(ws_tokens(text_col)).alias("__pos", "word")
+        id_col, F.posexplode(ws_tokens(text_col)).alias("__pos", "word")
     ).filter(F.col("word") != "")
     rejoined = (
         exploded.join(distinct_words, "word")
-        .groupBy(*docs.columns)
+        .groupBy(id_col)
         .agg(
             F.flatten(
                 F.transform(
@@ -183,9 +186,10 @@ def bpe_segment(
             ).alias(out_col)
         )
     )
-    # docs with no non-empty token (empty/whitespace text) produce zero
-    # exploded rows and would vanish from the inner-join rebuild — keep
-    # them with an empty token array (the "for every document" contract)
-    return docs.join(rejoined, docs.columns, "left").withColumn(
+    # join back on the KEY only (an all-columns join silently unmatches
+    # any row holding a NULL — non-null-safe equality), and keep docs
+    # with no non-empty token via an empty array (the "for every
+    # document" contract)
+    return docs.join(rejoined, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
     )

@@ -159,19 +159,26 @@ def bigram_nll_scores(
     real fluency filter adds over a bag of words.
 
     Model state (all driver-bounded, DSIR-style):
-    - observed (context-bucket, word-bucket) pair counts: <= B^2 rows,
-      typically far fewer (collected once, broadcast as e6 bigints);
-    - per-context totals -> a B-row unseen-pair fallback table;
+    - observed (context-bucket, word-bucket) pair COUNTS: <= B^2 rows,
+      typically far fewer (collected once, broadcast);
+    - a B-row per-context total and a B-row unigram-prob vector — the
+      executors evaluate one shared mix expression for seen and unseen
+      pairs alike, so every pair NLL comes from a single log runtime;
     - the B-row unigram model scores each document's FIRST token (no
-      context) and backs the interpolation.
+      context).
     Scoring = one explode + two broadcast left joins + an exact integer
     per-doc sum; every emitted column is bigint."""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
 
-    # --- fit (driver-bounded collects, exactly like bucket_log_probs) ---
-    mtoks = model_docs.repartition(par).select(
-        ngram_buckets(text_col, 1, buckets).alias("bs")
+    # --- fit: ONE model-corpus scan feeds both counts ------------------
+    from classic_fcd_spark.session import scoped_persist
+
+    mtoks = scoped_persist(
+        model_docs.repartition(par).select(
+            ngram_buckets(text_col, 1, buckets).alias("bs")
+        ),
+        "bigram_lm:model_buckets",
     )
     pair_rows = (
         mtoks.select(
@@ -191,24 +198,24 @@ def bigram_nll_scores(
     ctx_tot: dict[int, int] = {}
     for (c, _), n in pair_cnt.items():
         ctx_tot[c] = ctx_tot.get(c, 0) + n
-    lp_uni = bucket_log_probs(model_docs.repartition(par), text_col, 1, buckets)
-
-    def _mix_nll_e6(c: int, w: int) -> int:
-        pb = (pair_cnt.get((c, w), 0) + 1) / (ctx_tot.get(c, 0) + float(buckets))
-        pu = math.exp(lp_uni[w])
-        return math.floor(-math.log(lam * pb + (1.0 - lam) * pu) * 1e6)
-
-    pair_model = spark.createDataFrame(
-        [(c, w, _mix_nll_e6(c, w)) for (c, w) in pair_cnt],
-        "c bigint, w bigint, nll_e6 bigint",
+    lp_uni = bucket_log_probs(
+        model_docs, text_col, 1, buckets,
+        exploded=mtoks.select(F.explode("bs").alias("b")),
     )
-    # Unseen (c, w) pairs: the exhaustive table is B^2-sized, but only
-    # pu varies per word once the context is fixed — so broadcast two
-    # B-row vectors (per-context smoothed pb0, per-word pu) and let the
-    # executors evaluate the SAME mix expression column-side.
+
+    # ONE runtime computes every pair NLL: the executors evaluate the
+    # mix expression for seen and unseen pairs alike (seen pb differs
+    # from unseen pb only by the broadcast count — same formula, cnt=0),
+    # so a driver-libm vs JVM-libm last-ulp divergence cannot split the
+    # model's values across two log implementations (the module's
+    # exact-integer policy).
+    pair_model = spark.createDataFrame(
+        [(c, w, n) for (c, w), n in pair_cnt.items()],
+        "c bigint, w bigint, cnt bigint",
+    )
     ctx_vec = spark.createDataFrame(
-        [(c, 1.0 / (ctx_tot.get(c, 0) + float(buckets))) for c in range(buckets)],
-        "c bigint, pb0 double",
+        [(c, float(ctx_tot.get(c, 0))) for c in range(buckets)],
+        "c bigint, ct double",
     )
     uni_vec = spark.createDataFrame(
         [(w, math.exp(lp_uni[w])) for w in range(buckets)],
@@ -236,15 +243,17 @@ def bigram_nll_scores(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.c").alias("c"), F.col("p.w").alias("w"))
-    unseen_nll = F.floor(
-        -F.log(F.lit(lam) * F.col("pb0") + F.lit(1.0 - lam) * F.col("pu"))
-        * F.lit(1e6)
+    pb = (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("ct") + F.lit(float(buckets))
+    )
+    mix_nll = F.floor(
+        -F.log(F.lit(lam) * pb + F.lit(1.0 - lam) * F.col("pu")) * F.lit(1e6)
     ).cast("bigint")
     scored_pairs = (
         pairs.join(F.broadcast(pair_model), ["c", "w"], "left")
         .join(F.broadcast(ctx_vec), "c")
         .join(F.broadcast(uni_vec), "w")
-        .select(id_col, F.coalesce("nll_e6", unseen_nll).alias("nll_e6"))
+        .select(id_col, mix_nll.alias("nll_e6"))
     )
     per_doc = (
         firsts.select(id_col, "nll_e6")

@@ -201,7 +201,9 @@ def weighted_reservoir_sample(
     md5(salt||key), so the sample is stable under re-runs, retries, and
     repartitioning — rand() is none of those.
 
-    Rows with weight <= 0 or NULL never qualify.  Same single-shuffle
+    Rows with weight <= 0, NULL, or NaN never qualify (Spark orders NaN
+    greater than every number, so `> 0` alone would admit it).  Same
+    single-shuffle
     shape as the uniform form: one window over the group partitioning;
     groups with fewer than k positive-weight rows come back whole."""
     from pyspark.sql import Window
@@ -216,8 +218,9 @@ def weighted_reservoir_sample(
     w = Window.partitionBy(group_col).orderBy(
         F.col("__race").asc(), F.col(key).asc()
     )
+    wc = F.col(weight_col)
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(wc.isNotNull() & ~F.isnan(wc.cast("double")) & (wc > 0))
         .withColumn("__race", race)
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)

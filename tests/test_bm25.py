@@ -175,3 +175,11 @@ class TestBM25Edges:
             map(tuple, con.sql(duck_bm25_sql(qs, table="pdf")).fetchall())
         )
         assert got == want and len(got) == 2
+
+    def test_empty_corpus_preserves_string_id_schema(self, spark):
+        from classic_fcd_spark.operators.bm25 import bm25_topk
+
+        empty = spark.createDataFrame([], "url string, text string")
+        out = bm25_topk(empty, [(0, ["x"])], id_col="url")
+        assert out.count() == 0
+        assert dict(out.dtypes)["url"] == "string"

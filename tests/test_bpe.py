@@ -106,3 +106,18 @@ class TestBPESegment:
         assert set(out) == {0, 1, 2}  # nobody vanishes from the rebuild
         assert out[1] == [] and out[2] == []
         assert out[0] == _segment_word("low", merges) * 2
+
+    def test_null_metadata_columns_do_not_break_the_rebuild(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "low low", None), (1, "lower", "en")],
+            "doc_id long, text string, lang string",
+        )
+        merges = bpe_train(docs, n_merges=3)
+        out = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment(docs, merges).collect()
+        }
+        # the NULL-lang row must keep its real tokens (the rebuild joins
+        # on the id key, not on every column)
+        assert out[0] == _segment_word("low", merges) * 2
+        assert out[1] == _segment_word("lower", merges)

@@ -370,3 +370,14 @@ class TestWeightedReservoir:
             r["id"] for r in weighted_reservoir_sample(df, "grp", "id", "w", k=10).collect()
         )
         assert got == [0, 4]
+
+    def test_nan_weights_never_qualify(self, spark):
+        from classic_fcd_spark.operators.sampling import weighted_reservoir_sample
+
+        rows = [("g", 0, 1.0), ("g", 1, float("nan")), ("g", 2, 2.0)]
+        df = spark.createDataFrame(rows, "grp string, id long, w double")
+        got = sorted(
+            r["id"]
+            for r in weighted_reservoir_sample(df, "grp", "id", "w", k=5).collect()
+        )
+        assert got == [0, 2]

@@ -86,3 +86,20 @@ class TestStreamingPostings:
         a = sorted(map(tuple, bm25_topk(all_docs, QUERIES, postings=post).collect()))
         b = sorted(map(tuple, bm25_topk(all_docs, QUERIES).collect()))
         assert a == b
+
+
+class TestIdempotentReplay:
+    def test_replayed_batch_overwrites_not_appends(self, spark, tmp_path):
+        """Simulate the crash-replay: the same batch written twice with
+        the same batch_id must leave exactly one copy of its postings."""
+        from classic_fcd_spark.streaming.postings import write_postings_batch
+
+        docs = spark.createDataFrame(FILES[0], ["doc_id", "text"])
+        out = str(tmp_path / "p")
+        write_postings_batch(docs, 7, out)
+        once = sorted(map(tuple, read_postings(spark, out).collect()))
+        write_postings_batch(docs, 7, out)  # the replay
+        twice = sorted(map(tuple, read_postings(spark, out).collect()))
+        assert once == twice
+        post = read_postings(spark, out)
+        assert post.groupBy("doc_id", "term").count().filter("count > 1").count() == 0
