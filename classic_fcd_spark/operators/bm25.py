@@ -82,8 +82,15 @@ def bm25_topk(
     lengths (bounded driver state) — never a second corpus tokenize:
     every doc contributes >= 1 posting row under this tokenizer (empty
     text yields one empty-string token), so distinct (id, dl) covers
-    the whole corpus.  An empty corpus returns an empty result."""
+    the whole corpus.  An empty corpus returns an empty result.
+
+    A term repeated inside one query counts ONCE (set-of-terms queries,
+    the common BM25 presentation without the qtf factor) — (qid, term)
+    pairs are deduplicated here and in duck_bm25_sql identically.  An
+    empty `queries` list returns the empty-schema result."""
     spark = docs.sparkSession
+    # set semantics per query: dedupe (qid, term) pairs, order-stable
+    qpairs = list(dict.fromkeys((qid, t) for qid, terms in queries for t in terms))
     if postings is not None:
         post = postings
     else:
@@ -95,15 +102,11 @@ def bm25_topk(
         post = scoped_persist(
             bm25_postings(docs, id_col, text_col), "bm25:postings"
         )
-    row = (
-        post.select(id_col, "dl")
-        .distinct()
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
-        .collect()[0]
-    )
-    if not row["n"]:
+
+    def _empty() -> DataFrame:
         # empty-path schema must equal the non-empty path's, whatever
-        # type the id column carries
+        # type the id column carries (schema access is analysis-only —
+        # no job runs for the empty-queries early exit)
         from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
         id_field = post.schema[id_col]
@@ -118,11 +121,20 @@ def bm25_topk(
                 ]
             ),
         )
+
+    if not qpairs:
+        return _empty()
+    row = (
+        post.select(id_col, "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+        .collect()[0]
+    )
+    if not row["n"]:
+        return _empty()
     n, avgdl = int(row["n"]), int(row["tot"]) / int(row["n"])
 
-    qdf = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms], ["qid", "term"]
-    )
+    qdf = spark.createDataFrame(qpairs, ["qid", "term"])
     # document frequency of QUERY terms only: postings pruned by the
     # broadcast term set first, so df never aggregates the full vocab
     terms = qdf.select("term").distinct()
@@ -156,12 +168,11 @@ def duck_bm25_sql(
 ) -> str:
     """DuckDB oracle: same tokenization, same postings, same fixed-shape
     float expression (literals via repr → bit-identical doubles), same
-    e6 floor-then-integer-sum."""
+    e6 floor-then-integer-sum, same (qid, term) set semantics."""
     toks = f"regexp_split_to_array(trim({text_col}), ' +')"
+    qpairs = list(dict.fromkeys((qid, t) for qid, terms in queries for t in terms))
     qvals = ", ".join(
-        "({}, '{}')".format(qid, t.replace("'", "''"))
-        for qid, terms in queries
-        for t in terms
+        "({}, '{}')".format(qid, t.replace("'", "''")) for qid, t in qpairs
     )
     score = (
         f"ln(1.0 + (CAST(stats.n AS DOUBLE) - qdf.df + 0.5) / (qdf.df + 0.5))"

@@ -32,6 +32,20 @@ from pyspark.sql import functions as F
 from classic_fcd_spark.operators.dsir import bucket_log_probs, ngram_buckets
 
 
+def unigram_model_e6(
+    model_docs: DataFrame, text_col: str = "text", buckets: int = 4096
+) -> list[int]:
+    """The fitted model as e6 fixed-point NLL integers, index = bucket:
+    floor(-log((cnt_b + 1) / (total + B)) * 1e6), log evaluated ONCE by
+    the driver's libm.  This list is the single source of truth for both
+    the Spark scorer and the DuckDB oracle (embedded as literals via
+    duck_unigram_nll_sql's model_e6 param), so a driver-libm vs
+    engine-libm last-ulp divergence at a floor boundary cannot split the
+    two sides — the same repr-literal discipline as operators/bm25.py."""
+    lp = bucket_log_probs(model_docs, text_col, n=1, buckets=buckets)
+    return [math.floor(-lp[b] * 1e6) for b in range(buckets)]
+
+
 def unigram_nll_scores(
     docs: DataFrame,
     model_docs: DataFrame,
@@ -49,10 +63,9 @@ def unigram_nll_scores(
     # spread the md5 hashing across cores — single-file scans arrive as
     # one partition (model fit and scoring both explode every token)
     par = spark.sparkContext.defaultParallelism
-    lp = bucket_log_probs(model_docs.repartition(par), text_col, n=1, buckets=buckets)
+    nll = unigram_model_e6(model_docs.repartition(par), text_col, buckets)
     model = spark.createDataFrame(
-        [(b, math.floor(-lp[b] * 1e6)) for b in range(buckets)],
-        "b bigint, nll_e6 bigint",
+        list(enumerate(nll)), "b bigint, nll_e6 bigint"
     )
     ex = docs.repartition(par, id_col).select(
         F.col(id_col), F.explode(ngram_buckets(text_col, 1, buckets)).alias("b")
@@ -91,7 +104,14 @@ def ccnet_buckets(
     from classic_fcd_spark.session import scoped_persist
 
     scored = scoped_persist(scored, "ccnet:scores")
-    lo, hi = scored.approxQuantile("mean_nll_e6", list(cuts), rel_err)
+    qs = scored.approxQuantile("mean_nll_e6", list(cuts), rel_err)
+    if not qs:
+        # empty corpus: approxQuantile returns [] — emit the documented
+        # schema instead of a ValueError at the unpack
+        return scored.select(
+            id_col, "n_tokens", "mean_nll_e6", F.lit("head").alias("bucket")
+        ).limit(0)
+    lo, hi = qs
     bucket = (
         F.when(F.col("mean_nll_e6") <= lo, F.lit("head"))
         .when(F.col("mean_nll_e6") <= hi, F.lit("middle"))
@@ -106,14 +126,36 @@ def duck_unigram_nll_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 4096,
+    model_e6: list[int] | None = None,
 ) -> str:
     """DuckDB oracle for unigram_nll_scores: same md5 bucket hashing,
-    same Laplace-smoothed model, same e6 floor-then-integer-sum."""
+    same Laplace-smoothed model, same e6 floor-then-integer-sum.
+
+    `model_e6` (from unigram_model_e6 on the SAME model corpus) embeds
+    the driver-computed model as integer literals, making the oracle
+    libm-independent — the preferred form for gating.  When None the
+    model is recomputed with DuckDB's own ln; a count whose -ln lands
+    exactly on an e6 floor boundary could then flake by one ulp between
+    libms (accepted risk of the recompute path, never observed at the
+    tested scales)."""
     toks = f"regexp_split_to_array(trim({text_col}), ' +')"
     bucket = (
         "CAST(CAST(('0x' || substr(md5(t[i]), 1, 15)) AS UBIGINT) "
         f"% {buckets} AS BIGINT)"
     )
+    if model_e6 is not None:
+        vals = ", ".join(f"({b}, {v})" for b, v in enumerate(model_e6))
+        model_cte = f"model(b, nll_e6) AS (VALUES {vals})"
+    else:
+        model_cte = f"""mc AS (SELECT b, COUNT(*) AS c FROM ex WHERE is_model GROUP BY 1),
+    tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM mc) AS mt),
+    spine AS (SELECT unnest(range({buckets})) AS b),
+    model AS (
+        SELECT spine.b,
+               CAST(floor(-ln((COALESCE(mc.c, 0) + 1) / (tot.mt + {buckets}.0))
+                          * 1000000.0) AS BIGINT) AS nll_e6
+        FROM spine CROSS JOIN tot LEFT JOIN mc ON spine.b = mc.b
+    )"""
     return f"""
     WITH toks AS (SELECT {id_col}, {toks} AS t, ({model_filter}) AS is_model
                   FROM {table}),
@@ -122,15 +164,7 @@ def duck_unigram_nll_sql(
                unnest([{bucket} for i in range(1, len(t) + 1)]) AS b
         FROM toks
     ),
-    mc AS (SELECT b, COUNT(*) AS c FROM ex WHERE is_model GROUP BY 1),
-    tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM mc) AS mt),
-    spine AS (SELECT unnest(range({buckets})) AS b),
-    model AS (
-        SELECT spine.b,
-               CAST(floor(-ln((COALESCE(mc.c, 0) + 1) / (tot.mt + {buckets}.0))
-                          * 1000000.0) AS BIGINT) AS nll_e6
-        FROM spine CROSS JOIN tot LEFT JOIN mc ON spine.b = mc.b
-    )
+    {model_cte}
     SELECT ex.{id_col},
            COUNT(*) AS n_tokens,
            CAST(SUM(model.nll_e6) AS BIGINT) AS sum_nll_e6,

@@ -140,6 +140,14 @@ def kmeans_train(
         .limit(k)
         .collect()
     )
+    if len(seeds) < k:
+        # same fail-fast contract as pq_train: a corpus smaller than k
+        # would leave cents[cid] unpopulated for cid >= len(seeds) and
+        # crash mid-iteration with an opaque IndexError instead
+        raise ValueError(
+            f"kmeans_train: corpus has only {len(seeds)} rows but k={k}; "
+            "lower k to at most the corpus size"
+        )
     cents = [list(map(float, r[vec_col])) for r in seeds]
     history: list[float] = []
 

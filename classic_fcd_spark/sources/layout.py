@@ -100,14 +100,26 @@ def compact_time_layout(
     (streaming/minute_pipeline.py).
 
     Returns the list of day values compacted (empty = nothing to do)."""
-    import glob as _glob
-    import os as _os
-
     sort_cols = sort_cols or [ts_col]
+    # enumerate partitions through the Hadoop FileSystem API, NOT a
+    # local-filesystem glob — the table may live on s3a://, hdfs://,
+    # abfs://, …; a local glob would silently return [] there and the
+    # maintenance job would no-op forever while small files pile up
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     fragmented = []
-    for day_dir in sorted(_glob.glob(_os.path.join(out_dir, f"{DAY_COL}=*"))):
-        if len(_glob.glob(_os.path.join(day_dir, "*.parquet"))) > max_files_per_day:
-            fragmented.append(_os.path.basename(day_dir).split("=", 1)[1])
+    for st in sorted(fs.listStatus(root), key=lambda s: s.getPath().getName()):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{DAY_COL}=")):
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if n_files > max_files_per_day:
+            fragmented.append(name.split("=", 1)[1])
     if not fragmented:
         return []
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

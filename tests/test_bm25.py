@@ -183,3 +183,38 @@ class TestBM25Edges:
         out = bm25_topk(empty, [(0, ["x"])], id_col="url")
         assert out.count() == 0
         assert dict(out.dtypes)["url"] == "string"
+
+    def test_empty_query_list_returns_empty(self, spark):
+        from classic_fcd_spark.operators.bm25 import bm25_topk
+
+        df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+        out = bm25_topk(df, [])
+        assert out.count() == 0
+        assert out.columns == ["qid", "doc_id", "rnk", "score_e6"]
+
+    def test_repeated_query_term_counts_once(self, spark):
+        """Set-of-terms query semantics: a duplicated term must not
+        double a doc's score — and the oracle must agree."""
+        import duckdb
+
+        from classic_fcd_spark.operators.bm25 import bm25_topk, duck_bm25_sql
+
+        df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+        once = {
+            (r["qid"], r["doc_id"]): r["score_e6"]
+            for r in bm25_topk(df, [(0, ["shuffle"])]).collect()
+        }
+        twice = {
+            (r["qid"], r["doc_id"]): r["score_e6"]
+            for r in bm25_topk(df, [(0, ["shuffle", "shuffle"])]).collect()
+        }
+        assert once == twice and once
+        con = duckdb.connect()
+        pdf = df.toPandas()  # noqa: F841 — bound into duckdb
+        want = {
+            (r[0], r[1]): r[3]
+            for r in con.sql(
+                duck_bm25_sql([(0, ["shuffle", "shuffle"])], table="pdf")
+            ).fetchall()
+        }
+        assert twice == want

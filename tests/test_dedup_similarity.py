@@ -137,6 +137,19 @@ class TestAnnPlans:
 
 
 class TestKMeansCodebook:
+    def test_corpus_smaller_than_k_fails_fast(self, spark):
+        """pq_train's guard, mirrored: 3 rows with k=16 must raise a
+        clear ValueError, not an IndexError mid-iteration."""
+        import pytest
+
+        from classic_fcd_spark.operators.similarity import kmeans_train
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(3)], ["vec_id", "embedding"]
+        )
+        with pytest.raises(ValueError, match="k=16"):
+            kmeans_train(emb, k=16)
+
     def test_spherical_kmeans_recovers_planted_clusters(self, spark):
         """Distributed Lloyd iterations (operators/similarity.kmeans_train)
         on three planted directions: mean best-cosine must improve

@@ -65,6 +65,32 @@ class TestPlantedSeparation:
         assert out[0] == out[1]
 
 
+class TestNLLOracleLiterals:
+    def test_embedded_model_literals_match_duckdb_recompute(self, spark, tables):
+        """The libm-independent oracle form: the driver-fitted model
+        embedded as integer literals must agree with both the Spark
+        scorer and (at this scale) DuckDB's own ln recompute."""
+        from classic_fcd_spark.operators.lm import unigram_model_e6
+
+        docs = tables["documents"]
+        model = docs.filter(F.col("source") == "src0")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["sum_nll_e6"], r["mean_nll_e6"])
+            for r in unigram_nll_scores(docs, model).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/documents.parquet')"
+        )
+        lit_sql = duck_unigram_nll_sql(model_e6=unigram_model_e6(model))
+        want = {
+            r[0]: (r[1], r[2], r[3]) for r in con.sql(lit_sql).fetchall()
+        }
+        assert got == want
+        assert len(got) == 500
+
+
 class TestCCNetBuckets:
     def test_buckets_partition_and_order(self, spark, tables):
         docs = tables["documents"]
@@ -82,6 +108,13 @@ class TestCCNetBuckets:
         # roughly thirds (sketch rank error + integer ties allow slack)
         assert 100 <= len(by_bucket["head"]) <= 233
         assert 100 <= len(by_bucket["tail"]) <= 233
+
+    def test_empty_corpus_returns_empty_with_schema(self, spark):
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        model = spark.createDataFrame([(0, "some model text")], ["doc_id", "text"])
+        out = ccnet_buckets(empty, model)
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "n_tokens", "mean_nll_e6", "bucket"]
 
 
 class TestBigramLM:
