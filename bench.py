@@ -58,19 +58,19 @@ HEADLINE = [
     "fcd_swap_volume",
     "fcd_rewards_converted",
     "fcd_proposals",
-    # registered in r5 (driver-gated slot rotation)
+    # registered in r5/r6 (driver-gated slot rotation)
     "incremental_dedup",
     "interval_joined_events",
     "sessionized_events",
     "semantic_dedup",
     "dsir_select",
+    "duplicated_spans",
+    "bm25_search",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
     "simhash_docs",
     "ann_lsh_buckets",
     "approx_top_ngrams",
-    "duplicated_spans",
-    "bm25_search",
     "ccnet_perplexity",
 ]
 
@@ -97,7 +97,11 @@ def _extra_workloads():
     # individual ann_lsh_search / ann_ivf_search rotated the other way
     # (driver slots -> in-test oracles / merged `ann_search` row) but
     # keep their per-workload bench timings here.
-    from classic_fcd_spark.queries.dedup import simhash_docs, simhash_near_dups
+    from classic_fcd_spark.queries.dedup import (
+        ngram_jaccard_pairs,
+        simhash_docs,
+        simhash_near_dups,
+    )
     from classic_fcd_spark.queries.similarity import (
         ann_ivf_search,
         ann_ivf_search_trained,
@@ -107,24 +111,10 @@ def _extra_workloads():
         ann_topk_bruteforce,
     )
 
-    # semantic_dedup / dsir_select left this table late in r5: both are
-    # now REGISTERED driver-gated queries (same workload shapes — pinned
-    # 16-vector codebook / src0-target k=200) resolved via query_fn_map.
-
-    def duplicated_spans(spark, sf_dir):
-        from classic_fcd_spark.operators.spans import duplicated_spans as ds
-        from classic_fcd_spark.session import load_tables
-
-        return ds(load_tables(spark, sf_dir)["documents"], k=8)
-
-    def bm25_search(spark, sf_dir):
-        from classic_fcd_spark.operators.bm25 import bm25_topk
-        from classic_fcd_spark.session import load_tables
-
-        docs = load_tables(spark, sf_dir)["documents"]
-        qs = [(0, ["join", "merge"]), (1, ["window", "sort", "scan"]),
-              (2, ["scan", "column"]), (3, ["agg", "value", "key"])]
-        return bm25_topk(docs, qs)
+    # semantic_dedup / dsir_select left this table late in r5, and
+    # duplicated_spans / bm25_search in r6: all are now REGISTERED
+    # driver-gated queries (same workload shapes) resolved via
+    # query_fn_map.
 
     def ann_ivfpq_search_trained(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -184,9 +174,10 @@ def _extra_workloads():
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
+        # r6 rotation: driver slot went to duplicated_spans; the PPJoin
+        # plan keeps its bench timing + in-test oracle here
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "approx_top_ngrams": approx_top_ngrams,
-        "duplicated_spans": duplicated_spans,
-        "bm25_search": bm25_search,
         "ccnet_perplexity": ccnet_perplexity,
         "ann_ivfpq_search_trained": ann_ivfpq_search_trained,
         "bpe_train_50": bpe_train_50,

@@ -108,11 +108,13 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard (explode + self-join) — the small-scale oracle path.
+# Exact n-gram Jaccard (prefix-filtered set-similarity join).  Oracle
+# retained for the in-test DuckDB gate (tests/test_dedup_similarity.py):
+# r6 rotated the driver slot to duplicated_spans — the PPJoin candidate
+# discipline is re-proven by the still-gated minhash_lsh_near_dups +
+# near_dup_groups (same shingle silver, same verify-on-candidates shape).
 # ---------------------------------------------------------------------------
-@register(
-    "ngram_jaccard_pairs",
-    f"""
+NGRAM_JACCARD_ORACLE_SQL = f"""
     WITH sh AS (
         SELECT doc_id, {_SH} AS shingles
         FROM documents WHERE len({_D_TOKS}) >= 3
@@ -130,19 +132,22 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = i
     JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = j
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-    """,
-    doc="Exact n-gram Jaccard set-similarity join via PREFIX FILTERING "
-    "(the PPJoin family, public literature: Xiao et al., Chaudhuri et "
-    "al.): shingles are globally ordered rarest-first; any pair with "
-    "J >= 0.8 must share one of each doc's first n-ceil(0.8n)+1 shingles "
-    "in that order (provably lossless), so the self-join touches only "
-    "the rare-shingle prefixes instead of every occurrence — exact "
-    "result, collision cost bounded by rare-token frequencies (30 s -> "
-    "~3 s at sf0.1 vs the naive all-occurrence join).  A size-ratio "
-    "filter (5*min >= 4*max, integer-exact) prunes before the verify, "
-    "and verification is one array_intersect per surviving candidate.",
-)
+    """
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard set-similarity join via PREFIX FILTERING
+    (the PPJoin family, public literature: Xiao et al., Chaudhuri et
+    al.): shingles are globally ordered rarest-first; any pair with
+    J >= 0.8 must share one of each doc's first n-ceil(0.8n)+1 shingles
+    in that order (provably lossless), so the self-join touches only
+    the rare-shingle prefixes instead of every occurrence — exact
+    result, collision cost bounded by rare-token frequencies (30 s ->
+    ~3 s at sf0.1 vs the naive all-occurrence join).  A size-ratio
+    filter (5*min >= 4*max, integer-exact) prunes before the verify,
+    and verification is one array_intersect per surviving candidate.
+    Driver-gated r2-r5 (green throughout); since r6 gated by the
+    in-test oracle (NGRAM_JACCARD_ORACLE_SQL)."""
     from pyspark.sql import Window
 
     from classic_fcd_spark.session import shingle_table
@@ -384,3 +389,39 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = sh.filter(F.col("doc_id") >= split)
     banded = banded_signatures(index_docs, "doc_id", "shingles")
     return incremental_near_dups(new_docs, banded, index_docs, "doc_id", "shingles")
+
+
+# ---------------------------------------------------------------------------
+# Span-level ExactSubstr dedup — promoted to the driver gate in r6 (the
+# ngram_jaccard_pairs slot, per the r5 brief).
+# ---------------------------------------------------------------------------
+from classic_fcd_spark.operators.spans import duck_duplicated_spans_sql  # noqa: E402
+
+
+@register(
+    "duplicated_spans",
+    duck_duplicated_spans_sql(k=8, min_count=2),
+    doc="Span-level exact-substring dedup (ExactSubstr, Lee et al. 2021 "
+    "arXiv:2107.06499): maximal duplicated regions INSIDE documents at "
+    "8-token resolution.  Linear (doc, pos, md5-window) explode shuffled "
+    "once on the hash; the duplicate test is a map-side-combined groupBy "
+    "+ semi-join (never count-over-window on the hash — a 10^8-occurrence "
+    "boilerplate gram must not land on one task); span merge is a lag + "
+    "running-sum window over (doc, pos), the gap-sessionization shape.  "
+    "The oracle recomputes the same spans with DuckDB windows — an "
+    "independent engine arriving at the same integer answer.",
+)
+def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.spans import duplicated_spans
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = duplicated_spans(docs, k=8, min_count=2)
+    # the oracle emits BIGINT span columns; Spark's pos arithmetic is int
+    # (driver hash renders int sizes identically, but keep schemas aligned)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+        "n_grams",
+    )

@@ -1282,11 +1282,13 @@ def fcd_consensus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W2/W3 cumulative series + A21 delegator weights.
+# W2/W3 cumulative series + A21 delegator weights.  Oracle retained for
+# the in-test DuckDB gate (tests/test_fcd_pipeline.py): r6 rotated the
+# driver slot to bm25_search — the W2/W3 cumulative-window pattern is a
+# twin of account_growth's (W1, still driver-gated), and the per-denom
+# partition adds no new machinery.
 # ---------------------------------------------------------------------------
-@register(
-    "fcd_cumulative_rewards",
-    f"""
+CUMULATIVE_REWARDS_ORACLE_SQL = f"""
     WITH blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
     coins AS (
         SELECT h, 'ukrw' AS denom, h * 13 % 500 + 1 AS amt FROM blocks
@@ -1300,14 +1302,16 @@ def fcd_consensus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(reward) OVER (PARTITION BY denom ORDER BY day
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_reward
     FROM daily
-    """,
-    doc="W2 cumulative block rewards + W3 per-denom cumulative series "
-    "(src/service/dashboard/getBlockRewards.ts:5-27, "
-    "getTransactionVol.ts:5-36): the reference's in-JS running sums as a "
-    "denom-partitioned Window — distributes per key instead of "
-    "single-threading the series.",
-)
+    """
+
+
 def fcd_cumulative_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 cumulative block rewards + W3 per-denom cumulative series
+    (src/service/dashboard/getBlockRewards.ts:5-27,
+    getTransactionVol.ts:5-36): the reference's in-JS running sums as a
+    denom-partitioned Window — distributes per key instead of
+    single-threading the series.  Driver-gated r2-r5 (green throughout);
+    since r6 gated by the in-test oracle (CUMULATIVE_REWARDS_ORACLE_SQL)."""
     from classic_fcd_spark.operators.windows import cumulative
 
     daily = (

@@ -161,3 +161,37 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("t").alias("vocab_size"))
     )
     return counts.join(vocab, "source")
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval — promoted to the driver gate in r6 (the
+# fcd_cumulative_rewards slot, per the r5 brief).  Same query batch as
+# the bench's bm25_search workload.
+# ---------------------------------------------------------------------------
+from classic_fcd_spark.operators.bm25 import duck_bm25_sql  # noqa: E402
+
+BM25_QUERIES = [
+    (0, ["join", "merge"]),
+    (1, ["window", "sort", "scan"]),
+    (2, ["scan", "column"]),
+    (3, ["agg", "value", "key"]),
+]
+
+
+@register(
+    "bm25_search",
+    duck_bm25_sql(BM25_QUERIES),
+    doc="BM25 top-k lexical retrieval (Okapi BM25, Robertson/Walker; "
+    "Lucene +1 idf smoothing) over the documents corpus: postings = one "
+    "explode + groupBy (the reusable inverted-index silver); query terms "
+    "broadcast and postings semi-join-pruned BEFORE scoring, so cost "
+    "follows matching postings, never the corpus; per-(q,doc,term) "
+    "partials floored to e6 fixed point before the per-doc sum — exact "
+    "integer scores on both engines (the order-free-sum discipline).  "
+    "Repeated query terms count once (set semantics, both engines).",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.bm25 import bm25_topk
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bm25_topk(docs, BM25_QUERIES)

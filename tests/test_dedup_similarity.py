@@ -19,9 +19,10 @@ def _pairs(df):
 class TestDedup:
     def test_lsh_finds_exact_jaccard_pairs(self, spark):
         from classic_fcd_spark.queries import query_fn_map
+        from classic_fcd_spark.queries.dedup import ngram_jaccard_pairs
 
         qmap = query_fn_map()
-        exact = _pairs(qmap["ngram_jaccard_pairs"](spark, SF_SMALL))
+        exact = _pairs(ngram_jaccard_pairs(spark, SF_SMALL))
         lsh = _pairs(qmap["minhash_lsh_near_dups"](spark, SF_SMALL))
         # LSH candidates are verified with the same exact Jaccard, so
         # lsh ⊆ exact always; with 4 bands × 4 rows at j≥0.8 the planted
@@ -57,15 +58,13 @@ class TestDedup:
         assert diff.count() == 0
 
     def test_simhash_similar_docs_close(self, spark):
-        from classic_fcd_spark.queries import query_fn_map
-        from classic_fcd_spark.queries.dedup import simhash_docs
+        from classic_fcd_spark.queries.dedup import ngram_jaccard_pairs, simhash_docs
 
-        qmap = query_fn_map()
         sim = {
             r["doc_id"]: r["simhash"]
             for r in simhash_docs(spark, SF_SMALL).collect()
         }
-        near = _pairs(qmap["ngram_jaccard_pairs"](spark, SF_SMALL))
+        near = _pairs(ngram_jaccard_pairs(spark, SF_SMALL))
         if near:
             # hamming distance between near-dup docs must be well below the
             # ~16/32 expectation for unrelated docs (the tiny synthetic
@@ -74,6 +73,38 @@ class TestDedup:
             for i, j in near:
                 ham = bin(sim[i] ^ sim[j]).count("1")
                 assert ham <= 12, (i, j, ham)
+
+
+class TestNgramJaccardOracle:
+    """ngram_jaccard_pairs left the driver window in r6 (slot rotated to
+    duplicated_spans); this is its oracle gate now — the same DuckDB SQL
+    that drove its green r2-r5 driver rows.  The PPJoin candidate
+    discipline stays driver-gated via minhash_lsh_near_dups +
+    near_dup_groups."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.dedup import (
+            NGRAM_JACCARD_ORACLE_SQL,
+            ngram_jaccard_pairs,
+        )
+
+        got = {
+            (r["i"], r["j"]): (r["inter"], r["uni"], r["jaccard"])
+            for r in ngram_jaccard_pairs(spark, SF_SMALL).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/documents.parquet')"
+        )
+        expected = {
+            (r[0], r[1]): (r[2], r[3], r[4])
+            for r in con.sql(NGRAM_JACCARD_ORACLE_SQL).fetchall()
+        }
+        assert got == expected
+        assert len(got) == 28  # the planted near-dup pairs at sf0.001
 
 
 class TestSimilarity:

@@ -259,6 +259,39 @@ class TestDelegatorWeightsOracle:
         assert len(got) == 2
 
 
+class TestCumulativeRewardsOracle:
+    """fcd_cumulative_rewards left the driver window in r6 (slot rotated
+    to bm25_search); this is its oracle gate now — the same
+    fixture-CTE DuckDB SQL that drove its green r2-r5 driver rows.  The
+    W1/W2 cumulative-window pattern stays driver-gated via
+    account_growth."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.fcd import (
+            CUMULATIVE_REWARDS_ORACLE_SQL,
+            fcd_cumulative_rewards,
+        )
+        from tests.conftest import SF_SMALL
+
+        got = {
+            (r["day"], r["denom"]): (r["reward"], r["cumulative_reward"])
+            for r in fcd_cumulative_rewards(spark, SF_SMALL).collect()
+        }
+        expected = {
+            (r[0], r[1]): (r[2], r[3])
+            for r in duckdb.sql(CUMULATIVE_REWARDS_ORACLE_SQL).fetchall()
+        }
+        assert got == expected
+        # per-denom running sums must end at the full-series totals
+        for denom in ("ukrw", "uluna"):
+            series = sorted(
+                (day, v) for (day, d2), v in got.items() if d2 == denom
+            )
+            assert series[-1][1][1] == sum(v[0] for _, v in series)
+
+
 class TestVotesPageOracle:
     """fcd_votes_page left the driver window late in r5 (slot rotated to
     dsir_select); this is its oracle gate now.  The page contracts stay
