@@ -1,0 +1,350 @@
+"""Thin response-shape wrappers for the remaining reference read
+endpoints — governance votes/deposits pages, the staking account view,
+and the market price/swaprate probes.
+
+Each wrapper preserves the reference controller's response DICT shape
+(field names, nesting, pagination fields) while the query underneath is
+the distributed plan from the query layer:
+
+- get_proposal_votes    ← GET /v1/gov/proposals/:id/votes
+  (src/service/governance/getVotes.ts:41-79: uniqBy-latest-vote-per-
+  voter, option filter AFTER dedupe, drop/take paging, getAccountInfo
+  voter enrichment)
+- get_proposal_deposits ← GET /v1/gov/proposals/:id/deposits
+  (src/service/governance/getDeposits.ts:30-57: reversed deposit list,
+  drop/take paging, depositor enrichment)
+- get_staking_account_view ← GET /v1/staking/:account
+  (src/service/staking/getStaking.ts:74-90 joinValidatorsWithMyDelegation
+  + getMyDelegations ordered by amount desc + delegationTotal)
+- get_market_price      ← GET /v1/market/price?denom=&interval=
+  (src/service/market/getPrice.ts:92-116: interval-bucketed averages
+  newest-50-then-reversed, lastPrice, oneDayVariation/Rate)
+- get_denom_swap_rate   ← GET /v1/market/swaprate/:base
+  (src/service/market/getSwapRate.ts:19-40 + helper.ts:42-60 getSwapRate)
+
+Scale note: every wrapper collects ONLY a bounded page / dim-sized
+result (a page of votes, the 20-validator dim, 50 price buckets, one
+row per denom); the heavy work (vote dedupe window, delegation rollup,
+price bucketing) stays in the distributed plan.  Money strings are
+decimal(38,10)-scale (the engine's DECIMAL_T policy, SURVEY §1.3); the
+reference's BigNumber default precision differs in trailing digits only.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_DOWN, Decimal
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.sources.fixtures import (
+    gen_delegations,
+    gen_deposits,
+    gen_prices,
+    gen_proposals,
+    gen_validators,
+    gen_votes,
+)
+
+_TEN_DP = Decimal("0.0000000001")  # decimal(38,10) scale
+
+
+def _money(x) -> str:
+    """BigNumber-style string at the engine's decimal scale (ROUND_DOWN,
+    matching lib/math.ts's truncating getIntegerPortion family).  Plain
+    positional notation always — BigNumber.toString() never emits
+    scientific notation for these magnitudes."""
+    q = Decimal(str(x)).quantize(_TEN_DP, rounding=ROUND_DOWN)
+    s = format(q, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s if s not in ("", "-") else "0"
+
+
+def _account_info(row, addr_field: str) -> dict:
+    """getAccountInfo.ts:18-32: account address plus operator/moniker
+    when (and only when) the account belongs to a validator."""
+    info = {"accountAddress": row[addr_field]}
+    if row["operator_address"] is not None:
+        info["operatorAddress"] = row["operator_address"]
+        info["moniker"] = row["moniker"]
+    return info
+
+
+def _validator_accounts(spark: SparkSession):
+    return gen_validators(spark).select(
+        "account_address", "operator_address", "moniker"
+    )
+
+
+def get_proposal_votes(
+    spark: SparkSession,
+    proposal_id: int,
+    page: int = 1,
+    limit: int = 10,
+    option: str | None = None,
+) -> dict:
+    """getVotes.ts:41-79 — one page of a proposal's votes.
+
+    Semantics order matters and is preserved exactly: (1) LATEST vote
+    per voter (uniqBy(reverse(votes), 'voter') keeps each voter's newest
+    vote), (2) newest-first ordering, (3) the option filter runs AFTER
+    the dedupe (a voter whose final vote is 'No' does not appear in the
+    'Yes' page even if an earlier vote was 'Yes'), (4) totalCnt counts
+    the FILTERED set, (5) drop/take paging.  Raises KeyError for an
+    unknown proposal (the reference's APIError NOT_FOUND)."""
+    props = {
+        r["proposal_id"]
+        for r in gen_proposals(spark).select("proposal_id").collect()
+    }
+    if proposal_id not in props:
+        raise KeyError(f"Proposal not found: {proposal_id}")
+    votes = gen_votes(spark).filter(F.col("proposal_id") == proposal_id)
+    w = Window.partitionBy("voter").orderBy(F.col("vote_id").desc())
+    latest = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    if option is not None:
+        latest = latest.filter(F.col("option") == option)
+    total_cnt = latest.count()
+    page_rows = (
+        latest.join(
+            F.broadcast(_validator_accounts(spark)),
+            latest["voter"] == F.col("account_address"),
+            "left",
+        )
+        .orderBy(F.col("vote_id").desc())
+        .offset((page - 1) * limit)
+        .limit(limit)
+        .select("vote_id", "voter", "option", "operator_address", "moniker")
+        .collect()
+    )
+    return {
+        "totalCnt": total_cnt,
+        "page": page,
+        "limit": limit,
+        "votes": [
+            {"answer": r["option"], "voter": _account_info(r, "voter")}
+            for r in page_rows
+        ],
+    }
+
+
+def get_proposal_deposits(
+    spark: SparkSession, proposal_id: int, page: int = 1, limit: int = 5
+) -> dict:
+    """getDeposits.ts:30-57 — one page of a proposal's deposits, newest
+    first (the reference reverses the stored order before paging);
+    deposit amounts keep the Coin[] shape; depositor enriched like the
+    votes page.  Raises KeyError for an unknown proposal."""
+    props = {
+        r["proposal_id"]
+        for r in gen_proposals(spark).select("proposal_id").collect()
+    }
+    if proposal_id not in props:
+        raise KeyError(f"Proposal not found: {proposal_id}")
+    deps = gen_deposits(spark).filter(F.col("proposal_id") == proposal_id)
+    total_cnt = deps.count()
+    page_rows = (
+        deps.join(
+            F.broadcast(_validator_accounts(spark)),
+            deps["depositor"] == F.col("account_address"),
+            "left",
+        )
+        .orderBy(F.col("deposit_id").desc())
+        .offset((page - 1) * limit)
+        .limit(limit)
+        .select("deposit_id", "depositor", "amount", "operator_address", "moniker")
+        .collect()
+    )
+    return {
+        "totalCnt": total_cnt,
+        "page": page,
+        "limit": limit,
+        "deposits": [
+            {
+                "deposit": [
+                    {"denom": c["denom"], "amount": c["amount"]} for c in r["amount"]
+                ],
+                "depositor": _account_info(r, "depositor"),
+            }
+            for r in page_rows
+        ],
+    }
+
+
+def get_staking_account_view(spark: SparkSession, address: str) -> dict:
+    """getStaking.ts:74-90 — the account staking view: every validator
+    (with the caller's delegation grafted on as `myDelegation` where one
+    exists — joinValidatorsWithMyDelegation), `myDelegations` ordered by
+    amount desc (getMyDelegations' orderBy), and `delegationTotal` (the
+    reduce-plus over delegations).  The delegation rollup is a groupBy
+    on the distributed table; only the validator-dim-bounded result is
+    collected."""
+    mine = (
+        gen_delegations(spark)
+        .filter(F.col("delegator_address") == address)
+        .groupBy(F.col("validator_address").alias("operator_address"))
+        .agg(F.sum("shares").cast("long").alias("my_shares"))
+    )
+    rows = (
+        gen_validators(spark)
+        .join(mine, "operator_address", "left")
+        .orderBy(F.col("voting_power").desc(), F.col("operator_address"))
+        .select("operator_address", "moniker", "voting_power", "my_shares")
+        .collect()
+    )
+    validators = []
+    my_delegations = []
+    total = 0
+    for r in rows:
+        v = {
+            "operatorAddress": r["operator_address"],
+            "description": {"moniker": r["moniker"]},
+            "votingPower": _money(r["voting_power"]),
+        }
+        if r["my_shares"] is not None:
+            v["myDelegation"] = _money(r["my_shares"])
+            my_delegations.append(
+                {
+                    "validatorName": r["moniker"],
+                    "validatorAddress": r["operator_address"],
+                    "amountDelegated": _money(r["my_shares"]),
+                }
+            )
+            total += int(r["my_shares"])
+        validators.append(v)
+    my_delegations.sort(
+        key=lambda d: (-Decimal(d["amountDelegated"]), d["validatorAddress"])
+    )
+    return {
+        "validators": validators,
+        "myDelegations": my_delegations,
+        "delegationTotal": _money(total),
+    }
+
+
+def _latest_price_at(spark: SparkSession, cutoff_s: int | None = None) -> dict:
+    """Newest price per denom, optionally at-or-before a cutoff epoch —
+    one window over the minute table, |denoms| rows collected (the
+    getOnedayBefore / getActiveOraclePrices shape)."""
+    p = gen_prices(spark)
+    if cutoff_s is not None:
+        p = p.filter(F.col("datetime") <= F.timestamp_seconds(F.lit(cutoff_s)))
+    w = Window.partitionBy("denom").orderBy(F.col("datetime").desc())
+    rows = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("denom", "price")
+        .collect()
+    )
+    return {r["denom"]: float(r["price"]) for r in rows}
+
+
+def fixture_now_epoch(spark: SparkSession) -> int:
+    """The fixture's 'now': its newest price minute (the reference uses
+    wall-clock Date.now(); a deterministic fixture pins it instead)."""
+    row = gen_prices(spark).agg(F.max("datetime").alias("m")).collect()[0]
+    return int(row["m"].timestamp())
+
+
+def get_market_price(
+    spark: SparkSession, denom: str, interval_minutes: int = 15
+) -> dict:
+    """getPrice.ts:92-116 — {lastPrice, oneDayVariation,
+    oneDayVariationRate, prices}.
+
+    prices = per-interval averages, newest 50 buckets fetched DESC then
+    re-reversed for display (the L5 contract), each point carrying the
+    bucket's MIN(datetime) as epoch-milliseconds.  Averages use the
+    integer-e6 policy (sum of price-cents * 10000 div count) so the
+    emitted floats are order-free deterministic, then /1e6.
+    oneDayVariation = lastPrice - the newest price at or before
+    midnight-minus-one-minute (helper.ts:21-40 getOnedayBefore);
+    oneDayVariationRate = variation / lastPrice (both BigNumber strings
+    in the reference — money-string scale here)."""
+    now_s = fixture_now_epoch(spark)
+    p = gen_prices(spark).filter(F.col("denom") == denom)
+    agg = (
+        p.select(
+            F.window("datetime", f"{interval_minutes} minutes").alias("w"),
+            F.round(F.col("price") * 100).cast("long").alias("p2"),
+            F.col("datetime"),
+        )
+        .groupBy("w")
+        .agg(
+            F.expr("CAST(SUM(p2) * 10000 div COUNT(*) AS BIGINT)").alias("avg_e6"),
+            F.min("datetime").alias("dt"),
+        )
+        .orderBy(F.col("w.start").desc())
+        .limit(50)
+        .select("avg_e6", "dt")
+        .collect()
+    )
+    prices = [
+        {
+            "denom": denom,
+            "price": r["avg_e6"] / 1e6,
+            "datetime": int(r["dt"].timestamp()) * 1000,
+        }
+        for r in reversed(agg)
+    ]
+    last = _latest_price_at(spark).get(denom)
+    day_cut = (now_s // 86400) * 86400 - 60
+    before = _latest_price_at(spark, day_cut).get(denom)
+    variation = None
+    rate = None
+    if last is not None and before is not None:
+        variation = _money(Decimal(str(last)) - Decimal(str(before)))
+        rate = _money(
+            (Decimal(str(last)) - Decimal(str(before))) / Decimal(str(last))
+        )
+    return {
+        "lastPrice": last,
+        "oneDayVariation": variation,
+        "oneDayVariationRate": rate,
+        "prices": prices,
+    }
+
+
+def get_denom_swap_rate(spark: SparkSession, base: str) -> list[dict]:
+    """getSwapRate.ts:19-40 — swap rates of every active denom against
+    `base`, with one-day variation.  getSwapRate (helper.ts:42-60):
+    base uluna returns oracle prices as-is; otherwise uluna's rate is
+    1/price[base] and every other denom's is price[d]/price[base].
+    Output rows sorted by denom for determinism (the reference's
+    Object.keys order is insertion-dependent)."""
+
+    def swap_rates(prices: dict) -> dict:
+        if base == "uluna":
+            return dict(prices)
+        if base not in prices:
+            return {}
+        pb = Decimal(str(prices[base]))
+        out = {"uluna": Decimal(1) / pb}
+        for d, v in prices.items():
+            if d != base:
+                out[d] = Decimal(str(v)) / pb
+        return out
+
+    now_rates = swap_rates(_latest_price_at(spark))
+    now_s = fixture_now_epoch(spark)
+    day_cut = (now_s // 86400) * 86400 - 60
+    before_rates = swap_rates(_latest_price_at(spark, day_cut))
+    rows = []
+    for d in sorted(now_rates):
+        cur = now_rates[d]
+        prev = before_rates.get(d)
+        rows.append(
+            {
+                "denom": d,
+                "swaprate": _money(cur),
+                "oneDayVariation": _money(cur - prev) if prev is not None else "0",
+                "oneDayVariationRate": _money(cur / prev - 1)
+                if prev is not None
+                else "0",
+            }
+        )
+    return rows

@@ -469,6 +469,35 @@ def gen_proposals(spark: SparkSession, n: int = FIXTURE_N_PROPOSALS) -> DataFram
     )
 
 
+# Per-proposal deposit rows (src/orm/ProposalEntity.ts deposits jsonb —
+# each entry {depositor, amount: Coin[]}): 5 deposits per proposal,
+# multi-coin every third deposit so the Coin[] shape is exercised.
+FIXTURE_N_DEPOSITS = FIXTURE_N_PROPOSALS * 5
+
+
+@bronze_table
+def gen_deposits(spark: SparkSession, n: int = FIXTURE_N_DEPOSITS) -> DataFrame:
+    d = F.col("id")
+    depositor = F.when(d % 4 == 0, _addr(d % 20 + 1000)).otherwise(_addr(d % 30))
+    base_coin = F.struct(
+        F.lit("uluna").alias("denom"),
+        (d * 700 % 5000 + 100).cast("string").alias("amount"),
+    )
+    extra_coin = F.struct(
+        F.lit("ukrw").alias("denom"),
+        (d * 1300 % 9000 + 500).cast("string").alias("amount"),
+    )
+    coins = F.when(d % 3 == 0, F.array(base_coin, extra_coin)).otherwise(
+        F.array(base_coin)
+    )
+    return spark.range(0, n).select(
+        d.alias("deposit_id"),
+        (d % FIXTURE_N_PROPOSALS).alias("proposal_id"),
+        depositor.alias("depositor"),
+        coins.alias("amount"),
+    )
+
+
 @bronze_table
 def gen_chain_proposal_ids(spark: SparkSession, n: int = FIXTURE_N_PROPOSALS) -> DataFrame:
     """The LCD's current on-chain proposal listing: id 5 was removed on

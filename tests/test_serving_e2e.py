@@ -1,0 +1,254 @@
+"""Serving-layer e2e pins (serving/endpoints.py + serving/api.py):
+per-endpoint response-SHAPE assertions plus golden-row value pins over
+the deterministic fixtures — the engine's analogue of the reference's
+supertest e2e suite (src/e2etest/dashboard.spec.ts:22-50,
+tx.spec.ts:6-16: assert the response object's fields and pinned values
+for known inputs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from classic_fcd_spark.serving import endpoints as E
+from classic_fcd_spark.sources.fixtures import addr_str, valaddr_str
+
+
+class TestGovernanceVotesPage:
+    def test_shape_and_golden_page(self, spark):
+        body = E.get_proposal_votes(spark, 1, page=1, limit=5)
+        # shape: the GetProposalVotesReturn contract (getVotes.ts:32-37)
+        assert set(body) == {"totalCnt", "page", "limit", "votes"}
+        assert body["page"] == 1 and body["limit"] == 5
+        assert len(body["votes"]) == 5
+        for v in body["votes"]:
+            assert set(v) == {"answer", "voter"}
+            assert v["voter"]["accountAddress"].startswith("terra1")
+        # golden: proposal 1 has 59 distinct voters after latest-vote
+        # dedupe; newest-first page starts with vote_id 397's voter
+        assert body["totalCnt"] == 59
+        assert body["votes"][0]["answer"] == "No"
+        assert (
+            body["votes"][0]["voter"]["accountAddress"]
+            == "terra1034d267bf939b62d93c27f4f0dfd7a9fcfdc26"
+        )
+
+    def test_validator_voter_is_enriched(self, spark):
+        # the 5th vote on page 1 comes from validator-5's account: the
+        # getAccountInfo join must attach operatorAddress + moniker
+        body = E.get_proposal_votes(spark, 1, page=1, limit=5)
+        voter = body["votes"][4]["voter"]
+        assert voter["operatorAddress"] == valaddr_str(5)
+        assert voter["moniker"] == "validator-5"
+        # non-validator voters carry NO operator fields (the reference
+        # spreads them conditionally)
+        assert set(body["votes"][0]["voter"]) == {"accountAddress"}
+
+    def test_option_filter_after_dedupe(self, spark):
+        body = E.get_proposal_votes(spark, 1, option="Yes", page=1, limit=100)
+        assert body["totalCnt"] == 15
+        assert len(body["votes"]) == 15
+        assert all(v["answer"] == "Yes" for v in body["votes"])
+
+    def test_paging_is_disjoint_and_exhaustive(self, spark):
+        seen = []
+        for page in (1, 2, 3):
+            body = E.get_proposal_votes(spark, 1, page=page, limit=25)
+            seen.extend(v["voter"]["accountAddress"] for v in body["votes"])
+        assert len(seen) == 59  # 25 + 25 + 9
+        assert len(set(seen)) == 59  # no overlap between pages
+
+    def test_unknown_proposal_raises(self, spark):
+        with pytest.raises(KeyError, match="Proposal not found"):
+            E.get_proposal_votes(spark, 999)
+
+
+class TestGovernanceDepositsPage:
+    def test_shape_and_golden_page(self, spark):
+        body = E.get_proposal_deposits(spark, 2, page=1, limit=3)
+        assert set(body) == {"totalCnt", "page", "limit", "deposits"}
+        assert body["totalCnt"] == 5  # 5 deposits per proposal fixture
+        assert len(body["deposits"]) == 3
+        # newest-first (the reference reverses before paging): deposit_id
+        # 34 -> 30 for proposal 2, amounts 34*700%5000+100 = 3900, ...
+        assert body["deposits"][0]["deposit"] == [
+            {"denom": "uluna", "amount": "3900"}
+        ]
+        assert body["deposits"][1]["deposit"] == [
+            {"denom": "uluna", "amount": "3300"}
+        ]
+        # deposit_id 30 is a multi-coin deposit (id % 3 == 0)
+        assert body["deposits"][2]["deposit"] == [
+            {"denom": "uluna", "amount": "2700"},
+            {"denom": "ukrw", "amount": "5900"},
+        ]
+
+    def test_second_page_and_bounds(self, spark):
+        body = E.get_proposal_deposits(spark, 2, page=2, limit=3)
+        assert body["totalCnt"] == 5 and len(body["deposits"]) == 2
+        empty = E.get_proposal_deposits(spark, 2, page=3, limit=3)
+        assert empty["deposits"] == []
+
+    def test_unknown_proposal_raises(self, spark):
+        with pytest.raises(KeyError, match="Proposal not found"):
+            E.get_proposal_deposits(spark, 999)
+
+
+class TestStakingAccountView:
+    def test_shape_and_golden_values(self, spark):
+        body = E.get_staking_account_view(spark, addr_str(3))
+        assert set(body) == {"validators", "myDelegations", "delegationTotal"}
+        # every validator appears, power-desc (L6 ordering)
+        assert len(body["validators"]) == 20
+        assert body["validators"][0]["description"]["moniker"] == "validator-19"
+        assert body["validators"][0]["votingPower"] == "24000"
+        # account addr_str(3) delegates to exactly validator-3 in the
+        # fixture arithmetic; shares sum = 949
+        assert body["delegationTotal"] == "949"
+        assert body["myDelegations"] == [
+            {
+                "validatorName": "validator-3",
+                "validatorAddress": valaddr_str(3),
+                "amountDelegated": "949",
+            }
+        ]
+
+    def test_my_delegation_grafted_onto_validator_row(self, spark):
+        body = E.get_staking_account_view(spark, addr_str(3))
+        mine = [v for v in body["validators"] if "myDelegation" in v]
+        assert len(mine) == 1
+        assert mine[0]["operatorAddress"] == valaddr_str(3)
+        assert mine[0]["myDelegation"] == "949"
+
+    def test_non_delegator_gets_empty_delegations(self, spark):
+        body = E.get_staking_account_view(spark, addr_str(9999))
+        assert body["myDelegations"] == []
+        assert body["delegationTotal"] == "0"
+        assert all("myDelegation" not in v for v in body["validators"])
+
+
+class TestMarketPrice:
+    def test_shape_and_golden_values(self, spark):
+        body = E.get_market_price(spark, "ukrw", interval_minutes=15)
+        assert set(body) == {
+            "lastPrice",
+            "oneDayVariation",
+            "oneDayVariationRate",
+            "prices",
+        }
+        # L5 contract: exactly 50 buckets, ascending for display
+        assert len(body["prices"]) == 50
+        dts = [p["datetime"] for p in body["prices"]]
+        assert dts == sorted(dts)
+        assert all(p["denom"] == "ukrw" for p in body["prices"])
+        # golden pins (fixture arithmetic, integer-e6 averages)
+        assert body["prices"][0] == {
+            "denom": "ukrw",
+            "price": 1.49,
+            "datetime": 1609684200000,
+        }
+        assert body["prices"][-1]["price"] == 1.573333
+        assert body["lastPrice"] == 1.83
+        assert body["oneDayVariation"] == "0.6"
+        assert body["oneDayVariationRate"] == "0.3278688524"
+
+    def test_interval_changes_bucketing(self, spark):
+        m1 = E.get_market_price(spark, "ukrw", interval_minutes=1)
+        m60 = E.get_market_price(spark, "ukrw", interval_minutes=60)
+        assert len(m1["prices"]) == 50 and len(m60["prices"]) == 50
+        # 1-minute buckets are raw prices; 60-minute buckets span 1 hour
+        assert m1["prices"][1]["datetime"] - m1["prices"][0]["datetime"] == 60_000
+        assert (
+            m60["prices"][1]["datetime"] - m60["prices"][0]["datetime"] == 3_600_000
+        )
+        # lastPrice is bucketing-independent
+        assert m1["lastPrice"] == m60["lastPrice"] == 1.83
+
+
+class TestSwapRate:
+    def test_luna_base_returns_oracle_prices(self, spark):
+        rows = {r["denom"]: r for r in E.get_denom_swap_rate(spark, "uluna")}
+        # getSwapRate(prices, 'uluna') is the identity on prices
+        assert set(rows) == {"ukrw", "usdr", "uusd"}
+        assert rows["ukrw"]["swaprate"] == "1.83"
+        assert rows["ukrw"]["oneDayVariation"] == "0.6"
+
+    def test_cross_base_rates(self, spark):
+        rows = {r["denom"]: r for r in E.get_denom_swap_rate(spark, "uusd")}
+        # base uusd: uluna = 1/p_uusd, others = p_d/p_uusd
+        assert set(rows) == {"ukrw", "usdr", "uluna"}
+        assert rows["uluna"]["swaprate"] == "0.6289308176"
+        assert rows["ukrw"]["swaprate"] == "1.1509433962"
+        # variation fields present and money-shaped on every row
+        for r in rows.values():
+            assert set(r) == {
+                "denom",
+                "swaprate",
+                "oneDayVariation",
+                "oneDayVariationRate",
+            }
+            float(r["swaprate"])  # parseable money strings
+
+
+class TestTxAndDashboardShapePins:
+    """The reference's tx.spec.ts:6-16 / dashboard.spec.ts:22-50 field
+    pins, applied to the existing serving functions — response fields by
+    name, plus a golden row each."""
+
+    def test_tx_list_response_shape(self, spark):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.pipeline.medallion import account_tx_silver
+        from classic_fcd_spark.serving.api import get_tx_list
+        from classic_fcd_spark.sources.fixtures import gen_txs
+
+        txs = gen_txs(spark)
+        at = account_tx_silver(txs)
+        acct = (
+            at.groupBy("account")
+            .count()
+            .orderBy(F.col("count").desc(), "account")
+            .first()["account"]
+        )
+        body = get_tx_list(txs, at, acct, limit=5)
+        assert set(body) == {"limit", "next", "txs"}
+        assert len(body["txs"]) == 5
+        for t in body["txs"]:
+            # txObject field pins (tx.spec.ts): hash/height/timestamp/
+            # success/msgs
+            assert set(t) == {"hash", "height", "timestamp", "success", "msgs"}
+            assert isinstance(t["height"], int)
+            assert isinstance(t["success"], bool)
+            assert all(set(m) == {"type", "value"} for m in t["msgs"])
+        heights = [t["height"] for t in body["txs"]]
+        assert heights == sorted(heights, reverse=True)
+
+    def test_dashboard_history_columns(self, spark):
+        from classic_fcd_spark.pipeline.medallion import (
+            account_tx_silver,
+            dashboard_gold,
+            minute_rewards_silver,
+        )
+        from classic_fcd_spark.serving.api import get_dashboard_history
+        from classic_fcd_spark.sources.fixtures import gen_blocks, gen_txs
+
+        txs = gen_txs(spark)
+        dash = dashboard_gold(
+            txs, account_tx_silver(txs), minute_rewards_silver(gen_blocks(spark))
+        )
+        hist = get_dashboard_history(dash)
+        # dashboard.spec field families: cumulative + per-day + MA
+        for col in (
+            "day",
+            "cumulative_active",
+            "cumulative_reward",
+            "tx_count_ma3",
+            "tx_count_diff",
+        ):
+            assert col in hist.columns
+        rows = hist.orderBy("day").collect()
+        assert len(rows) >= 3
+        # cumulative columns are non-decreasing (dashboard.spec's
+        # cumulative array contract)
+        cums = [r["cumulative_active"] for r in rows]
+        assert all(b >= a for a, b in zip(cums, cums[1:]))
