@@ -301,3 +301,206 @@ def bigram_nll_scores(
         "sum_nll_e6",
         F.expr("sum_nll_e6 div n_tokens").alias("mean_nll_e6"),
     )
+
+
+def trigram_nll_scores(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    lams: tuple[float, float, float] = (0.2, 0.3, 0.5),
+) -> DataFrame:
+    """(id, n_tokens, sum_nll_e6, mean_nll_e6): NLL under an INTERPOLATED
+    hashed-trigram LM — the order-3 instance of the family (proving the
+    unigram scorer's "any n-gram order" claim beyond order 2):
+
+        p(w | c1 c2) = l3·p_tri(w|c1,c2) + l2·p_bi(w|c2) + l1·p_uni(w)
+
+    with (l1, l2, l3) = `lams`, every component Laplace-smoothed over md5
+    buckets.  Token 1 scores with the unigram; token 2 with the bigram
+    mix carrying the conditional mass, (l2+l3)·p_bi + l1·p_uni — the
+    standard back-off-at-the-edge convention, pinned in tests.
+
+    Model state (all driver-bounded, broadcast):
+    - observed (c1, c2, w) triple counts: <= B^3 rows worst case, in
+      practice bounded by DISTINCT observed trigrams in the model corpus.
+      B is the dial that keeps this broadcastable: at B=256 the hard
+      ceiling is 16.7M narrow rows (~400 MB), so B<=256 is safe for any
+      corpus and B=1024 only when the observed-trigram count is known to
+      stay << B^3 (a 10^8-token model corpus observes at most 10^8
+      distinct trigrams regardless of B);
+    - observed (c1, c2) context totals — joined LEFT and coalesced to 0
+      (never materialized dense: a dense context table would be B^2);
+    - the B-row bigram pair/context/unigram tables of the order-2 model.
+    Scoring = one explode per n-gram order + broadcast left joins + an
+    exact integer per-doc sum (every per-token NLL floored to e6 BEFORE
+    summation — the module's order-free-integer policy); the mix
+    expression is evaluated once, JVM-side, for seen and unseen n-grams
+    alike, so no driver-libm/JVM-libm split can occur."""
+    l1, l2, l3 = lams
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    from classic_fcd_spark.session import scoped_persist
+
+    mtoks = scoped_persist(
+        model_docs.repartition(par).select(
+            ngram_buckets(text_col, 1, buckets).alias("bs")
+        ),
+        "trigram_lm:model_buckets",
+    )
+
+    def _pairs_col(bs):
+        return F.explode(
+            F.zip_with(
+                F.slice(bs, 1, F.size(bs) - 1),
+                F.slice(bs, 2, F.size(bs) - 1),
+                lambda c, w_: F.struct(c.alias("c"), w_.alias("w")),
+            )
+        )
+
+    def _triples_col(bs):
+        grams = F.zip_with(
+            F.zip_with(
+                F.slice(bs, 1, F.size(bs) - 2),
+                F.slice(bs, 2, F.size(bs) - 2),
+                lambda a, b: F.struct(a.alias("c1"), b.alias("c2")),
+            ),
+            F.slice(bs, 3, F.size(bs) - 2),
+            lambda cc, w_: F.struct(
+                cc["c1"].alias("c1"), cc["c2"].alias("c2"), w_.alias("w")
+            ),
+        )
+        return F.explode(grams)
+
+    # --- fit: one model scan per order, counts collected (bounded) -----
+    pair_rows = (
+        mtoks.select(_pairs_col(F.col("bs")).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    pair_cnt = {(int(r["p"]["c"]), int(r["p"]["w"])): int(r["n"]) for r in pair_rows}
+    ctx_tot: dict[int, int] = {}
+    for (c, _), n in pair_cnt.items():
+        ctx_tot[c] = ctx_tot.get(c, 0) + n
+    tri_rows = (
+        mtoks.filter(F.size("bs") >= 3)
+        .select(_triples_col(F.col("bs")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    tri_cnt = {
+        (int(r["t"]["c1"]), int(r["t"]["c2"]), int(r["t"]["w"])): int(r["n"])
+        for r in tri_rows
+    }
+    tri_ctx: dict[tuple[int, int], int] = {}
+    for (c1, c2, _), n in tri_cnt.items():
+        tri_ctx[(c1, c2)] = tri_ctx.get((c1, c2), 0) + n
+    lp_uni = bucket_log_probs(
+        model_docs, text_col, 1, buckets,
+        exploded=mtoks.select(F.explode("bs").alias("b")),
+    )
+
+    tri_model = spark.createDataFrame(
+        [(c1, c2, w, n) for (c1, c2, w), n in tri_cnt.items()] or [(-1, -1, -1, 0)],
+        "c1 bigint, c2 bigint, w bigint, cnt3 bigint",
+    )
+    tri_ctx_df = spark.createDataFrame(
+        [(c1, c2, n) for (c1, c2), n in tri_ctx.items()] or [(-1, -1, 0)],
+        "c1 bigint, c2 bigint, ct3 bigint",
+    )
+    pair_model = spark.createDataFrame(
+        [(c, w, n) for (c, w), n in pair_cnt.items()] or [(-1, -1, 0)],
+        "c bigint, w bigint, cnt bigint",
+    )
+    ctx_vec = spark.createDataFrame(
+        [(c, float(ctx_tot.get(c, 0))) for c in range(buckets)],
+        "c bigint, ct double",
+    )
+    uni_vec = spark.createDataFrame(
+        [(w, math.exp(lp_uni[w])) for w in range(buckets)],
+        "w bigint, pu double",
+    )
+    first_model = spark.createDataFrame(
+        [(w, math.floor(-lp_uni[w] * 1e6)) for w in range(buckets)],
+        "w bigint, nll_e6 bigint",
+    )
+
+    # --- score -----------------------------------------------------------
+    toks = docs.repartition(par, id_col).select(
+        F.col(id_col), ngram_buckets(text_col, 1, buckets).alias("bs")
+    )
+    # token 1: unigram
+    firsts = toks.select(id_col, F.element_at("bs", 1).alias("w")).join(
+        F.broadcast(first_model), "w"
+    )
+    pb = (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("ct") + F.lit(float(buckets))
+    )
+    pu = F.col("pu")
+    # token 2: the order-2 edge — conditional mass on the bigram
+    seconds = (
+        toks.filter(F.size("bs") >= 2)
+        .select(
+            id_col,
+            F.element_at("bs", 1).alias("c"),
+            F.element_at("bs", 2).alias("w"),
+        )
+        .join(F.broadcast(pair_model), ["c", "w"], "left")
+        .join(F.broadcast(ctx_vec), "c")
+        .join(F.broadcast(uni_vec), "w")
+        .select(
+            id_col,
+            F.floor(
+                -F.log(F.lit(l2 + l3) * pb + F.lit(l1) * pu) * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("nll_e6"),
+        )
+    )
+    # tokens 3+: the full trigram mix
+    p3 = (F.coalesce(F.col("cnt3"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("ct3"), F.lit(0)).cast("double") + F.lit(float(buckets))
+    )
+    triples = (
+        toks.filter(F.size("bs") >= 3)
+        .select(F.col(id_col), _triples_col(F.col("bs")).alias("t"))
+        .select(
+            id_col,
+            F.col("t.c1").alias("c1"),
+            F.col("t.c2").alias("c2"),
+            F.col("t.w").alias("w"),
+        )
+        .join(F.broadcast(tri_model), ["c1", "c2", "w"], "left")
+        .join(F.broadcast(tri_ctx_df), ["c1", "c2"], "left")
+        .join(
+            F.broadcast(pair_model.withColumnRenamed("c", "c2")), ["c2", "w"], "left"
+        )
+        .join(F.broadcast(ctx_vec.withColumnRenamed("c", "c2")), "c2")
+        .join(F.broadcast(uni_vec), "w")
+        .select(
+            id_col,
+            F.floor(
+                -F.log(F.lit(l3) * p3 + F.lit(l2) * pb + F.lit(l1) * pu)
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("nll_e6"),
+        )
+    )
+    per_doc = (
+        firsts.select(id_col, "nll_e6")
+        .unionByName(seconds)
+        .unionByName(triples)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("nll_e6").alias("sum_nll_e6"))
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "sum_nll_e6",
+        F.expr("sum_nll_e6 div n_tokens").alias("mean_nll_e6"),
+    )

@@ -70,6 +70,7 @@ def run_session_stats_available_now(
     key_cols: list[str],
     ts_col: str = "ts",
     gap_seconds: int = 600,
+    flush: bool = False,
 ) -> list:
     """Drain all available files (availableNow) and return the CLOSED
     session rows — the backfill/catch-up path.
@@ -79,11 +80,16 @@ def run_session_stats_available_now(
     sessions whose last event lies within gap+watermark of the stream's
     max event time are withheld when the stream drains — they are
     still-open state, not lost rows, and a later run (or any newer event
-    file) flushes them.  Callers needing every session NOW must either
-    append a sentinel event past max(ts) + gap + watermark before
-    draining (what tests/test_sessionize.py does) or take the tail from
-    the batch twin `operators.windows.session_stats`, which agrees
-    exactly on all closed sessions."""
+    file) flushes them.
+
+    ``flush=True`` completes the tail NOW, without polluting the source
+    with a far-future sentinel: after the drain, the batch twin
+    (operators.windows.session_stats — proven row-identical on closed
+    sessions in tests/test_sessionize.py) recomputes all sessions over
+    the same files and the ones the stream withheld are appended.  The
+    extra cost is one batch pass over the events — the price of a
+    complete backfill; a caller that will run again later (live ingest)
+    should keep flush=False and let the watermark do it."""
     plan = session_stats_stream(
         spark, events_dir, key_cols, ts_col, gap_seconds
     )
@@ -100,4 +106,27 @@ def run_session_stats_available_now(
         .start()
     )
     q.awaitTermination()
+    if not flush:
+        return sink
+
+    from classic_fcd_spark.operators.windows import session_stats
+    from classic_fcd_spark.session import normalize_event_time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = normalize_event_time(spark.read.parquet(events_dir))
+    all_sessions = session_stats(events, key_cols, ts_col, gap_seconds).collect()
+    emitted = {
+        (*[r[k] for k in key_cols], r["session_start"]) for r in sink
+    }
+    tail = [
+        r
+        for r in all_sessions
+        if (*[r[k] for k in key_cols], r["session_start"]) not in emitted
+    ]
+    # batch rows carry the same (keys, start, end, n_events) fields the
+    # stream emits (plus duration_secs, dropped for shape parity)
+    from pyspark.sql import Row
+
+    out_fields = [*key_cols, "session_start", "session_end", "n_events"]
+    sink.extend(Row(**{f: r[f] for f in out_fields}) for r in tail)
     return sink

@@ -175,6 +175,107 @@ class TestBigramLM:
         }
         assert got == self._ref(model + probe, model)
 
+    def test_trigram_matches_python_reference(self, spark):
+        from classic_fcd_spark.operators.lm import trigram_nll_scores
+
+        model = [(100 + i, "the cat sat on the mat while the dog ran") for i in range(3)]
+        probe = [
+            (0, "the cat sat on the mat"),
+            (1, "mat the on sat cat the"),
+            (2, "completely novel words here"),
+            (3, "xy"),          # order-1 edge: single token
+            (4, "xy zq"),       # order-2 edge: exactly two tokens
+        ]
+        docs = spark.createDataFrame(model + probe, ["doc_id", "text"])
+        from pyspark.sql import functions as F
+
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["sum_nll_e6"], r["mean_nll_e6"])
+            for r in trigram_nll_scores(
+                docs, docs.filter(F.col("doc_id") >= 100)
+            ).collect()
+        }
+        assert got == self._ref_tri(model + probe, model)
+        # scrambled-doc ordering pin: same bag of words, broken order ->
+        # strictly worse NLL under the order-aware model
+        assert got[0][2] < got[1][2]
+
+    def _ref_tri(self, docs, model_docs, buckets=256, lams=(0.2, 0.3, 0.5)):
+        import hashlib
+        import math
+
+        l1, l2, l3 = lams
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % buckets
+
+        def toks(t):
+            return t.strip().split() if t.strip() else [""]
+
+        uni, pair, ctx, tri, trictx = {}, {}, {}, {}, {}
+        total = 0
+        for _, t in model_docs:
+            bs = [bucket(x) for x in toks(t)]
+            for b in bs:
+                uni[b] = uni.get(b, 0) + 1
+                total += 1
+            for c, w in zip(bs, bs[1:]):
+                pair[(c, w)] = pair.get((c, w), 0) + 1
+                ctx[c] = ctx.get(c, 0) + 1
+            for c1, c2, w in zip(bs, bs[1:], bs[2:]):
+                tri[(c1, c2, w)] = tri.get((c1, c2, w), 0) + 1
+                trictx[(c1, c2)] = trictx.get((c1, c2), 0) + 1
+        lp_uni = {
+            b: math.log((uni.get(b, 0) + 1) / float(total + buckets))
+            for b in range(buckets)
+        }
+        out = {}
+        for i, t in docs:
+            bs = [bucket(x) for x in toks(t)]
+            s = math.floor(-lp_uni[bs[0]] * 1e6)
+            if len(bs) >= 2:
+                c, w = bs[0], bs[1]
+                pb = (pair.get((c, w), 0) + 1) / (ctx.get(c, 0) + float(buckets))
+                pu = math.exp(lp_uni[w])
+                s += math.floor(-math.log((l2 + l3) * pb + l1 * pu) * 1e6)
+            for c1, c2, w in zip(bs, bs[1:], bs[2:]):
+                p3 = (tri.get((c1, c2, w), 0) + 1) / (
+                    trictx.get((c1, c2), 0) + float(buckets)
+                )
+                pb = (pair.get((c2, w), 0) + 1) / (ctx.get(c2, 0) + float(buckets))
+                pu = math.exp(lp_uni[w])
+                s += math.floor(-math.log(l3 * p3 + l2 * pb + l1 * pu) * 1e6)
+            out[i] = (len(bs), s, s // len(bs))
+        return out
+
+    def test_trigram_discriminates_where_bigram_ties(self, spark):
+        """The order-3 payoff: probes with IDENTICAL bigram statistics
+        but different trigrams.  Model sees 'x y z' and 'w y q' equally
+        often, so (y,z) and (y,q) have equal pair counts; probe 'x y z'
+        is a seen trigram, 'x y q' is not — the bigram scorer ties, the
+        trigram scorer separates them."""
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.lm import (
+            bigram_nll_scores,
+            trigram_nll_scores,
+        )
+
+        model = [(100, "x y z"), (101, "w y q"), (102, "x y z"), (103, "w y q")]
+        probe = [(0, "x y z"), (1, "x y q")]
+        docs = spark.createDataFrame(model + probe, ["doc_id", "text"])
+        mdocs = docs.filter(F.col("doc_id") >= 100)
+        bi = {
+            r["doc_id"]: r["sum_nll_e6"]
+            for r in bigram_nll_scores(docs, mdocs).collect()
+        }
+        tri = {
+            r["doc_id"]: r["sum_nll_e6"]
+            for r in trigram_nll_scores(docs, mdocs).collect()
+        }
+        assert bi[0] == bi[1]  # order-2 blind to the difference
+        assert tri[0] < tri[1]  # order-3 sees it
+
     def test_word_order_sensitivity(self, spark):
         """The whole point over the unigram model: a scrambled doc has
         the SAME bag of words (identical unigram NLL) but a worse

@@ -155,6 +155,61 @@ class TestSessionize:
         # users 1-3 each one merged session; user 4 splits into two
         assert len(batch) == 5
 
+    def test_flush_emits_withheld_tail_without_sentinel(self, spark, tmp_path):
+        """flush=True must return EVERY session — including the tail the
+        watermark withholds — with NO far-future sentinel in the source.
+        Completeness target = the batch twin over the same files."""
+        from classic_fcd_spark.operators.windows import session_stats
+        from classic_fcd_spark.streaming.sessions import (
+            run_session_stats_available_now,
+        )
+
+        rows = [
+            (1, _ts(0)), (1, _ts(100)),          # old session
+            (1, _ts(5000)), (1, _ts(5050)),      # newer session
+            (2, _ts(4900)), (2, _ts(6000)),      # two 1-event sessions
+        ]
+        events_dir = str(tmp_path / "events")
+        # two files -> two micro-batches, so the watermark advances and
+        # SOME sessions close on the stream path (the flush union must
+        # dedupe against them, not just concatenate)
+        spark.createDataFrame(
+            rows[:2], "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(events_dir)
+        spark.createDataFrame(
+            rows[2:], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+        batch = {
+            (r["user_id"], str(r["session_start"])): (
+                str(r["session_end"]),
+                r["n_events"],
+            )
+            for r in session_stats(
+                spark.read.parquet(events_dir), ["user_id"], "ts", 600
+            ).collect()
+        }
+        flushed = run_session_stats_available_now(
+            spark, events_dir, str(tmp_path / "ckpt"), ["user_id"],
+            gap_seconds=600, flush=True,
+        )
+        got = {
+            (r["user_id"], str(r["session_start"])): (
+                str(r["session_end"]),
+                r["n_events"],
+            )
+            for r in flushed
+        }
+        assert got == batch
+        assert len(flushed) == len(got)  # no duplicate emission
+        # sanity: the default (flush=False) path really does withhold the
+        # tail on this data — otherwise this test proves nothing
+        unflushed = run_session_stats_available_now(
+            spark, events_dir, str(tmp_path / "ckpt2"), ["user_id"],
+            gap_seconds=600,
+        )
+        assert len(unflushed) < len(flushed)
+
     def test_streaming_restart_resumes_from_checkpoint(self, spark, tmp_path):
         """T2 shape for sessions: a second availableNow run with the same
         checkpoint processes ONLY newly-arrived files — already-emitted
