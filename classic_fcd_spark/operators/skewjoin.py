@@ -57,3 +57,56 @@ def salted_join(
         .drop("__salts")
     )
     return fact_s.join(dim_s, [key, "__salt"], how).drop("__salt")
+
+
+def detect_hot_keys(
+    fact: DataFrame,
+    key: str,
+    min_share: float = 0.05,
+    capacity: int = 1024,
+) -> list:
+    """Hot keys of `fact[key]`: the Misra-Gries heavy-hitters pass
+    (operators/heavyhitters.approx_top_items — exact counts for the
+    survivors) filtered to keys holding more than `min_share` of all
+    rows.  min_share >= 1/capacity keeps the MG completeness guarantee:
+    any key above N/capacity survives the candidate pass, so no key
+    above min_share can be missed.  Cost: one Arrow-batched scan + one
+    bounded recount — the standard detection half of the skew recipe."""
+    if min_share < 1.0 / capacity:
+        raise ValueError(
+            f"min_share {min_share} below the MG guarantee 1/capacity "
+            f"({1.0 / capacity}); raise capacity or min_share"
+        )
+    from classic_fcd_spark.operators.heavyhitters import approx_top_items
+
+    total = fact.count()
+    top = approx_top_items(
+        fact.select(key), key, k=capacity, capacity=capacity
+    ).collect()
+    return [r["item"] for r in top if r["cnt"] > min_share * total]
+
+
+def auto_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salts: int = 8,
+    how: str = "inner",
+    min_share: float = 0.05,
+    capacity: int = 1024,
+) -> DataFrame:
+    """detect_hot_keys → salted_join in one call: the gated composition
+    of detection and repair (the two halves are also usable separately
+    when the hot set is known a priori).  detect_hot_keys casts keys to
+    string (the MG item type); they are matched back against the
+    fact/dim key column by equality, so the key column must round-trip
+    its string form (ints and strings do; rounds floats would not).
+    With NO hot key above min_share this degenerates to the plain join
+    (every row salts to 0, the dim is not replicated)."""
+    hot = detect_hot_keys(fact, key, min_share, capacity)
+    kt = dict(fact.dtypes)[key]
+    if kt in ("bigint", "int", "smallint", "tinyint"):
+        hot = [int(h) for h in hot]
+    if not hot:
+        return fact.join(dim, key, how)
+    return salted_join(fact, dim, key, hot, salts=salts, how=how)

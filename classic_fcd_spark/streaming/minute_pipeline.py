@@ -26,27 +26,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream with the same event-time normalization as
     classic_fcd_spark.session.load_tables — withWatermark below requires
     plain TIMESTAMP, so every physical ts encoding (bigint nanos, NTZ µs,
-    UTC µs) is canonicalized at this boundary."""
+    UTC µs) is canonicalized at this boundary.  `max_files_per_trigger`
+    throttles availableNow drains into per-file micro-batches (the
+    catch-up pacing knob, and what the phase bench uses to measure
+    per-batch latency)."""
     from classic_fcd_spark.session import normalize_event_time
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(events_dir)
-    src = spark.readStream.schema(batch.schema).parquet(events_dir)
-    return normalize_event_time(src)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return normalize_event_time(reader.parquet(events_dir))
 
 
-def minute_rollup_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def minute_rollup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Windowed aggregation plan (unbound — caller attaches the sink).
 
     n_users (countDistinct) is deliberately absent: distinct aggregation
     is not incrementally computable under streaming update mode; the
     serving-side query computes it from the bronze table (A12).
     """
-    src = _events_stream(spark, events_dir)
+    src = _events_stream(spark, events_dir, max_files_per_trigger)
     return (
         src.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 minute").alias("w"), F.col("event_type"))

@@ -67,3 +67,59 @@ class TestSaltedJoin:
         # no sub-partition holds more than ~2x its fair share
         assert counts[-1] <= 2 * total / 8
         assert out.count() == fact.join(dim, "k").count()
+
+
+class TestAutoSaltedJoin:
+    """The gated detection -> repair composition (r5 brief item 8):
+    detect_hot_keys (Misra-Gries + exact recount) feeding salted_join,
+    with parity against the plain join.  The measured task-time/partition
+    spread lives in scripts/skew_spread.py (BENCH_NOTES r6)."""
+
+    def test_detection_finds_planted_hot_key(self, spark):
+        from classic_fcd_spark.operators.skewjoin import detect_hot_keys
+
+        fact, _ = _skewed(spark)
+        hot = detect_hot_keys(fact, "k", min_share=0.05, capacity=64)
+        assert hot == ["7"]  # ~80% of rows; nothing else crosses 5%
+
+    def test_detection_guard_rejects_unsound_share(self, spark):
+        import pytest
+
+        from classic_fcd_spark.operators.skewjoin import detect_hot_keys
+
+        fact, _ = _skewed(spark)
+        with pytest.raises(ValueError, match="MG guarantee"):
+            detect_hot_keys(fact, "k", min_share=0.001, capacity=64)
+
+    def test_auto_join_parity_with_plain(self, spark):
+        from classic_fcd_spark.operators.skewjoin import auto_salted_join
+
+        fact, dim = _skewed(spark)
+        plain = {
+            (r["fact_id"], r["dval"]) for r in fact.join(dim, "k").collect()
+        }
+        auto = {
+            (r["fact_id"], r["dval"])
+            for r in auto_salted_join(
+                fact, dim, "k", salts=8, min_share=0.05, capacity=64
+            ).collect()
+        }
+        assert auto == plain and len(auto) > 0
+
+    def test_no_hot_keys_degenerates_to_plain_join(self, spark):
+        from pyspark.sql import functions as F2
+
+        from classic_fcd_spark.operators.skewjoin import auto_salted_join
+
+        # uniform keys: nothing crosses min_share, no salting applied
+        fact = spark.range(1000).select(
+            (F2.col("id") % 100).alias("k"), F2.col("id").alias("fact_id")
+        )
+        dim = spark.range(100).select(
+            F2.col("id").alias("k"), F2.concat(F2.lit("d"), F2.col("id")).alias("dval")
+        )
+        out = auto_salted_join(fact, dim, "k", min_share=0.05, capacity=64)
+        assert out.count() == 1000
+        # degenerate path: no __salt machinery in the plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" not in plan
