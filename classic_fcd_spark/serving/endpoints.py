@@ -309,6 +309,157 @@ def get_market_price(
     }
 
 
+def _day_ms(day: str) -> int:
+    """'yyyy-MM-dd' -> epoch milliseconds at UTC midnight (the reference
+    serializes Date.getTime() of the day's timestamp)."""
+    import datetime
+
+    d = datetime.datetime.strptime(day, "%Y-%m-%d").replace(
+        tzinfo=datetime.timezone.utc
+    )
+    return int(d.timestamp()) * 1000
+
+
+def _dashboard_days(spark: SparkSession) -> list:
+    """The day-grain dashboard gold rows, ascending — the shared input of
+    every dashboard endpoint (dashboardHistory.ts): bounded by the chain's
+    day count, so the collect is the response size."""
+    from classic_fcd_spark.pipeline.medallion import (
+        account_tx_silver,
+        dashboard_gold,
+        minute_rewards_silver,
+    )
+    from classic_fcd_spark.sources.fixtures import gen_blocks, gen_txs
+
+    txs = gen_txs(spark)
+    return (
+        dashboard_gold(
+            txs, account_tx_silver(txs), minute_rewards_silver(gen_blocks(spark))
+        )
+        .orderBy("day")
+        .collect()
+    )
+
+
+def get_account_growth(spark: SparkSession) -> dict:
+    """getAccountGrowth.ts:6-37 — {cumulative, periodic} account-count
+    series.  The reference reads per-day totalAccount/activeAccount off
+    the dashboard entity and does the running sum in JS; here the gold
+    row supplies active_accounts per day and cumulative_active is the
+    running sum (the engine's registered accounts equal its first-seen
+    active set — the fixture has no separate registration stream, noted
+    honestly).  Shapes mirror the reference exactly: cumulative drops the
+    first element, periodic starts at index 1 with day-over-day deltas."""
+    rows = _dashboard_days(spark)
+    cumulative, periodic = [], []
+    running = 0
+    prev_total = None
+    for r in rows:
+        running += int(r["active_accounts"])
+        cumulative.append(
+            {
+                "datetime": _day_ms(r["day"]),
+                "totalAccountCount": running,
+                "activeAccountCount": running,
+            }
+        )
+        if prev_total is not None:
+            periodic.append(
+                {
+                    "datetime": _day_ms(r["day"]),
+                    "totalAccountCount": running - prev_total,
+                    "activeAccountCount": int(r["active_accounts"]),
+                }
+            )
+        prev_total = running
+    return {"cumulative": cumulative[1:] if cumulative else [], "periodic": periodic}
+
+
+def get_transaction_vol(spark: SparkSession) -> dict:
+    """getTransactionVol.ts:5-36 — per-denom {periodic, cumulative} tx
+    volume series: [{denom, data: [{datetime, txVolume}]}], volumes as
+    money strings, cumulative = running plus() per denom.  The rollup is
+    the distributed tx_volume silver reduced to day grain; only
+    day x denom rows are collected."""
+    from classic_fcd_spark.pipeline.medallion import tx_volume_minute_silver
+    from classic_fcd_spark.sources.fixtures import gen_txs
+
+    rows = (
+        tx_volume_minute_silver(gen_txs(spark))
+        .withColumn("day", F.substring("minute", 1, 10))
+        .groupBy("day", "denom")
+        .agg(F.sum("volume").alias("vol"))
+        .orderBy("day", "denom")
+        .collect()
+    )
+    periodic: dict[str, list] = {}
+    cumulative: dict[str, list] = {}
+    running: dict[str, int] = {}
+    for r in rows:
+        d = r["denom"]
+        ms = _day_ms(r["day"])
+        v = int(r["vol"])
+        periodic.setdefault(d, []).append({"datetime": ms, "txVolume": _money(v)})
+        running[d] = running.get(d, 0) + v
+        cumulative.setdefault(d, []).append(
+            {"datetime": ms, "txVolume": _money(running[d])}
+        )
+    return {
+        "periodic": [{"denom": d, "data": periodic[d]} for d in sorted(periodic)],
+        "cumulative": [
+            {"denom": d, "data": cumulative[d]} for d in sorted(cumulative)
+        ],
+    }
+
+
+def get_block_rewards(spark: SparkSession) -> dict:
+    """getBlockRewards.ts:5-27 — {periodic, cumulative} of the day's
+    reward total (the reference's taxReward column), money strings,
+    cumulative = running plus()."""
+    rows = _dashboard_days(spark)
+    periodic, cumulative = [], []
+    running = 0
+    for r in rows:
+        v = int(r["reward_total"] or 0)
+        ms = _day_ms(r["day"])
+        periodic.append({"datetime": ms, "blockReward": _money(v)})
+        running += v
+        cumulative.append({"datetime": ms, "blockReward": _money(running)})
+    return {"periodic": periodic, "cumulative": cumulative}
+
+
+def _general_info_daily(spark: SparkSession) -> list:
+    from classic_fcd_spark.queries.fcd_read import fcd_general_info_daily
+
+    return fcd_general_info_daily(spark, "").orderBy(F.col("day").desc()).collect()
+
+
+def get_seigniorage_proceeds(spark: SparkSession) -> list[dict]:
+    """getSeigniorageProceeds.ts:17-31 — per-day seigniorage, newest
+    first, DISTINCT ON (date) earliest snapshot (the W7 first-row-per-day
+    shape the gated fcd_general_info_daily already computes)."""
+    return [
+        {
+            "datetime": _day_ms(r["day"]),
+            "seigniorageProceeds": _money(int(r["seigniorage"])),
+        }
+        for r in _general_info_daily(spark)
+    ]
+
+
+def get_staking_ratio(spark: SparkSession) -> list[dict]:
+    """getStakingRatio.ts:17-32 — per-day staking ratio, newest first,
+    same first-snapshot-per-day source; ratio emitted as the float the
+    reference's column carries (exact: e6 integer / 1e6)."""
+    return [
+        {
+            "datetime": _day_ms(r["day"]),
+            "stakingRatio": int(r["staking_ratio_e6"]) / 1e6,
+        }
+        for r in _general_info_daily(spark)
+    ]
+
+
 def get_denom_swap_rate(spark: SparkSession, base: str) -> list[dict]:
     """getSwapRate.ts:19-40 — swap rates of every active denom against
     `base`, with one-day variation.  getSwapRate (helper.ts:42-60):

@@ -190,6 +190,77 @@ class TestSwapRate:
             float(r["swaprate"])  # parseable money strings
 
 
+class TestDashboardSubEndpoints:
+    """The reference's per-series dashboard endpoints as response-shape
+    wrappers (getAccountGrowth/getTransactionVol/getBlockRewards/
+    getSeigniorageProceeds/getStakingRatio), with the dashboard.spec.ts
+    field pins and fixture golden rows."""
+
+    def test_account_growth_shape_and_contracts(self, spark):
+        body = E.get_account_growth(spark)
+        # dashboard.spec.ts:52-60: cumulative[0].datetime/totalAccountCount
+        assert set(body) == {"cumulative", "periodic"}
+        assert body["cumulative"] and body["periodic"]
+        for item in body["cumulative"] + body["periodic"]:
+            assert set(item) == {
+                "datetime",
+                "totalAccountCount",
+                "activeAccountCount",
+            }
+        # the reference drops cumulative[0] and starts periodic at idx 1
+        assert len(body["cumulative"]) == len(body["periodic"])
+        # cumulative totals are non-decreasing
+        tots = [c["totalAccountCount"] for c in body["cumulative"]]
+        assert tots == sorted(tots)
+        # golden: day-2 cumulative = 162 accounts on the 600-block fixture
+        assert body["cumulative"][0] == {
+            "datetime": 1609545600000,
+            "totalAccountCount": 108,
+            "activeAccountCount": 108,
+        }
+
+    def test_transaction_vol_series(self, spark):
+        body = E.get_transaction_vol(spark)
+        assert set(body) == {"periodic", "cumulative"}
+        denoms = [p["denom"] for p in body["periodic"]]
+        assert denoms == ["ukrw", "uluna", "usdr", "uusd"]
+        # per-denom: cumulative is the running plus() of periodic
+        for per, cum in zip(body["periodic"], body["cumulative"]):
+            run = 0
+            for p, c in zip(per["data"], cum["data"]):
+                run += int(p["txVolume"])
+                assert int(c["txVolume"]) == run
+                assert p["datetime"] == c["datetime"]
+        # golden first point (ukrw day 1)
+        assert body["periodic"][0]["data"][0] == {
+            "datetime": 1609459200000,
+            "txVolume": "20930",
+        }
+
+    def test_block_rewards_series(self, spark):
+        body = E.get_block_rewards(spark)
+        run = 0
+        for p, c in zip(body["periodic"], body["cumulative"]):
+            run += int(p["blockReward"])
+            assert int(c["blockReward"]) == run
+        assert body["cumulative"][-1]["blockReward"] == "298600"
+
+    def test_seigniorage_and_staking_ratio(self, spark):
+        seig = E.get_seigniorage_proceeds(spark)
+        ratio = E.get_staking_ratio(spark)
+        # newest first, one row per fixture day
+        assert len(seig) == 4 and len(ratio) == 4
+        dts = [s["datetime"] for s in seig]
+        assert dts == sorted(dts, reverse=True)
+        assert seig[0] == {
+            "datetime": 1609718400000,
+            "seigniorageProceeds": "28960",
+        }
+        assert ratio[0] == {"datetime": 1609718400000, "stakingRatio": 0.43392}
+        for r in ratio:
+            assert 0.0 <= r["stakingRatio"] <= 1.0
+
+
 class TestTxAndDashboardShapePins:
     """The reference's tx.spec.ts:6-16 / dashboard.spec.ts:22-50 field
     pins, applied to the existing serving functions — response fields by
