@@ -375,6 +375,44 @@ def get_account_growth(spark: SparkSession) -> dict:
     return {"cumulative": cumulative[1:] if cumulative else [], "periodic": periodic}
 
 
+def get_active_accounts(spark: SparkSession) -> dict:
+    """getActiveAccounts.ts:4-15 — {total, periodic}: per-day active
+    account counts plus the final registered total."""
+    rows = _dashboard_days(spark)
+    running = 0
+    periodic = []
+    for r in rows:
+        running += int(r["active_accounts"])
+        periodic.append(
+            {"datetime": _day_ms(r["day"]), "value": int(r["active_accounts"])}
+        )
+    return {"total": running if rows else 0, "periodic": periodic}
+
+
+def get_registered_accounts(spark: SparkSession) -> dict:
+    """getRegisteredAccounts.ts:4-29 — {total, periodic, cumulative}
+    registered-account series; first elements dropped like the
+    reference's slice(1).  Registered = first-seen active (see
+    get_account_growth's note)."""
+    rows = _dashboard_days(spark)
+    if not rows:
+        return {"total": 0, "periodic": [], "cumulative": []}
+    running = 0
+    cumulative, periodic = [], []
+    prev = 0
+    for r in rows:
+        running += int(r["active_accounts"])
+        ms = _day_ms(r["day"])
+        cumulative.append({"datetime": ms, "value": running})
+        periodic.append({"datetime": ms, "value": running - prev})
+        prev = running
+    return {
+        "total": running,
+        "periodic": periodic[1:],
+        "cumulative": cumulative[1:],
+    }
+
+
 def get_transaction_vol(spark: SparkSession) -> dict:
     """getTransactionVol.ts:5-36 — per-denom {periodic, cumulative} tx
     volume series: [{denom, data: [{datetime, txVolume}]}], volumes as

@@ -219,6 +219,22 @@ class TestDashboardSubEndpoints:
             "activeAccountCount": 108,
         }
 
+    def test_account_stat_endpoints(self, spark):
+        active = E.get_active_accounts(spark)
+        reg = E.get_registered_accounts(spark)
+        assert set(active) == {"total", "periodic"}
+        assert set(reg) == {"total", "periodic", "cumulative"}
+        # totals agree: both are the final registered count
+        assert active["total"] == reg["total"]
+        # registered periodic/cumulative drop the first day (slice(1))
+        assert len(reg["periodic"]) == len(active["periodic"]) - 1
+        # cumulative reconstructs from active periodic
+        run = active["periodic"][0]["value"]
+        for p, c in zip(active["periodic"][1:], reg["cumulative"]):
+            run += p["value"]
+            assert c["value"] == run
+        assert reg["cumulative"][-1]["value"] == reg["total"]
+
     def test_transaction_vol_series(self, spark):
         body = E.get_transaction_vol(spark)
         assert set(body) == {"periodic", "cumulative"}
