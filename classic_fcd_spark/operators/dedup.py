@@ -192,6 +192,58 @@ def banded_signatures(
     ).select(id_col, "b.band", "b.bh")
 
 
+def lsh_collision_prob(jaccard: float, bands: int, rows: int) -> float:
+    """P(two docs with this Jaccard share >= 1 band) = 1 - (1 - J^r)^b —
+    the MinHash-LSH S-curve (Mining of Massive Datasets §3.4, public
+    literature).  The engine's default (b=4, r=4) gives 0.71 at J=0.8
+    per table; multi-table/repeated-banding closes the recall gap."""
+    if not 0.0 <= jaccard <= 1.0:
+        raise ValueError(f"jaccard must be in [0,1], got {jaccard}")
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def choose_lsh_bands(
+    num_hashes: int, threshold: float
+) -> tuple[int, int]:
+    """(bands, rows) with bands*rows = num_hashes whose S-curve knee
+    sits closest to `threshold` — the standard sizing rule: the curve's
+    steepest point is at J ~= (1/b)^(1/r), so minimize the total error
+    weight (collision probability mass BELOW the threshold = false-
+    positive verify work, miss probability ABOVE it = lost recall),
+    integrated numerically in equal measure.
+
+    This is the dial the 100 TB operator turns: more bands = more
+    candidate collisions to verify (cost), more rows per band = sharper
+    precision but recall loss near the threshold.  Deterministic: ties
+    break toward more rows (fewer false positives)."""
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        steps = 200
+        fp = sum(
+            lsh_collision_prob(threshold * (i + 0.5) / steps, bands, rows)
+            for i in range(steps)
+        ) * (threshold / steps)
+        fn = sum(
+            1.0
+            - lsh_collision_prob(
+                threshold + (1.0 - threshold) * (i + 0.5) / steps, bands, rows
+            )
+            for i in range(steps)
+        ) * ((1.0 - threshold) / steps)
+        err = fp + fn
+        key = (err, rows * -1)  # tie -> larger rows (sharper precision)
+        if best is None or key < best[0]:
+            best = (key, (bands, rows))
+    return best[1]
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str,

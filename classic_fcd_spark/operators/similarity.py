@@ -616,6 +616,61 @@ def semantic_dedup(
     )
 
 
+def incremental_semantic_pairs(
+    new_emb: DataFrame,
+    index_assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 0.05,
+) -> DataFrame:
+    """(new_id, dup_of, cos_e6): semantic duplicates of a NEW batch
+    against the STORED corpus assignment index — the incremental form of
+    semantic_dedup, mirroring operators/dedup.incremental_near_dups:
+    production ingest dedupes today's batch against yesterday's corpus,
+    never re-clusters the corpus.
+
+    `index_assigned` is a prior assign_cells output (id, vec, vnorm,
+    cell, cos_c) — the stored artifact; at 100 TB it lives partitioned
+    BY CELL, so the cell equi-join below prunes the index read to the
+    batch's touched cells (a batch touches at most |batch| of the k
+    cells).  The new batch is assigned against the SAME frozen codebook
+    (centroid drift invalidates cell locality — retraining is a corpus
+    regeneration event, exactly like re-banding the MinHash index).
+
+    Cost: assignment is |batch| x k broadcast folds; the probe join is
+    bounded by batch-cell occupancy — never a corpus self-join.  Pair
+    cosines reuse both sides' hoisted norms (one fold per candidate) and
+    are floored to e6 integers (the engine's order-free exact policy).
+    Growing the index = appending the batch's own assignment rows to the
+    stored table (same partition-overwrite exactly-once story as the
+    MinHash band index, streaming/incremental_dedup.py)."""
+    probe = assign_cells(new_emb, centroids, vec_col, id_col)
+    n = probe.select(
+        "cell",
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    x = index_assigned.select(
+        "cell",
+        F.col(id_col).alias("dup_of"),
+        F.col(vec_col).alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    pair_cos = F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+    return (
+        n.join(x, "cell")
+        .withColumn("cos", pair_cos)
+        .filter(F.col("cos") >= 1.0 - eps)
+        .select(
+            "new_id",
+            "dup_of",
+            F.floor(F.col("cos") * F.lit(1e6)).cast("bigint").alias("cos_e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ: the two index halves composed the way Faiss's IndexIVFPQ does
 # (Jégou et al. 2011 §V) — coarse cells bound WHICH codes are scored,

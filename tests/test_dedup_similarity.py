@@ -75,6 +75,65 @@ class TestDedup:
                 assert ham <= 12, (i, j, ham)
 
 
+class TestLSHTuning:
+    """The (bands, rows) sizing math (MMDS §3.4 S-curve): collision
+    probability contracts and the argmin property of choose_lsh_bands."""
+
+    def test_collision_prob_known_values_and_monotonicity(self):
+        from classic_fcd_spark.operators.dedup import lsh_collision_prob
+
+        # the engine's default (b=4, r=4) at the J=0.8 gate
+        assert abs(lsh_collision_prob(0.8, 4, 4) - (1 - (1 - 0.8**4) ** 4)) < 1e-12
+        assert lsh_collision_prob(0.0, 4, 4) == 0.0
+        assert lsh_collision_prob(1.0, 4, 4) == 1.0
+        probs = [lsh_collision_prob(j / 20, 4, 4) for j in range(21)]
+        assert probs == sorted(probs)  # monotone in J
+
+    def test_choose_bands_is_the_error_argmin(self):
+        import math
+
+        from classic_fcd_spark.operators.dedup import (
+            choose_lsh_bands,
+            lsh_collision_prob,
+        )
+
+        def err(bands, rows, t, steps=200):
+            fp = sum(
+                lsh_collision_prob(t * (i + 0.5) / steps, bands, rows)
+                for i in range(steps)
+            ) * (t / steps)
+            fn = sum(
+                1 - lsh_collision_prob(t + (1 - t) * (i + 0.5) / steps, bands, rows)
+                for i in range(steps)
+            ) * ((1 - t) / steps)
+            return fp + fn
+
+        for n, t in [(16, 0.8), (16, 0.5), (64, 0.9), (128, 0.7)]:
+            b, r = choose_lsh_bands(n, t)
+            assert b * r == n
+            best = err(b, r, t)
+            for rr in range(1, n + 1):
+                if n % rr == 0:
+                    assert best <= err(n // rr, rr, t) + 1e-12
+            # the knee (1/b)^(1/r) lands near the threshold
+            assert abs((1 / b) ** (1 / r) - t) < 0.35
+
+    def test_input_validation(self):
+        import pytest
+
+        from classic_fcd_spark.operators.dedup import (
+            choose_lsh_bands,
+            lsh_collision_prob,
+        )
+
+        with pytest.raises(ValueError):
+            lsh_collision_prob(1.5, 4, 4)
+        with pytest.raises(ValueError):
+            choose_lsh_bands(16, 0.0)
+        with pytest.raises(ValueError):
+            choose_lsh_bands(0, 0.5)
+
+
 class TestNgramJaccardOracle:
     """ngram_jaccard_pairs left the driver window in r6 (slot rotated to
     duplicated_spans); this is its oracle gate now — the same DuckDB SQL

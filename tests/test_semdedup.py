@@ -132,6 +132,87 @@ class TestSemanticDedup:
         dropped = [v for v, (_, _, kept) in got.items() if not kept]
         assert len(dropped) > 0  # the corpus must actually exercise the path
 
+    def test_incremental_probe_matches_full_cross_split_pairs(self, spark):
+        """incremental_semantic_pairs (new batch vs stored assignment
+        index) must find exactly the cross-split subset of the full
+        corpus's within-cell pair graph — the same equivalence contract
+        the MinHash incremental path carries
+        (tests/test_incremental_dedup.py)."""
+        import math as _math
+
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.similarity import (
+            assign_cells,
+            incremental_semantic_pairs,
+        )
+        from classic_fcd_spark.session import load_tables
+
+        emb = load_tables(spark, SF_SMALL)["embeddings"]
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        eps = 0.55
+        split = emb.agg(F.expr("max(vec_id) div 2")).collect()[0][0]
+        index = assign_cells(emb.filter(F.col("vec_id") < split), cents)
+        new = emb.filter(F.col("vec_id") >= split)
+        got = {
+            (r["new_id"], r["dup_of"]): r["cos_e6"]
+            for r in incremental_semantic_pairs(new, index, cents, eps=eps).collect()
+        }
+        # reference: full pure-Python assignment + cross-split pair scan
+        rows = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.select("vec_id", "embedding").collect()
+        ]
+        cell_of = {}
+        for vid, vec in rows:
+            best = max(
+                ((_cos(vec, c), cid) for cid, c in enumerate(cents)),
+                key=lambda t: (t[0], t[1]),
+            )
+            cell_of[vid] = best[1]
+        vecs = dict(rows)
+        expected = {}
+        for nid, nvec in rows:
+            if nid < split:
+                continue
+            for xid, xvec in rows:
+                if xid >= split or cell_of[nid] != cell_of[xid]:
+                    continue
+                c = _cos(nvec, xvec)
+                if c >= 1.0 - eps:
+                    expected[(nid, xid)] = _math.floor(c * 1e6)
+        assert got == expected
+        assert len(got) > 0  # the corpus must exercise the probe
+
+    def test_incremental_probe_plan_is_cell_equi_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.operators.similarity import (
+            assign_cells,
+            incremental_semantic_pairs,
+        )
+        from classic_fcd_spark.session import load_tables
+
+        emb = load_tables(spark, SF_SMALL)["embeddings"]
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        index = assign_cells(emb.filter(F.col("vec_id") < 1000), cents)
+        out = incremental_semantic_pairs(
+            emb.filter(F.col("vec_id") >= 1000), index, cents
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # probe x index must be the cell equi-join; the only BNLJ is the
+        # constant-bounded broadcast codebook cross of assignment
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "BuildRight" in line, line
+
     def test_pair_search_is_cell_equi_join(self, spark):
         from classic_fcd_spark.operators.similarity import semantic_dedup
         from classic_fcd_spark.session import load_tables
