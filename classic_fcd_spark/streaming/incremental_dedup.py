@@ -61,11 +61,12 @@ def run_streaming_dedup_available_now(
 ) -> list:
     """Drain all available document files (one per micro-batch), probing
     and growing the banded index at `index_dir`; returns the emitted
-    duplicate pairs.  Restartable: the checkpoint replays unfinished
-    batches, and the index append is keyed work a replay simply redoes
-    (band rows are idempotent up to duplicates, which the probe's
-    DISTINCT collapses — same tolerance as any at-least-once side
-    effect paired with an exactly-once sink)."""
+    duplicate pairs.  Restartable AND idempotent: each batch's band rows
+    land in their own `batch_pt=<batch_id>` partition under dynamic
+    partition overwrite (the streaming/postings.py discipline), so a
+    checkpoint replay REPLACES its partition instead of appending a
+    duplicate copy — the index cannot grow unboundedly under crash
+    loops."""
     batch_schema = spark.read.parquet(docs_dir).schema
     src = (
         spark.readStream.schema(batch_schema)
@@ -73,12 +74,16 @@ def run_streaming_dedup_available_now(
         .parquet(docs_dir)
     )
     sink: list = []
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_sh = _shingled(batch_df, id_col, text_col)
         new_banded = banded_signatures(new_sh, id_col, "shingles")
         if os.path.exists(index_dir):
-            index_banded = spark.read.parquet(index_dir)
+            index_banded = spark.read.parquet(index_dir).drop("batch_pt")
             # the raw shingles of candidate index docs are recomputed
             # from the documents seen so far (persisted alongside the
             # bands); production would store them columnar next to the
@@ -94,7 +99,12 @@ def run_streaming_dedup_available_now(
                 new_sh, index_banded, seen, id_col, "shingles"
             )
             sink.extend(pairs.collect())
-        new_banded.write.mode("append").parquet(index_dir)
+        (
+            new_banded.withColumn("batch_pt", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_pt")
+            .parquet(index_dir)
+        )
 
     q = (
         src.writeStream.foreachBatch(process)

@@ -1,0 +1,107 @@
+"""Streaming incremental SemDeDup: the live twin of
+operators.similarity.incremental_semantic_pairs — the semantic analogue
+of streaming/incremental_dedup.py.
+
+Each micro-batch of new embeddings:
+1. assigns the batch against the FROZEN codebook (broadcast argmax —
+   no corpus shuffle),
+2. probes the PERSISTED assignment index (parquet: (id, vec, vnorm,
+   cell) partitioned by batch) for semantic duplicates of anything
+   ingested earlier — a cell equi-join, cost ∝ batch x cell occupancy,
+3. appends its own assignment rows into a `batch_pt=<batch_id>`
+   partition under dynamic partition overwrite, so a checkpoint replay
+   REPLACES rather than duplicates (the postings/band-index discipline)
+   and later batches dedup against it.
+
+Codebook retraining is a corpus-regeneration event (centroid drift
+invalidates cell locality) — the stream runs against one frozen
+codebook per index generation, exactly as the MinHash stream runs
+against one banding.
+
+Batch/stream duality gated in tests/test_streaming_semdedup.py: the
+drained stream emits exactly the cross-batch subset of the batch
+operator's within-cell pair graph, and a restart emits nothing new.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.similarity import (
+    assign_cells,
+    dot_sql,
+)
+
+
+def run_streaming_semantic_dedup_available_now(
+    spark: SparkSession,
+    emb_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.05,
+) -> list:
+    """Drain all available embedding files (one per micro-batch),
+    probing and growing the assignment index; returns the emitted
+    (new_id, dup_of, cos_e6) rows."""
+    batch_schema = spark.read.parquet(emb_dir).schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_dir)
+    )
+    sink: list = []
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = assign_cells(batch_df, centroids, vec_col, id_col)
+        if os.path.exists(index_dir):
+            index = spark.read.parquet(index_dir).drop("batch_pt")
+            n = assigned.select(
+                "cell",
+                F.col(id_col).alias("new_id"),
+                F.col(vec_col).alias("va"),
+                F.col("vnorm").alias("na"),
+            )
+            x = index.select(
+                "cell",
+                F.col(id_col).alias("dup_of"),
+                F.col(vec_col).alias("vb"),
+                F.col("vnorm").alias("nb"),
+            )
+            pair_cos = F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+            pairs = (
+                n.join(x, "cell")
+                .withColumn("cos", pair_cos)
+                .filter(F.col("cos") >= 1.0 - eps)
+                .select(
+                    "new_id",
+                    "dup_of",
+                    F.floor(F.col("cos") * F.lit(1e6)).cast("bigint").alias("cos_e6"),
+                )
+            )
+            sink.extend(pairs.collect())
+        (
+            assigned.select(id_col, vec_col, "vnorm", "cell")
+            .withColumn("batch_pt", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_pt")
+            .parquet(index_dir)
+        )
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
