@@ -309,6 +309,86 @@ def get_market_price(
     }
 
 
+def get_last_hour_ops_and_txs(spark: SparkSession) -> dict:
+    """lastHourOpsAndTxs.ts:55-60 — {last_1h_op, last_1h_tx} over the
+    final hour window; the counting semantics (ops = txs + MultiSend
+    output fan-out, NO success filter) are the driver-gated
+    fcd_last_hour_ops query."""
+    from classic_fcd_spark.queries.fcd import fcd_last_hour_ops
+
+    r = fcd_last_hour_ops(spark, "").collect()[0]
+    return {"last_1h_op": int(r["last_1h_op"]), "last_1h_tx": int(r["last_1h_tx"])}
+
+
+def get_validators_listing(spark: SparkSession) -> list[dict]:
+    """getValidators.ts — the validator listing, power-desc (L6), each
+    row the reference's response subset the fixture dimension carries:
+    operatorAddress, accountAddress, description.moniker, votingPower
+    (weight + share-of-total rate, both money strings), and
+    commissionInfo.rate.  One dim-bounded collect; the share denominator
+    is a 1-row aggregate."""
+    from classic_fcd_spark.sources.fixtures import gen_validators
+
+    vals = gen_validators(spark)
+    rows = (
+        vals.withColumn(
+            "total", F.sum("voting_power").over(Window.partitionBy())
+        )
+        .orderBy(F.col("voting_power").desc(), F.col("operator_address"))
+        .collect()
+    )
+    out = []
+    for r in rows:
+        weight = Decimal(str(r["voting_power"]))
+        total = Decimal(str(r["total"]))
+        out.append(
+            {
+                "operatorAddress": r["operator_address"],
+                "accountAddress": r["account_address"],
+                "description": {"moniker": r["moniker"]},
+                "votingPower": {
+                    "weight": _money(weight),
+                    "rate": _money(weight / total),
+                },
+                "commissionInfo": {"rate": _money(r["commission_rate"])},
+            }
+        )
+    return out
+
+
+def get_proposals_listing(spark: SparkSession) -> list[dict]:
+    """getProposals.ts:24-36 — the proposals page: each row the
+    driver-gated fcd_proposals semantics (on-chain-removal anti-join,
+    display maps, latest-vote tallies, non-voting validator count)
+    reshaped into the reference's response nesting:
+    {id, proposer, type, status, title, deposit, vote: {count, total,
+    nonVotingCount}}."""
+    from classic_fcd_spark.queries.fcd_read import fcd_proposals
+
+    rows = fcd_proposals(spark, "").orderBy("proposal_id").collect()
+    return [
+        {
+            "id": str(r["proposal_id"]),
+            "proposer": {"accountAddress": r["proposer"]},
+            "type": r["type_display"],
+            "status": r["status_display"],
+            "title": r["title"],
+            "deposit": {"totalDeposit": [{"denom": "uluna", "amount": _money(r["deposit_total"])}]},
+            "vote": {
+                "count": {
+                    "Yes": int(r["yes"]),
+                    "No": int(r["no"]),
+                    "NoWithVeto": int(r["no_with_veto"]),
+                    "Abstain": int(r["abstain"]),
+                },
+                "total": int(r["yes"]) + int(r["no"]) + int(r["no_with_veto"]) + int(r["abstain"]),
+                "nonVotingCount": int(r["n_nonvoting_validators"]),
+            },
+        }
+        for r in rows
+    ]
+
+
 def _day_ms(day: str) -> int:
     """'yyyy-MM-dd' -> epoch milliseconds at UTC midnight (the reference
     serializes Date.getTime() of the day's timestamp)."""

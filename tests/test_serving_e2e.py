@@ -190,6 +190,52 @@ class TestSwapRate:
             float(r["swaprate"])  # parseable money strings
 
 
+class TestListingEndpoints:
+    def test_last_hour_ops(self, spark):
+        body = E.get_last_hour_ops_and_txs(spark)
+        assert set(body) == {"last_1h_op", "last_1h_tx"}
+        # ops >= txs by construction (MultiSend fan-out adds, never subtracts)
+        assert body["last_1h_op"] >= body["last_1h_tx"] > 0
+
+    def test_validators_listing(self, spark):
+        body = E.get_validators_listing(spark)
+        assert len(body) == 20
+        # power-desc ordering, golden head row
+        assert body[0]["description"]["moniker"] == "validator-19"
+        assert body[0]["votingPower"]["weight"] == "24000"
+        # rates sum to ~1 across the set
+        total_rate = sum(float(v["votingPower"]["rate"]) for v in body)
+        assert abs(total_rate - 1.0) < 1e-6
+        for v in body:
+            assert set(v) == {
+                "operatorAddress",
+                "accountAddress",
+                "description",
+                "votingPower",
+                "commissionInfo",
+            }
+            assert v["operatorAddress"].startswith("terravaloper1")
+
+    def test_proposals_listing(self, spark):
+        body = E.get_proposals_listing(spark)
+        # proposal 5 was removed on chain (the D1 anti-join)
+        assert [p["id"] for p in body] == ["0", "1", "2", "3", "4", "6", "7"]
+        for p in body:
+            assert set(p) == {
+                "id",
+                "proposer",
+                "type",
+                "status",
+                "title",
+                "deposit",
+                "vote",
+            }
+            c = p["vote"]["count"]
+            assert p["vote"]["total"] == sum(c.values())
+        # display maps applied (F20)
+        assert body[0]["status"] in {"Voting", "Deposit", "Passed", "Rejected"}
+
+
 class TestDashboardSubEndpoints:
     """The reference's per-series dashboard endpoints as response-shape
     wrappers (getAccountGrowth/getTransactionVol/getBlockRewards/
