@@ -309,6 +309,52 @@ def get_market_price(
     }
 
 
+def get_dashboard_general_info(spark: SparkSession) -> dict:
+    """GET /v1/dashboard's general payload (getGeneralInfo.ts; field
+    list pinned by the reference's e2e spec dashboard.spec.ts:22-50):
+    latest oracle prices per denom (money strings keyed by denom),
+    taxRate + per-denom taxCaps (the engine's F13 constants —
+    pipeline/medallion.py's tax math), per-denom issuances, and the
+    stakingPool ratio/bonded/notBonded from the newest general-info
+    snapshot.  Every piece is a dim-bounded or 1-row collect."""
+    from classic_fcd_spark.pipeline.medallion import (
+        DEFAULT_TAX_CAP,
+        TAX_CAPS,
+        TAX_RATE_E6,
+    )
+    from classic_fcd_spark.sources.fixtures import gen_general_info, gen_issuances
+
+    prices = {d: _money(p) for d, p in _latest_price_at(spark).items()}
+    issuances = {
+        r["denom"]: _money(int(r["issuance"]))
+        for r in gen_issuances(spark).collect()
+    }
+    gi = (
+        gen_general_info(spark)
+        .orderBy(F.col("datetime").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    bonded = int(gi["bonded_tokens"])
+    ratio = Decimal(int(gi["staking_ratio_e6"])) / Decimal(1_000_000)
+    # not-bonded backed out of ratio = bonded / (bonded + notBonded)
+    not_bonded = int(bonded / float(ratio)) - bonded if ratio else 0
+    return {
+        "prices": prices,
+        "taxRate": _money(Decimal(TAX_RATE_E6) / Decimal(1_000_000)),
+        "taxCaps": [
+            {"denom": d, "taxCap": _money(c)} for d, c in sorted(TAX_CAPS.items())
+        ]
+        + [{"denom": "*", "taxCap": _money(DEFAULT_TAX_CAP)}],
+        "issuances": issuances,
+        "stakingPool": {
+            "stakingRatio": _money(ratio),
+            "bondedTokens": _money(bonded),
+            "notBondedTokens": _money(not_bonded),
+        },
+    }
+
+
 def get_last_hour_ops_and_txs(spark: SparkSession) -> dict:
     """lastHourOpsAndTxs.ts:55-60 — {last_1h_op, last_1h_tx} over the
     final hour window; the counting semantics (ops = txs + MultiSend

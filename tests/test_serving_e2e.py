@@ -191,6 +191,32 @@ class TestSwapRate:
 
 
 class TestListingEndpoints:
+    def test_dashboard_general_info(self, spark):
+        """dashboard.spec.ts:22-50's field pins: prices by denom,
+        taxRate string, taxCaps array, issuances by denom, stakingPool
+        with ratio/bonded/notBonded."""
+        body = E.get_dashboard_general_info(spark)
+        assert set(body) == {
+            "prices",
+            "taxRate",
+            "taxCaps",
+            "issuances",
+            "stakingPool",
+        }
+        assert set(body["prices"]) == {"ukrw", "usdr", "uusd"}
+        for v in body["prices"].values():
+            float(v)  # money strings
+        assert body["taxRate"] == "0.1"
+        assert {c["denom"] for c in body["taxCaps"]} == {"ukrw", "*"}
+        assert set(body["issuances"]) == {"ukrw", "uluna", "usdr", "uusd"}
+        sp = body["stakingPool"]
+        assert set(sp) == {"stakingRatio", "bondedTokens", "notBondedTokens"}
+        # ratio reconstructs from bonded / (bonded + notBonded)
+        bonded, nb = float(sp["bondedTokens"]), float(sp["notBondedTokens"])
+        assert abs(bonded / (bonded + nb) - float(sp["stakingRatio"])) < 1e-4
+        # golden: latest fixture snapshot
+        assert body["prices"]["ukrw"] == "1.83"
+
     def test_last_hour_ops(self, spark):
         body = E.get_last_hour_ops_and_txs(spark)
         assert set(body) == {"last_1h_op", "last_1h_tx"}
