@@ -190,6 +190,26 @@ class TestSwapRate:
             float(r["swaprate"])  # parseable money strings
 
 
+class TestRouteManifest:
+    def test_every_route_resolves(self):
+        """serving/routes.py covers the reference's full @Get surface;
+        every wrapper/query/operator spec must resolve to a real
+        callable so renames break loudly."""
+        from classic_fcd_spark.serving.routes import ROUTES, resolve
+
+        statuses = {}
+        for route, (status, spec) in ROUTES.items():
+            statuses[status] = statuses.get(status, 0) + 1
+            if status in ("wrapper", "query", "operator"):
+                assert callable(resolve(spec)), route
+        # the read surface is wrapper- or query-served; only the three
+        # SURVEY-scoped-out routes and the config constant are not
+        assert statuses["oos"] == 3
+        assert statuses["config"] == 1
+        assert statuses["wrapper"] >= 20
+        assert statuses["wrapper"] + statuses["query"] + statuses["operator"] >= 33
+
+
 class TestListingEndpoints:
     def test_dashboard_general_info(self, spark):
         """dashboard.spec.ts:22-50's field pins: prices by denom,
