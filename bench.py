@@ -90,6 +90,7 @@ def _extra_workloads():
     folded in r3) but still benched: the multi-way TPC-H join and the
     signature/bucket projections."""
     from classic_fcd_spark.queries.core import revenue_by_nation
+    from classic_fcd_spark.queries.fcd import fcd_cumulative_rewards
 
     # r5 slot rotation: incremental_dedup / interval_joined_events /
     # sessionized_events are now REGISTERED (driver-gated) queries —
@@ -177,6 +178,11 @@ def _extra_workloads():
         # r6 rotation: driver slot went to duplicated_spans; the PPJoin
         # plan keeps its bench timing + in-test oracle here
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        # r6 rotation twin: slot went to bm25_search; kept here so
+        # `plan_audit --extras` still audits its window plan (its ALLOW
+        # entry documents the per-day-rollup cumsum) — not in HEADLINE,
+        # so it adds no bench time
+        "fcd_cumulative_rewards": fcd_cumulative_rewards,
         "approx_top_ngrams": approx_top_ngrams,
         "ccnet_perplexity": ccnet_perplexity,
         "ann_ivfpq_search_trained": ann_ivfpq_search_trained,

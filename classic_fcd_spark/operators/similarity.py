@@ -617,12 +617,13 @@ def semantic_dedup(
 
 
 def incremental_semantic_pairs(
-    new_emb: DataFrame,
+    new_emb: DataFrame | None,
     index_assigned: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     eps: float = 0.05,
+    probe_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, dup_of, cos_e6): semantic duplicates of a NEW batch
     against the STORED corpus assignment index — the incremental form of
@@ -644,8 +645,17 @@ def incremental_semantic_pairs(
     are floored to e6 integers (the engine's order-free exact policy).
     Growing the index = appending the batch's own assignment rows to the
     stored table (same partition-overwrite exactly-once story as the
-    MinHash band index, streaming/incremental_dedup.py)."""
-    probe = assign_cells(new_emb, centroids, vec_col, id_col)
+    MinHash band index, streaming/incremental_dedup.py).
+
+    `probe_assigned` supplies an already-assigned batch (an assign_cells
+    output) and skips the assignment — the streaming twin's path, which
+    assigns once and reuses the rows for both the probe and the index
+    write (one shared implementation of the pair scan, not two)."""
+    probe = (
+        probe_assigned
+        if probe_assigned is not None
+        else assign_cells(new_emb, centroids, vec_col, id_col)
+    )
     n = probe.select(
         "cell",
         F.col(id_col).alias("new_id"),

@@ -36,6 +36,32 @@ def _day(col) -> F.Column:
     return F.date_format(col, "yyyy-MM-dd")
 
 
+def price_interval_buckets_e6(
+    prices: DataFrame, interval_minutes: int
+) -> DataFrame:
+    """(w, avg_price_e6, n_quotes, min_dt): A18 candle interval buckets
+    with the integer-e6 average policy — avg = SUM(price-cents) * 10^4
+    div COUNT (order-free exact on any engine/partitioning).  The one
+    implementation behind BOTH the gated fcd_price_buckets_15m query and
+    the serving get_market_price endpoint, so the numeric policy cannot
+    diverge between them."""
+    return (
+        prices.select(
+            F.window("datetime", f"{interval_minutes} minutes").alias("w"),
+            F.round(F.col("price") * 100).cast("long").alias("p2"),
+            "datetime",
+        )
+        .groupBy("w")
+        .agg(
+            F.expr("CAST(SUM(p2) * 10000 div COUNT(*) AS BIGINT)").alias(
+                "avg_price_e6"
+            ),
+            F.count("*").alias("n_quotes"),
+            F.min("datetime").alias("min_dt"),
+        )
+    )
+
+
 def daily_avg_price_e6(prices: DataFrame) -> DataFrame:
     """A17: average price per (day, denom), in exact integer micro-units.
 

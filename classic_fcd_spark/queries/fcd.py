@@ -1087,22 +1087,13 @@ def fcd_staking_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "buckets over the ukrw minute prices, integer-mu average.",
 )
 def fcd_price_buckets_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.pipeline.prices import price_interval_buckets_e6
+
     p = gen_prices(spark).filter(F.col("denom") == "ukrw")
-    agg = (
-        p.select(
-            F.window("datetime", "15 minutes").alias("w"),
-            F.round(F.col("price") * 100).cast("long").alias("p2"),
-        )
-        .groupBy("w")
-        .agg(
-            F.expr("CAST(SUM(p2) * 10000 div COUNT(*) AS BIGINT)").alias("avg_price_e6"),
-            F.count("*").alias("n_quotes"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
-            "avg_price_e6",
-            "n_quotes",
-        )
+    agg = price_interval_buckets_e6(p, 15).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "avg_price_e6",
+        "n_quotes",
     )
     # newest 50, then re-sorted ascending (the serving display order)
     return agg.orderBy(F.col("bucket_start").desc()).limit(50).orderBy("bucket_start")

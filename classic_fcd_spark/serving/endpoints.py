@@ -58,7 +58,9 @@ def _money(x) -> str:
     s = format(q, "f")
     if "." in s:
         s = s.rstrip("0").rstrip(".")
-    return s if s not in ("", "-") else "0"
+    # values in (-1e-10, 0) truncate to negative zero — BigNumber's
+    # toString never emits "-0"
+    return "0" if s in ("", "-", "-0") else s
 
 
 def _account_info(row, addr_field: str) -> dict:
@@ -265,29 +267,22 @@ def get_market_price(
     midnight-minus-one-minute (helper.ts:21-40 getOnedayBefore);
     oneDayVariationRate = variation / lastPrice (both BigNumber strings
     in the reference — money-string scale here)."""
+    from classic_fcd_spark.pipeline.prices import price_interval_buckets_e6
+
     now_s = fixture_now_epoch(spark)
     p = gen_prices(spark).filter(F.col("denom") == denom)
     agg = (
-        p.select(
-            F.window("datetime", f"{interval_minutes} minutes").alias("w"),
-            F.round(F.col("price") * 100).cast("long").alias("p2"),
-            F.col("datetime"),
-        )
-        .groupBy("w")
-        .agg(
-            F.expr("CAST(SUM(p2) * 10000 div COUNT(*) AS BIGINT)").alias("avg_e6"),
-            F.min("datetime").alias("dt"),
-        )
+        price_interval_buckets_e6(p, interval_minutes)
         .orderBy(F.col("w.start").desc())
         .limit(50)
-        .select("avg_e6", "dt")
+        .select("avg_price_e6", "min_dt")
         .collect()
     )
     prices = [
         {
             "denom": denom,
-            "price": r["avg_e6"] / 1e6,
-            "datetime": int(r["dt"].timestamp()) * 1000,
+            "price": r["avg_price_e6"] / 1e6,
+            "datetime": int(r["min_dt"].timestamp()) * 1000,
         }
         for r in reversed(agg)
     ]
@@ -467,71 +462,90 @@ def _dashboard_days(spark: SparkSession) -> list:
     )
 
 
+def _new_accounts_by_day(spark: SparkSession) -> dict[str, int]:
+    """day -> count of accounts whose FIRST-ever activity falls on that
+    day — the engine's registration series (the reference counts account
+    rows created by the collector; the fixture has no separate
+    registration stream, so first-seen IS registration).  One groupBy on
+    account (min day) + one day rollup; |days| rows collected."""
+    from classic_fcd_spark.pipeline.medallion import account_tx_silver
+    from classic_fcd_spark.sources.fixtures import gen_txs
+
+    at = account_tx_silver(gen_txs(spark))
+    firsts = at.groupBy("account").agg(
+        F.min(F.date_format("timestamp", "yyyy-MM-dd")).alias("day")
+    )
+    return {
+        r["day"]: int(r["n"])
+        for r in firsts.groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+
+
 def get_account_growth(spark: SparkSession) -> dict:
     """getAccountGrowth.ts:6-37 — {cumulative, periodic} account-count
-    series.  The reference reads per-day totalAccount/activeAccount off
-    the dashboard entity and does the running sum in JS; here the gold
-    row supplies active_accounts per day and cumulative_active is the
-    running sum (the engine's registered accounts equal its first-seen
-    active set — the fixture has no separate registration stream, noted
-    honestly).  Shapes mirror the reference exactly: cumulative drops the
-    first element, periodic starts at index 1 with day-over-day deltas."""
+    series: totalAccountCount = cumulative DISTINCT registered accounts
+    (first-seen, _new_accounts_by_day — an account active on five days
+    registers once), activeAccountCount = the reference's running sum of
+    per-day actives (cumulative) / the day's active count (periodic).
+    Shapes mirror the reference exactly: cumulative drops the first
+    element, periodic starts at index 1 with day-over-day total deltas."""
     rows = _dashboard_days(spark)
+    new_by_day = _new_accounts_by_day(spark)
     cumulative, periodic = [], []
-    running = 0
+    running_active = 0
+    total = 0
     prev_total = None
     for r in rows:
-        running += int(r["active_accounts"])
+        running_active += int(r["active_accounts"])
+        total += new_by_day.get(r["day"], 0)
         cumulative.append(
             {
                 "datetime": _day_ms(r["day"]),
-                "totalAccountCount": running,
-                "activeAccountCount": running,
+                "totalAccountCount": total,
+                "activeAccountCount": running_active,
             }
         )
         if prev_total is not None:
             periodic.append(
                 {
                     "datetime": _day_ms(r["day"]),
-                    "totalAccountCount": running - prev_total,
+                    "totalAccountCount": total - prev_total,
                     "activeAccountCount": int(r["active_accounts"]),
                 }
             )
-        prev_total = running
+        prev_total = total
     return {"cumulative": cumulative[1:] if cumulative else [], "periodic": periodic}
 
 
 def get_active_accounts(spark: SparkSession) -> dict:
     """getActiveAccounts.ts:4-15 — {total, periodic}: per-day active
-    account counts plus the final registered total."""
+    account counts plus the final registered (distinct first-seen)
+    total."""
     rows = _dashboard_days(spark)
-    running = 0
-    periodic = []
-    for r in rows:
-        running += int(r["active_accounts"])
-        periodic.append(
-            {"datetime": _day_ms(r["day"]), "value": int(r["active_accounts"])}
-        )
-    return {"total": running if rows else 0, "periodic": periodic}
+    new_by_day = _new_accounts_by_day(spark)
+    periodic = [
+        {"datetime": _day_ms(r["day"]), "value": int(r["active_accounts"])}
+        for r in rows
+    ]
+    return {"total": sum(new_by_day.values()) if rows else 0, "periodic": periodic}
 
 
 def get_registered_accounts(spark: SparkSession) -> dict:
     """getRegisteredAccounts.ts:4-29 — {total, periodic, cumulative}
-    registered-account series; first elements dropped like the
-    reference's slice(1).  Registered = first-seen active (see
-    get_account_growth's note)."""
+    registered-account series (distinct first-seen accounts per day);
+    first elements dropped like the reference's slice(1)."""
     rows = _dashboard_days(spark)
     if not rows:
         return {"total": 0, "periodic": [], "cumulative": []}
+    new_by_day = _new_accounts_by_day(spark)
     running = 0
     cumulative, periodic = [], []
-    prev = 0
     for r in rows:
-        running += int(r["active_accounts"])
+        n_new = new_by_day.get(r["day"], 0)
+        running += n_new
         ms = _day_ms(r["day"])
         cumulative.append({"datetime": ms, "value": running})
-        periodic.append({"datetime": ms, "value": running - prev})
-        prev = running
+        periodic.append({"datetime": ms, "value": n_new})
     return {
         "total": running,
         "periodic": periodic[1:],

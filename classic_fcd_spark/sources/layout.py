@@ -108,6 +108,10 @@ def compact_time_layout(
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(out_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        # not-yet-written (or dropped) table: nothing to compact — the
+        # no-op contract the old glob form had (listStatus would raise)
+        return []
     fragmented = []
     for st in sorted(fs.listStatus(root), key=lambda s: s.getPath().getName()):
         name = st.getPath().getName()

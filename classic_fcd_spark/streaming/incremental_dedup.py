@@ -83,7 +83,15 @@ def run_streaming_dedup_available_now(
         new_sh = _shingled(batch_df, id_col, text_col)
         new_banded = banded_signatures(new_sh, id_col, "shingles")
         if os.path.exists(index_dir):
-            index_banded = spark.read.parquet(index_dir).drop("batch_pt")
+            # EXCLUDE this batch's own partition: a replay (crash after
+            # the index write, before the checkpoint commit) would
+            # otherwise probe the batch against its own just-written
+            # rows and emit self-pairs a clean run never produces
+            index_banded = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_pt") != str(batch_id))
+                .drop("batch_pt")
+            )
             # the raw shingles of candidate index docs are recomputed
             # from the documents seen so far (persisted alongside the
             # bands); production would store them columnar next to the

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from classic_fcd_spark.operators.similarity import (
     assign_cells,
-    dot_sql,
+    incremental_semantic_pairs,
 )
 
 
@@ -64,29 +64,17 @@ def run_streaming_semantic_dedup_available_now(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         assigned = assign_cells(batch_df, centroids, vec_col, id_col)
         if os.path.exists(index_dir):
-            index = spark.read.parquet(index_dir).drop("batch_pt")
-            n = assigned.select(
-                "cell",
-                F.col(id_col).alias("new_id"),
-                F.col(vec_col).alias("va"),
-                F.col("vnorm").alias("na"),
-            )
-            x = index.select(
-                "cell",
-                F.col(id_col).alias("dup_of"),
-                F.col(vec_col).alias("vb"),
-                F.col("vnorm").alias("nb"),
-            )
-            pair_cos = F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
-            pairs = (
-                n.join(x, "cell")
-                .withColumn("cos", pair_cos)
-                .filter(F.col("cos") >= 1.0 - eps)
-                .select(
-                    "new_id",
-                    "dup_of",
-                    F.floor(F.col("cos") * F.lit(1e6)).cast("bigint").alias("cos_e6"),
-                )
+            # EXCLUDE this batch's own partition: a replay (crash after
+            # the index write, before the checkpoint commit) would
+            # otherwise probe the batch against its own stored vectors
+            # and emit (i, i, 1000000) self-pairs a clean run never
+            # produces.  The pair scan itself is the batch operator —
+            # one implementation, not a streaming copy.
+            index = spark.read.parquet(index_dir).filter(
+                F.col("batch_pt") != str(batch_id)
+            ).drop("batch_pt")
+            pairs = incremental_semantic_pairs(
+                None, index, None, vec_col, id_col, eps, probe_assigned=assigned
             )
             sink.extend(pairs.collect())
         (

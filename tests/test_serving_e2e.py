@@ -304,12 +304,16 @@ class TestDashboardSubEndpoints:
         # cumulative totals are non-decreasing
         tots = [c["totalAccountCount"] for c in body["cumulative"]]
         assert tots == sorted(tots)
-        # golden: day-2 cumulative = 162 accounts on the 600-block fixture
+        # golden: the fixture's 54 distinct accounts all register on
+        # day 1 (first-seen), while actives accumulate day over day
         assert body["cumulative"][0] == {
             "datetime": 1609545600000,
-            "totalAccountCount": 108,
+            "totalAccountCount": 54,
             "activeAccountCount": 108,
         }
+        # an account active on many days registers ONCE: the registered
+        # total never exceeds the distinct account count
+        assert body["cumulative"][-1]["totalAccountCount"] == 54
 
     def test_account_stat_endpoints(self, spark):
         active = E.get_active_accounts(spark)
@@ -320,12 +324,16 @@ class TestDashboardSubEndpoints:
         assert active["total"] == reg["total"]
         # registered periodic/cumulative drop the first day (slice(1))
         assert len(reg["periodic"]) == len(active["periodic"]) - 1
-        # cumulative reconstructs from active periodic
-        run = active["periodic"][0]["value"]
-        for p, c in zip(active["periodic"][1:], reg["cumulative"]):
-            run += p["value"]
-            assert c["value"] == run
+        # cumulative is the running sum of registrations and ends at total
+        for prev, cur, p in zip(
+            reg["cumulative"], reg["cumulative"][1:], reg["periodic"][1:]
+        ):
+            assert cur["value"] == prev["value"] + p["value"]
         assert reg["cumulative"][-1]["value"] == reg["total"]
+        # registrations can never exceed that day's actives
+        by_day = {p["datetime"]: p["value"] for p in active["periodic"]}
+        for p in reg["periodic"]:
+            assert 0 <= p["value"] <= by_day[p["datetime"]]
 
     def test_transaction_vol_series(self, spark):
         body = E.get_transaction_vol(spark)
