@@ -638,6 +638,25 @@ def get_staking_ratio(spark: SparkSession) -> list[dict]:
     ]
 
 
+def get_price_history(spark: SparkSession, day_count: int | None = None) -> dict:
+    """getPriceHistory.ts:16-31 — {'<YYYY-MM-DD><denom>': avg-price
+    money string}: the daily-average map keyed date||denom (the exact
+    reference key format, getPriceObjKey).  Averages come from the gated
+    A17 integer-e6 rollup (pipeline.prices.daily_avg_price_e6) so they
+    are order-free exact; `day_count` keeps only the newest N days."""
+    from classic_fcd_spark.pipeline.prices import daily_avg_price_e6
+    from classic_fcd_spark.sources.fixtures import gen_prices
+
+    rows = daily_avg_price_e6(gen_prices(spark)).collect()
+    if day_count is not None:
+        keep = sorted({r["day"] for r in rows}, reverse=True)[:day_count]
+        rows = [r for r in rows if r["day"] in keep]
+    return {
+        f"{r['day']}{r['denom']}": _money(Decimal(int(r["avg_e6"])) / Decimal(1_000_000))
+        for r in rows
+    }
+
+
 def get_denom_swap_rate(spark: SparkSession, base: str) -> list[dict]:
     """getSwapRate.ts:19-40 — swap rates of every active denom against
     `base`, with one-day variation.  getSwapRate (helper.ts:42-60):

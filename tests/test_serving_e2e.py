@@ -165,6 +165,24 @@ class TestMarketPrice:
         assert m1["lastPrice"] == m60["lastPrice"] == 1.83
 
 
+class TestPriceHistory:
+    def test_key_format_and_day_count(self, spark):
+        hist = E.get_price_history(spark)
+        # 4 fixture days x 3 priced denoms (uluna has no price row)
+        assert len(hist) == 4 * 3
+        assert all(
+            k[:10].count("-") == 2 and k[10:] in {"ukrw", "usdr", "uusd"}
+            for k in hist
+        )
+        for v in hist.values():
+            assert 1.0 <= float(v) <= 2.0  # fixture walk range
+        # day_count keeps the newest N days only
+        last2 = E.get_price_history(spark, day_count=2)
+        assert len(last2) == 2 * 3
+        assert set(last2) <= set(hist)
+        assert max(k[:10] for k in hist) == max(k[:10] for k in last2)
+
+
 class TestSwapRate:
     def test_luna_base_returns_oracle_prices(self, spark):
         rows = {r["denom"]: r for r in E.get_denom_swap_rate(spark, "uluna")}
