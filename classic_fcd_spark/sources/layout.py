@@ -164,6 +164,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     source_col: str = "source",
     text_col: str = "text",
+    shuffle_seed: str | None = None,
 ) -> None:
     """The training pipeline's last mile: materialize a curated corpus
     as loader-ready shard files.
@@ -173,10 +174,18 @@ def write_training_shards(
     bins_per_shard consecutive packing bins (~bins_per_shard x budget
     tokens), one directory per (source, shard), EXACTLY one file per
     shard (each shard's rows hash to one writer task), rows inside the
-    file in doc_id order — the loader mmaps one file and reads one
+    file in packing order — the loader mmaps one file and reads one
     contiguous token stream.  Parallelism = number of shards; at 100 TB
     that is the write's natural task count and no task holds more than
-    one loader file's data."""
+    one loader file's data.
+
+    `shuffle_seed` packs documents in a DETERMINISTIC pseudo-random
+    order — md5(seed || id) — instead of id order: the global training
+    shuffle every pretraining loader wants, reproducible from the seed
+    alone (re-running with the same seed reproduces byte-identical
+    shards; a different seed is a fresh permutation).  The shuffle is
+    free: it only changes the window's ORDER BY key — same single
+    shuffle per source, no extra pass."""
     from classic_fcd_spark.operators.dedup import ws_tokens
     from classic_fcd_spark.operators.packing import pack_concat_and_cut
 
@@ -185,8 +194,16 @@ def write_training_shards(
     toks = docs.select(
         id_col, source_col, text_col, F.size(ws_tokens(text_col)).cast("long").alias("n_tokens")
     )
+    order_col = id_col
+    pack_in = toks.select(id_col, source_col, "n_tokens")
+    if shuffle_seed is not None:
+        order_col = "__ord"
+        pack_in = pack_in.withColumn(
+            order_col,
+            F.md5(F.concat(F.lit(f"{shuffle_seed}:"), F.col(id_col).cast("string"))),
+        )
     packed = pack_concat_and_cut(
-        toks.select(id_col, source_col, "n_tokens"), source_col, id_col, "n_tokens", budget
+        pack_in, source_col, order_col, "n_tokens", budget
     )
     rows = (
         toks.select(id_col, text_col)
@@ -194,10 +211,12 @@ def write_training_shards(
         .withColumn(SHARD_COL, F.expr(f"bin_id div {bins_per_shard}").cast("string"))
         .withColumnRenamed(source_col, SOURCE_COL)
     )
+    sort_key = F.col(order_col) if shuffle_seed is not None else F.col(id_col)
     n_shards = rows.select(SOURCE_COL, SHARD_COL).distinct().count()
     (
         rows.repartition(max(1, n_shards), F.col(SOURCE_COL), F.col(SHARD_COL))
-        .sortWithinPartitions(SOURCE_COL, SHARD_COL, id_col)
+        .sortWithinPartitions(F.col(SOURCE_COL), F.col(SHARD_COL), sort_key)
+        .drop("__ord")
         .write.mode("overwrite")
         .partitionBy(SOURCE_COL, SHARD_COL)
         .parquet(out_dir)

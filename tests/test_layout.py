@@ -217,6 +217,57 @@ class TestTrainingShards:
             ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
             assert ids == sorted(ids), f  # the loader's contiguous stream
 
+    def test_shuffled_shards_are_deterministic_and_permuted(self, spark, tmp_path):
+        """shuffle_seed packs docs in md5(seed||id) order: the same seed
+        reproduces the exact same shard assignment; a different seed is
+        a different permutation; in-file order follows the shuffle key
+        (the loader's stream is still contiguous); and the doc SET is
+        untouched."""
+        import glob
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        from classic_fcd_spark.session import load_tables
+        from classic_fcd_spark.sources.layout import (
+            read_training_shards,
+            write_training_shards,
+        )
+
+        docs = load_tables(spark, SF_SMALL)["documents"]
+
+        def write(seed, name):
+            out = str(tmp_path / name)
+            write_training_shards(
+                docs, out, budget=self.BUDGET, bins_per_shard=self.BPS,
+                shuffle_seed=seed,
+            )
+            return out
+
+        a1 = write("s1", "a1")
+        a2 = write("s1", "a2")
+        b = write("s2", "b")
+        asg = lambda out: {  # noqa: E731
+            r["doc_id"]: (r["source_pt"], r["shard_pt"])
+            for r in read_training_shards(spark, out).collect()
+        }
+        m1, m2, mb = asg(a1), asg(a2), asg(b)
+        assert m1 == m2  # same seed -> byte-stable assignment
+        assert m1 != mb  # different seed -> different permutation
+        assert set(m1) == set(mb) == {
+            r[0] for r in docs.select("doc_id").collect()
+        }
+        # in-file order = the md5 shuffle key order, not id order
+        key = lambda did: hashlib.md5(f"s1:{did}".encode()).hexdigest()  # noqa: E731
+        saw_non_id_order = False
+        for f in glob.glob(os.path.join(a1, "source_pt=*", "shard_pt=*", "*.parquet")):
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            assert ids == sorted(ids, key=key), f
+            if ids != sorted(ids):
+                saw_non_id_order = True
+        assert saw_non_id_order  # the shuffle actually reordered something
+
     def test_shard_assignment_matches_python_prefix_sum(self, spark, tmp_path):
         """Exact reference: shard(doc) = (prefix_tokens_before // budget)
         // bins_per_shard over doc_id order per source — recomputed
