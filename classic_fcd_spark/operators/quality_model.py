@@ -51,7 +51,12 @@ def hashed_freq_features(
     from pyspark.ml.functions import array_to_vector
 
     toks = ws_tokens(text_col)
-    ex = docs.select(
+    # mirror the scorer's empty-doc guard (functions/text.py:226-228):
+    # split('') yields [''] and would featurize an empty doc as weight
+    # 1.0 on bucket(md5('')) while linear_quality_score scores it a
+    # neutral 0.5 — training on that row would push a weight the scorer
+    # never applies.  Empty docs carry no signal; drop them.
+    ex = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col), F.size(toks).alias("n"), F.explode(toks).alias("t")
     )
     bucket = F.expr(hashed_bucket_sql("t", n_buckets, salt)).cast("int")

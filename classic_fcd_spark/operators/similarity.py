@@ -651,6 +651,11 @@ def incremental_semantic_pairs(
     output) and skips the assignment — the streaming twin's path, which
     assigns once and reuses the rows for both the probe and the index
     write (one shared implementation of the pair scan, not two)."""
+    if probe_assigned is None and (new_emb is None or centroids is None):
+        raise ValueError(
+            "incremental_semantic_pairs needs either probe_assigned or "
+            "both new_emb and centroids"
+        )
     probe = (
         probe_assigned
         if probe_assigned is not None

@@ -67,6 +67,12 @@ def run_streaming_dedup_available_now(
     checkpoint replay REPLACES its partition instead of appending a
     duplicate copy — the index cannot grow unboundedly under crash
     loops."""
+    from classic_fcd_spark.streaming.index_store import (
+        configure_index_writes,
+        read_index_excluding,
+        write_index_batch,
+    )
+
     batch_schema = spark.read.parquet(docs_dir).schema
     src = (
         spark.readStream.schema(batch_schema)
@@ -74,24 +80,13 @@ def run_streaming_dedup_available_now(
         .parquet(docs_dir)
     )
     sink: list = []
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    )
+    configure_index_writes(spark)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_sh = _shingled(batch_df, id_col, text_col)
         new_banded = banded_signatures(new_sh, id_col, "shingles")
         if os.path.exists(index_dir):
-            # EXCLUDE this batch's own partition: a replay (crash after
-            # the index write, before the checkpoint commit) would
-            # otherwise probe the batch against its own just-written
-            # rows and emit self-pairs a clean run never produces
-            index_banded = (
-                spark.read.parquet(index_dir)
-                .filter(F.col("batch_pt") != str(batch_id))
-                .drop("batch_pt")
-            )
+            index_banded = read_index_excluding(spark, index_dir, batch_id)
             # the raw shingles of candidate index docs are recomputed
             # from the documents seen so far (persisted alongside the
             # bands); production would store them columnar next to the
@@ -107,12 +102,7 @@ def run_streaming_dedup_available_now(
                 new_sh, index_banded, seen, id_col, "shingles"
             )
             sink.extend(pairs.collect())
-        (
-            new_banded.withColumn("batch_pt", F.lit(str(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("batch_pt")
-            .parquet(index_dir)
-        )
+        write_index_batch(new_banded, index_dir, batch_id)
 
     q = (
         src.writeStream.foreachBatch(process)

@@ -28,7 +28,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from classic_fcd_spark.operators.similarity import (
     assign_cells,
@@ -49,6 +48,12 @@ def run_streaming_semantic_dedup_available_now(
     """Drain all available embedding files (one per micro-batch),
     probing and growing the assignment index; returns the emitted
     (new_id, dup_of, cos_e6) rows."""
+    from classic_fcd_spark.streaming.index_store import (
+        configure_index_writes,
+        read_index_excluding,
+        write_index_batch,
+    )
+
     batch_schema = spark.read.parquet(emb_dir).schema
     src = (
         spark.readStream.schema(batch_schema)
@@ -56,33 +61,20 @@ def run_streaming_semantic_dedup_available_now(
         .parquet(emb_dir)
     )
     sink: list = []
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    )
+    configure_index_writes(spark)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         assigned = assign_cells(batch_df, centroids, vec_col, id_col)
         if os.path.exists(index_dir):
-            # EXCLUDE this batch's own partition: a replay (crash after
-            # the index write, before the checkpoint commit) would
-            # otherwise probe the batch against its own stored vectors
-            # and emit (i, i, 1000000) self-pairs a clean run never
-            # produces.  The pair scan itself is the batch operator —
-            # one implementation, not a streaming copy.
-            index = spark.read.parquet(index_dir).filter(
-                F.col("batch_pt") != str(batch_id)
-            ).drop("batch_pt")
+            # replay-safe index view (index_store); the pair scan itself
+            # is the batch operator — one implementation, no stream copy
+            index = read_index_excluding(spark, index_dir, batch_id)
             pairs = incremental_semantic_pairs(
                 None, index, None, vec_col, id_col, eps, probe_assigned=assigned
             )
             sink.extend(pairs.collect())
-        (
-            assigned.select(id_col, vec_col, "vnorm", "cell")
-            .withColumn("batch_pt", F.lit(str(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("batch_pt")
-            .parquet(index_dir)
+        write_index_batch(
+            assigned.select(id_col, vec_col, "vnorm", "cell"), index_dir, batch_id
         )
 
     q = (
