@@ -50,6 +50,8 @@ def curate_corpus(
     cut_spans_k: int = 8,
     lm_model_docs: DataFrame | None = None,
     max_mean_nll_e6: int | None = None,
+    quality_weights: list[float] | None = None,
+    min_model_quality: float = 0.5,
 ) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → packed training
     rows (doc_id, source, n_tokens, bin_id, offset, spans_boundary,
@@ -71,12 +73,16 @@ def curate_corpus(
     filter sees the text — operators.spans.remove_duplicated_spans);
     pass `lm_model_docs` + `max_mean_nll_e6` to drop docs whose CCNet
     mean NLL under the reference-corpus LM exceeds the threshold
-    (operators.lm.unigram_nll_scores)."""
+    (operators.lm.unigram_nll_scores).  Pass `quality_weights` (e.g.
+    from operators.quality_model.train_linear_quality) to ALSO gate on
+    the trained hashed linear classifier — scored by the column-algebra
+    linear_quality_score at scan speed, dropping docs below
+    `min_model_quality` as stage drop:model_quality."""
     staged = _with_stages(
         docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
         decon_ngram, index_docs, embeddings, emb_centroids, semantic_eps,
         dsir_target, dsir_k, cut_spans_min_len, cut_spans_k,
-        lm_model_docs, max_mean_nll_e6,
+        lm_model_docs, max_mean_nll_e6, quality_weights, min_model_quality,
     )
     kept = staged.filter(F.col("__stage") == "kept")
     packed = pack_concat_and_cut(
@@ -107,6 +113,8 @@ def _with_stages(
     cut_spans_k: int = 8,
     lm_model_docs: DataFrame | None = None,
     max_mean_nll_e6: int | None = None,
+    quality_weights: list[float] | None = None,
+    min_model_quality: float = 0.5,
 ) -> DataFrame:
     """Tag every document with the FIRST stage that drops it (or 'kept').
 
@@ -278,9 +286,18 @@ def _with_stages(
         out = out.join(ppl, "doc_id", "left")
     else:
         out = out.withColumn("ppl_bad", F.lit(False))
+    # trained-classifier gate (optional): the fasttext-style keep
+    # probability from broadcast weights — pure column algebra, rides
+    # the same scan as the heuristic score
+    mq_bad = (
+        T.linear_quality_score("text", quality_weights) < min_model_quality
+        if quality_weights is not None
+        else F.lit(False)
+    )
     out = out.withColumn(
         "__stage",
         F.when(q < min_quality, "drop:quality")
+        .when(mq_bad, "drop:model_quality")
         .when(~lang_ok, "drop:lang")
         .when(~rep_ok, "drop:repetition")
         .when(F.coalesce("ppl_bad", F.lit(False)), "drop:perplexity")
@@ -314,6 +331,8 @@ def curation_stats(
     cut_spans_k: int = 8,
     lm_model_docs: DataFrame | None = None,
     max_mean_nll_e6: int | None = None,
+    quality_weights: list[float] | None = None,
+    min_model_quality: float = 0.5,
 ) -> DataFrame:
     """The funnel: documents and tokens dropped per stage — what a
     data-mix owner reviews before a training run."""
@@ -321,7 +340,7 @@ def curation_stats(
         docs, min_quality, keep_langs, simhash_hamming, sample_rates, bench,
         decon_ngram, index_docs, embeddings, emb_centroids, semantic_eps,
         dsir_target, dsir_k, cut_spans_min_len, cut_spans_k,
-        lm_model_docs, max_mean_nll_e6,
+        lm_model_docs, max_mean_nll_e6, quality_weights, min_model_quality,
     )
     return (
         staged.groupBy("__stage")

@@ -153,6 +153,47 @@ class TestCurationPipeline:
             assert set(fresh_flagged) <= verified
 
 
+class TestTrainedQualityStage:
+    def test_train_then_gate_drops_planted_junk(self, spark):
+        """End-to-end: train the hashed classifier on planted good/bad
+        corpora (operators/quality_model), feed the weights into the
+        funnel — the junk-vocabulary docs drop as drop:model_quality and
+        the clean ones survive that stage."""
+        from classic_fcd_spark.operators.quality_model import train_linear_quality
+
+        good = ["the documented analysis presents measured results clearly"] * 4
+        bad = ["click buy free winner prize now subscribe cheap"] * 4
+        pos = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(good)], "doc_id long, text string"
+        )
+        neg = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(bad)], "doc_id long, text string"
+        )
+        weights = train_linear_quality(pos, neg, n_buckets=64)
+
+        probe = spark.createDataFrame(
+            [
+                (0, "the documented analysis presents measured results", "en", "s0", 10),
+                (1, "click buy free winner prize now now", "en", "s0", 10),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        staged = _with_stages(
+            probe, 0.0, ("en",), 1, None,
+            quality_weights=weights, min_model_quality=0.5,
+        )
+        stages = {r["doc_id"]: r["__stage"] for r in staged.collect()}
+        assert stages[1] == "drop:model_quality"
+        assert stages[0] != "drop:model_quality"
+
+    def test_no_weights_means_no_model_stage(self, spark):
+        stats = {
+            r["stage"]: r["n_docs"]
+            for r in curation_stats(_docs(spark)).collect()
+        }
+        assert "drop:model_quality" not in stats
+
+
 class TestSemanticStage:
     def test_semantic_stage_drops_paraphrases_keeps_edge_member(self, spark):
         """With embeddings supplied, paraphrase groups (near-identical
