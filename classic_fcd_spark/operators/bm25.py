@@ -171,6 +171,11 @@ def duck_bm25_sql(
     e6 floor-then-integer-sum, same (qid, term) set semantics."""
     toks = f"regexp_split_to_array(trim({text_col}), ' +')"
     qpairs = list(dict.fromkeys((qid, t) for qid, terms in queries for t in terms))
+    if not qpairs:
+        # bm25_topk short-circuits this case to an empty frame; an empty
+        # VALUES list is invalid SQL, so keep the oracle contract
+        # symmetric by refusing rather than emitting a broken query
+        raise ValueError("duck_bm25_sql needs >=1 (qid, term) pair")
     qvals = ", ".join(
         "({}, '{}')".format(qid, t.replace("'", "''")) for qid, t in qpairs
     )

@@ -195,8 +195,9 @@ def banded_signatures(
 def lsh_collision_prob(jaccard: float, bands: int, rows: int) -> float:
     """P(two docs with this Jaccard share >= 1 band) = 1 - (1 - J^r)^b —
     the MinHash-LSH S-curve (Mining of Massive Datasets §3.4, public
-    literature).  The engine's default (b=4, r=4) gives 0.71 at J=0.8
-    per table; multi-table/repeated-banding closes the recall gap."""
+    literature).  The engine's default (b=4, r=4) gives
+    1-(1-0.8^4)^4 ~= 0.88 at J=0.8 per table; multi-table/repeated-
+    banding closes the recall gap."""
     if not 0.0 <= jaccard <= 1.0:
         raise ValueError(f"jaccard must be in [0,1], got {jaccard}")
     return 1.0 - (1.0 - jaccard**rows) ** bands

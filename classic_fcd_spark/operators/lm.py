@@ -310,6 +310,7 @@ def trigram_nll_scores(
     text_col: str = "text",
     buckets: int = 256,
     lams: tuple[float, float, float] = (0.2, 0.3, 0.5),
+    max_model_trigrams: int = 4_000_000,
 ) -> DataFrame:
     """(id, n_tokens, sum_nll_e6, mean_nll_e6): NLL under an INTERPOLATED
     hashed-trigram LM — the order-3 instance of the family (proving the
@@ -325,11 +326,14 @@ def trigram_nll_scores(
     Model state (all driver-bounded, broadcast):
     - observed (c1, c2, w) triple counts: <= B^3 rows worst case, in
       practice bounded by DISTINCT observed trigrams in the model corpus.
-      B is the dial that keeps this broadcastable: at B=256 the hard
-      ceiling is 16.7M narrow rows (~400 MB), so B<=256 is safe for any
-      corpus and B=1024 only when the observed-trigram count is known to
-      stay << B^3 (a 10^8-token model corpus observes at most 10^8
-      distinct trigrams regardless of B);
+      The fit COLLECTS these into Python dicts of tuple keys, whose
+      driver footprint is several hundred bytes per observed trigram —
+      the B=256 worst case of 16.7M triples is multiple GB of dict, not
+      the ~400 MB of the underlying narrow rows.  The fit therefore
+      counts distinct observed trigrams FIRST and refuses over
+      `max_model_trigrams` (default 4M, ~1-2 GB of driver dict) instead
+      of OOMing mid-collect; lower `buckets` or raise the cap only with
+      driver memory to match;
     - observed (c1, c2) context totals — joined LEFT and coalesced to 0
       (never materialized dense: a dense context table would be B^2);
     - the B-row bigram pair/context/unigram tables of the order-2 model.
@@ -385,13 +389,21 @@ def trigram_nll_scores(
     ctx_tot: dict[int, int] = {}
     for (c, _), n in pair_cnt.items():
         ctx_tot[c] = ctx_tot.get(c, 0) + n
-    tri_rows = (
+    tri_grouped = (
         mtoks.filter(F.size("bs") >= 3)
         .select(_triples_col(F.col("bs")).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("n"))
-        .collect()
     )
+    n_tri = tri_grouped.count()
+    if n_tri > max_model_trigrams:
+        raise ValueError(
+            f"model corpus observes {n_tri} distinct hashed trigrams, "
+            f"over the driver-collect budget {max_model_trigrams}; "
+            f"lower buckets (currently {buckets}) or raise "
+            "max_model_trigrams with driver memory to match"
+        )
+    tri_rows = tri_grouped.collect()
     tri_cnt = {
         (int(r["t"]["c1"]), int(r["t"]["c2"]), int(r["t"]["w"])): int(r["n"])
         for r in tri_rows

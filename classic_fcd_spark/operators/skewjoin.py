@@ -100,12 +100,23 @@ def auto_salted_join(
     when the hot set is known a priori).  detect_hot_keys casts keys to
     string (the MG item type); they are matched back against the
     fact/dim key column by equality, so the key column must round-trip
-    its string form (ints and strings do; rounds floats would not).
+    its string form — only integer and string keys do (floats round,
+    decimals/dates re-format), so other dtypes are rejected rather than
+    silently no-opping the repair.  A NULL key that is hot is dropped
+    from the hot list: NULLs never equi-join, so salting them buys
+    nothing (filter them or use a null-splitting union instead).
     With NO hot key above min_share this degenerates to the plain join
     (every row salts to 0, the dim is not replicated)."""
-    hot = detect_hot_keys(fact, key, min_share, capacity)
     kt = dict(fact.dtypes)[key]
-    if kt in ("bigint", "int", "smallint", "tinyint"):
+    int_types = ("bigint", "int", "smallint", "tinyint")
+    if kt not in int_types and kt != "string":
+        raise ValueError(
+            f"auto_salted_join supports int/string keys; {key} is {kt} "
+            "(its string form does not round-trip MG detection) — "
+            "detect hot keys yourself and call salted_join directly"
+        )
+    hot = [h for h in detect_hot_keys(fact, key, min_share, capacity) if h is not None]
+    if kt in int_types:
         hot = [int(h) for h in hot]
     if not hot:
         return fact.join(dim, key, how)

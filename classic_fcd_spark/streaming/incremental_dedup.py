@@ -30,7 +30,6 @@ this is extension surface (SURVEY §2 extensions).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +68,7 @@ def run_streaming_dedup_available_now(
     loops."""
     from classic_fcd_spark.streaming.index_store import (
         configure_index_writes,
+        index_exists,
         read_index_excluding,
         write_index_batch,
     )
@@ -85,7 +85,7 @@ def run_streaming_dedup_available_now(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_sh = _shingled(batch_df, id_col, text_col)
         new_banded = banded_signatures(new_sh, id_col, "shingles")
-        if os.path.exists(index_dir):
+        if index_exists(spark, index_dir):
             index_banded = read_index_excluding(spark, index_dir, batch_id)
             # the raw shingles of candidate index docs are recomputed
             # from the documents seen so far (persisted alongside the

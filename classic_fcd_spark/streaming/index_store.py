@@ -14,6 +14,18 @@ from pyspark.sql import functions as F
 BATCH_COL = "batch_pt"
 
 
+def index_exists(spark: SparkSession, index_dir: str) -> bool:
+    """Whether the persisted index has been written yet — via the Hadoop
+    FileSystem API so the check is true on s3a://, hdfs://, and any
+    other configured scheme, not only the local filesystem (an
+    os.path.exists gate would silently skip probing forever on object
+    stores while still growing the index)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
 def configure_index_writes(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set(

@@ -25,7 +25,6 @@ operator's within-cell pair graph, and a restart emits nothing new.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,6 +49,7 @@ def run_streaming_semantic_dedup_available_now(
     (new_id, dup_of, cos_e6) rows."""
     from classic_fcd_spark.streaming.index_store import (
         configure_index_writes,
+        index_exists,
         read_index_excluding,
         write_index_batch,
     )
@@ -65,7 +65,7 @@ def run_streaming_semantic_dedup_available_now(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         assigned = assign_cells(batch_df, centroids, vec_col, id_col)
-        if os.path.exists(index_dir):
+        if index_exists(spark, index_dir):
             # replay-safe index view (index_store); the pair scan itself
             # is the batch operator — one implementation, no stream copy
             index = read_index_excluding(spark, index_dir, batch_id)
