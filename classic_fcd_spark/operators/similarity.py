@@ -107,6 +107,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     k: int = 16,
     n_iter: int = 5,
+    sample_limit: int | None = None,
 ):
     """Train an IVF codebook with Lloyd iterations, Spark-first.
 
@@ -119,6 +120,20 @@ def kmeans_train(
     are L2-normalized each round (spherical k-means) because IVF cells
     here partition by COSINE, not Euclidean distance.
 
+    The (id, vec) training projection is persisted ONCE before the loop:
+    each Lloyd round re-reads it from executor cache rather than
+    re-scanning the source table, so the trainer's cost is n_iter×cache
+    scans + one source scan — not n_iter× the parquet read (the measured
+    r6 scaling soft spot).  `sample_limit` bounds training further: the
+    codebook only needs cluster GEOMETRY, not every row (the SemDeDup
+    paper's own recipe), so passing e.g. 100_000 trains on the
+    `sample_limit` smallest-md5(id) rows — the same deterministic
+    hash-order used for seeding, so the trained codebook is reproducible
+    for a given (corpus, k, n_iter, sample_limit) regardless of
+    partitioning.  At 100 TB this turns an O(corpus) per-round cost into
+    a constant; downstream assign_cells still scans the full corpus
+    exactly once.
+
     Returns (centroids, mean_cos_history): `centroids` is a list of k
     dim-length float lists usable as the `ann_ivf_search`-style codebook;
     `history[i]` is the corpus mean best-cosine after round i — it must
@@ -128,15 +143,28 @@ def kmeans_train(
 
     from pyspark.sql import DataFrame  # noqa: F401 — signature doc only
 
+    from classic_fcd_spark.session import scoped_persist
+
     spark = emb.sparkSession
+    proj = emb.select(id_col, vec_col)
+    if sample_limit is not None:
+        # deterministic bounded sample: hash-order is uniform over ids,
+        # so this is a fixed-size uniform sample with a stable identity
+        proj = (
+            proj.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+            .limit(sample_limit)
+        )
+    proj = scoped_persist(
+        proj.repartition(spark.sparkContext.defaultParallelism),
+        "kmeans_train:proj",
+    )
     # hash-ordered init: the k smallest md5(id) rows — deterministic,
     # pseudo-randomly spread across the corpus (unlike "first k", which
     # can land every seed in one region), and a distributed TakeOrdered
     # rather than a global-window scan; production can swap in k-means++
     # without touching the iteration below
     seeds = (
-        emb.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
+        proj.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(k)
         .collect()
     )
@@ -160,7 +188,7 @@ def kmeans_train(
         cdf = spark.createDataFrame(
             [(cid, c) for cid, c in enumerate(cents)], ["cid", "ce"]
         )
-        scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cdf)).select(
+        scored = proj.crossJoin(F.broadcast(cdf)).select(
             F.col(id_col),
             F.col(vec_col),
             F.struct(
@@ -196,6 +224,7 @@ def kmeans_train(
             else cents[cid]  # empty cell keeps its centroid (standard)
             for cid in range(k)
         ]
+    proj.unpersist()
     return cents, history
 
 
@@ -559,38 +588,82 @@ def semantic_dedup(
     otherwise spherical k-means trains one (kmeans_train, k/n_iter).
     Cross-cluster duplicate pairs are invisible by construction — the
     paper's accepted approximation; raise k for cost, lower it for
-    recall."""
+    recall.
+
+    The O(sum n_c^2) pair scan runs over FINGERPRINT-COLLAPSED
+    representatives (one row per distinct vector, md5 of the array's
+    JSON form), with each collapsed copy linked to its representative by
+    a linear (rep, member) edge — the near_dup_groups discipline, which
+    makes pair-scan volume independent of exact-duplicate multiplicity.
+    Identical nonzero vectors have pairwise cosine 1.0 >= 1-eps for any
+    eps >= 0, so the collapsed graph has exactly the components of the
+    naive all-copies scan (up to the one degenerate corner: at eps=0 an
+    identical pair whose cosine rounds to 0.99999... under IEEE would be
+    dropped by the naive filter but kept here — the collapse is the
+    mathematically correct side).  Zero-norm vectors have undefined
+    cosine (NULL, filtered) and stay singletons on both paths."""
     if centroids is None:
         centroids, _ = kmeans_train(emb, vec_col, id_col, k=k, n_iter=n_iter)
     assigned = assign_cells(emb, centroids, vec_col, id_col)
 
     from classic_fcd_spark.session import scoped_persist
 
+    par = emb.sparkSession.sparkContext.defaultParallelism
     assigned = scoped_persist(
-        assigned.repartition(emb.sparkSession.sparkContext.defaultParallelism, id_col),
+        assigned.repartition(par, id_col),
         "semantic_dedup:assigned",
     )
-    a = assigned.select(
-        "cell",
-        F.col(id_col).alias("i"),
-        F.col(vec_col).alias("va"),
-        F.col("vnorm").alias("na"),
+    # collapse exact duplicates: identical vectors land in the same cell
+    # (assignment is a pure function of the vector), so one rep per
+    # fingerprint carries the whole copy-set through the quadratic scan
+    nz = assigned.filter(F.col("vnorm") > 0).withColumn(
+        "fp", F.md5(F.to_json(F.struct(F.col(vec_col).alias("v"))))
     )
-    b = assigned.select(
+    reps = scoped_persist(
+        nz.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("rid"),
+                    F.col("cell").alias("cell"),
+                    F.col(vec_col).alias("v"),
+                    F.col("vnorm").alias("n"),
+                )
+            ).alias("r")
+        )
+        .select("fp", "r.rid", "r.cell", "r.v", "r.n"),
+        "semantic_dedup:reps",
+    )
+    a = reps.select(
         "cell",
-        F.col(id_col).alias("j"),
-        F.col(vec_col).alias("vb"),
-        F.col("vnorm").alias("nb"),
+        F.col("rid").alias("i"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = reps.select(
+        "cell",
+        F.col("rid").alias("j"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
     )
     # pair cosine with both norms hoisted: ONE fold per candidate pair
     # (dot), bit-identical to cosine_sql's dot/(sqrt*sqrt) form
     pair_cos = F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
-    pairs = (
+    rep_pairs = (
         a.join(b, "cell")
         .filter(F.col("i") < F.col("j"))
         .filter(pair_cos >= 1.0 - eps)
         .select("i", "j")
     )
+    # copy edges: rid is the min id of its fingerprint group, so i < j
+    # holds and these cannot collide with rep_pairs (different-fp only)
+    copy_edges = (
+        nz.select(id_col, "fp")
+        .join(reps.select("fp", "rid"), "fp")
+        .filter(F.col(id_col) != F.col("rid"))
+        .select(F.col("rid").alias("i"), F.col(id_col).alias("j"))
+    )
+    pairs = rep_pairs.unionByName(copy_edges)
     from classic_fcd_spark.operators.dedup import connected_components
 
     comp = connected_components(pairs)  # (node, label); only non-singletons
