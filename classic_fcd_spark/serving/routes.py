@@ -9,7 +9,8 @@ Statuses:
               pinned in tests/test_serving_e2e.py)
   query     — the route's query semantics are a gated query function
               (driver-oracle or in-test-oracle checked); response
-              reshaping is the only missing layer
+              reshaping is the only missing layer.  Zero rows since r7:
+              every such route now has a wrapper (serving/detail.py)
   operator  — served by a library operator (streaming state, file
               source) with its own unit gate
   config    — the reference serves a static config value
@@ -39,7 +40,7 @@ ROUTES: dict[str, tuple[str, str]] = {
         "wrapper",
         "serving.endpoints:get_seigniorage_proceeds",
     ),
-    "GET /v1/dashboard/staking_return": ("query", "queries.fcd:fcd_total_staking_return"),
+    "GET /v1/dashboard/staking_return": ("wrapper", "serving.detail:get_staking_return"),
     "GET /v1/dashboard/staking_ratio": ("wrapper", "serving.endpoints:get_staking_ratio"),
     "GET /v1/dashboard/account_growth": ("wrapper", "serving.endpoints:get_account_growth"),
     "GET /v1/dashboard/active_accounts": ("wrapper", "serving.endpoints:get_active_accounts"),
@@ -53,7 +54,7 @@ ROUTES: dict[str, tuple[str, str]] = {
     ),
     # --- GovernanceController ----------------------------------------------
     "GET /v1/gov/proposals": ("wrapper", "serving.endpoints:get_proposals_listing"),
-    "GET /v1/gov/proposals/:proposalId": ("query", "queries.fcd_read:fcd_proposals"),
+    "GET /v1/gov/proposals/:proposalId": ("wrapper", "serving.detail:get_proposal_detail"),
     "GET /v1/gov/proposals/:proposalId/deposits": (
         "wrapper",
         "serving.endpoints:get_proposal_deposits",
@@ -72,31 +73,31 @@ ROUTES: dict[str, tuple[str, str]] = {
         "serving.endpoints:get_validators_listing",
     ),
     "GET /v1/staking/validators/:operatorAddr/delegations": (
-        "query",
-        "queries.fcd:fcd_delegation_txs",
+        "wrapper",
+        "serving.detail:get_delegation_txs",
     ),
     "GET /v1/staking/validators/:operatorAddr/delegators": (
-        "query",
-        "queries.fcd:fcd_delegator_weights",
+        "wrapper",
+        "serving.detail:get_delegators_page",
     ),
     "GET /v1/staking/validators/:operatorAddr/claims": (
-        "query",
-        "queries.fcd:fcd_delegation_txs",
+        "wrapper",
+        "serving.detail:get_claims",
     ),
     "GET /v1/staking/:account": ("wrapper", "serving.endpoints:get_staking_account_view"),
     "GET /v1/staking/return": ("wrapper", "serving.api:get_validator_returns"),
     "GET /v1/staking/return/:operatorAddr": (
-        "query",
-        "queries.fcd:fcd_validator_annual_return",
+        "wrapper",
+        "serving.detail:get_validator_return_by_op",
     ),
     "GET /v1/staking": ("wrapper", "serving.endpoints:get_staking_account_view"),
     # --- BankController ---------------------------------------------------------
-    "GET /v1/bank/:account": ("query", "queries.fcd_read:fcd_bank_balance"),
+    "GET /v1/bank/:account": ("wrapper", "serving.detail:get_account_balance"),
     # --- TreasuryController -------------------------------------------------------
-    "GET /v1/taxproceeds": ("query", "queries.fcd:fcd_minute_fees"),
-    "GET /v1/richlist/:denom": ("query", "queries.fcd:fcd_richlist"),
-    "GET /v1/totalsupply/:denom": ("query", "queries.fcd:fcd_market_cap"),
-    "GET /v1/circulatingsupply/:denom": ("query", "queries.fcd:fcd_market_cap"),
+    "GET /v1/taxproceeds": ("wrapper", "serving.detail:get_tax_proceeds"),
+    "GET /v1/richlist/:denom": ("wrapper", "serving.detail:get_rich_list"),
+    "GET /v1/totalsupply/:denom": ("wrapper", "serving.detail:get_total_supply"),
+    "GET /v1/circulatingsupply/:denom": ("wrapper", "serving.detail:get_circulating_supply"),
     # --- out of scope per SURVEY §2.1 ----------------------------------------------
     "POST /v1/txs": ("oos", "LCD write pass-through (postTxs.ts)"),
     "GET /v1/market/swaprate-sim": ("oos", "live swap-spread simulation (swap.ts:186)"),

@@ -220,12 +220,14 @@ class TestRouteManifest:
             statuses[status] = statuses.get(status, 0) + 1
             if status in ("wrapper", "query", "operator"):
                 assert callable(resolve(spec)), route
-        # the read surface is wrapper- or query-served; only the three
-        # SURVEY-scoped-out routes and the config constant are not
+        # the read surface is entirely wrapper- or operator-served since
+        # r7 (zero `query` rows); only the three SURVEY-scoped-out
+        # routes and the config constant are not
         assert statuses["oos"] == 3
         assert statuses["config"] == 1
-        assert statuses["wrapper"] >= 20
-        assert statuses["wrapper"] + statuses["query"] + statuses["operator"] >= 33
+        assert statuses.get("query", 0) == 0
+        assert statuses["wrapper"] >= 31
+        assert statuses["wrapper"] + statuses["operator"] >= 33
 
 
 class TestListingEndpoints:
