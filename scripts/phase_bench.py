@@ -157,6 +157,36 @@ def main() -> None:
         "reps": SERVING_REPS,
     }
 
+    # --- serving p50 over the point-lookup extract (r7: SURVEY §1.3's
+    # hot-serving answer — hash-bucketed, sorted gold extracts; the
+    # lookup prunes to one partition directory) ----------------------------
+    from classic_fcd_spark.serving.extract import (
+        lookup_account_page,
+        lookup_tx,
+        write_account_page_extract,
+        write_tx_lookup_extract,
+    )
+
+    ex_dir = os.path.join(work, "extract")
+    t0 = time.perf_counter()
+    write_tx_lookup_extract(txs, ex_dir)
+    write_account_page_extract(at, ex_dir)
+    build_s = time.perf_counter() - t0
+    lat_list_x, lat_hash_x = [], []
+    for i in range(SERVING_REPS):
+        t0 = time.perf_counter()
+        lookup_account_page(spark, ex_dir, acct, limit=10)
+        lat_list_x.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        lookup_tx(spark, ex_dir, tx_hash_str(i + 1)).collect()
+        lat_hash_x.append(time.perf_counter() - t0)
+    out["serving_extract_p50"] = {
+        "account_page_p50_s": round(statistics.median(lat_list_x), 4),
+        "tx_by_hash_p50_s": round(statistics.median(lat_hash_x), 4),
+        "extract_build_s": round(build_s, 3),
+        "reps": SERVING_REPS,
+    }
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 

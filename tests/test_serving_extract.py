@@ -1,0 +1,114 @@
+"""Point-lookup serving extract (serving/extract.py): equivalence with
+the analytics-path endpoints plus plan asserts that the lookup actually
+prunes — the partition filter reaches the scan (PartitionFilters) and
+the key equality pushes into the parquet reader (PushedFilters), so a
+point read touches one bucket directory, not the table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.pipeline.medallion import account_tx_silver
+from classic_fcd_spark.serving.api import get_tx_by_hash, get_tx_list
+from classic_fcd_spark.serving.extract import (
+    _bucket_py,
+    lookup_account_page,
+    lookup_tx,
+    write_account_page_extract,
+    write_tx_lookup_extract,
+)
+from classic_fcd_spark.sources.fixtures import gen_txs, tx_hash_str
+
+
+@pytest.fixture(scope="module")
+def extract_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("extract"))
+    txs = gen_txs(spark)
+    write_tx_lookup_extract(txs, out)
+    write_account_page_extract(account_tx_silver(txs), out)
+    return out
+
+
+class TestTxLookup:
+    def test_matches_analytics_path(self, spark, extract_dir):
+        txs = gen_txs(spark)
+        # valid fixture tx indices: i = h*3+k with k < h%3
+        for i in (3, 6, 7):
+            h = tx_hash_str(i)
+            want = [
+                (r["hash"], r["height"])
+                for r in get_tx_by_hash(txs, h).collect()
+            ]
+            got = [
+                (r["hash"], r["height"])
+                for r in lookup_tx(spark, extract_dir, h).collect()
+            ]
+            assert got == want and len(got) == 1
+
+    def test_missing_hash_is_empty(self, spark, extract_dir):
+        assert lookup_tx(spark, extract_dir, "f" * 32).count() == 0
+
+    def test_plan_prunes_partitions_and_pushes_filter(self, spark, extract_dir):
+        plan = lookup_tx(spark, extract_dir, tx_hash_str(1))._jdf.queryExecution().executedPlan().toString()
+        # the bucket literal reaches the scan as a partition filter...
+        assert "PartitionFilters" in plan and "kb" in plan
+        # ...and the hash equality is pushed into the parquet reader
+        assert "PushedFilters" in plan and "hash" in plan
+
+    def test_case_insensitive_contract(self, spark, extract_dir):
+        h = tx_hash_str(3)
+        assert lookup_tx(spark, extract_dir, h.upper()).count() == 1
+
+
+class TestAccountPage:
+    def _account(self, spark):
+        at = account_tx_silver(gen_txs(spark))
+        return (
+            at.groupBy("account")
+            .count()
+            .orderBy(F.col("count").desc(), "account")
+            .first()["account"]
+        )
+
+    def test_page_matches_analytics_path(self, spark, extract_dir):
+        txs = gen_txs(spark)
+        at = account_tx_silver(txs)
+        acct = self._account(spark)
+        want = get_tx_list(txs, at, acct, limit=10)
+        rows = lookup_account_page(spark, extract_dir, acct, limit=10)
+        got_hashes = [r["hash"] for r in rows[:10]]
+        assert got_hashes == [t["hash"] for t in want["txs"]]
+
+    def test_keyset_walk_equivalence(self, spark, extract_dir):
+        """Cursor pages from the extract equal the analytics keyset walk
+        page-for-page until exhaustion."""
+        txs = gen_txs(spark)
+        at = account_tx_silver(txs)
+        acct = self._account(spark)
+        offset = None
+        for _ in range(5):
+            want = get_tx_list(txs, at, acct, limit=7, offset=offset)
+            rows = lookup_account_page(
+                spark, extract_dir, acct, limit=7, offset=offset
+            )
+            assert [r["hash"] for r in rows[:7]] == [
+                t["hash"] for t in want["txs"]
+            ]
+            if want["next"] is None:
+                assert len(rows) <= 7
+                break
+            offset = want["next"]
+
+    def test_stored_sort_is_page_order(self, spark, extract_dir):
+        """Within a bucket file the rows are stored in the page's exact
+        keyset order, so the page read is a contiguous run (footer-stat
+        friendly)."""
+        acct = self._account(spark)
+        b = _bucket_py(acct, 16)
+        part = spark.read.parquet(f"{extract_dir}/account_tx/kb={b}")
+        rows = part.filter(F.col("account") == acct).collect()
+        keys = [(r["height"], r["hash"]) for r in rows]
+        # file order (no orderBy!) must already be height desc, hash desc
+        assert keys == sorted(keys, reverse=True)
