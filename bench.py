@@ -66,6 +66,9 @@ HEADLINE = [
     "dsir_select",
     "duplicated_spans",
     "bm25_search",
+    # registered in r7 (driver-gated slot rotation)
+    "trigram_lm_scores",
+    "quality_logit_scores",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
     "simhash_docs",
@@ -91,6 +94,13 @@ def _extra_workloads():
     signature/bucket projections."""
     from classic_fcd_spark.queries.core import revenue_by_nation
     from classic_fcd_spark.queries.fcd import fcd_cumulative_rewards
+
+    # r7 slot rotation: token_stats_by_source / embedding_similar_pairs
+    # left the driver window (slots -> trigram_lm_scores /
+    # quality_logit_scores) but keep their bench timings here so the
+    # per-round workload set stays comparable
+    from classic_fcd_spark.queries.similarity import embedding_similar_pairs
+    from classic_fcd_spark.queries.text import token_stats_by_source
 
     # r5 slot rotation: incremental_dedup / interval_joined_events /
     # sessionized_events are now REGISTERED (driver-gated) queries —
@@ -193,6 +203,8 @@ def _extra_workloads():
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_ivf_search_trained": ann_ivf_search_trained,
         "ann_pq_search_trained": ann_pq_search_trained,
+        "token_stats_by_source": token_stats_by_source,
+        "embedding_similar_pairs": embedding_similar_pairs,
     }
 
 

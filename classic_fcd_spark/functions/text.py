@@ -235,8 +235,11 @@ def linear_quality_score(text, weights: list[float], salt: str = "q") -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
-def duck_linear_quality_score(text_expr: str, weights: list[float], salt: str = "q") -> str:
-    """DuckDB expression mirroring linear_quality_score exactly."""
+def duck_linear_quality_logit(text_expr: str, weights: list[float], salt: str = "q") -> str:
+    """DuckDB expression mirroring linear_quality_logit exactly — pure
+    rational arithmetic (bucket lookup, sequential sum, one divide), so
+    the logit is bit-identical across engines and driver-gateable as a
+    floored integer where the sigmoid (exp) is libm-dependent."""
     n = len(weights)
     arr = "[" + ", ".join(f"CAST({float(w)} AS DOUBLE)" for w in weights) + "]"
     toks = f"regexp_split_to_array(trim({text_expr}), ' +')"
@@ -244,10 +247,15 @@ def duck_linear_quality_score(text_expr: str, weights: list[float], salt: str = 
         f"CAST(('0x' || substr(md5('{salt}:' || t), 1, 15)) AS UBIGINT) % {n}"
     )
     per = f"list_transform({toks}, t -> {arr}[CAST({bucket} + 1 AS INT)])"
-    z = (
+    return (
         f"(CASE WHEN length(trim({text_expr})) > 0 AND len({toks}) > 0 "
         f"THEN list_sum({per}) / len({toks}) ELSE 0.0 END)"
     )
+
+
+def duck_linear_quality_score(text_expr: str, weights: list[float], salt: str = "q") -> str:
+    """DuckDB expression mirroring linear_quality_score exactly."""
+    z = duck_linear_quality_logit(text_expr, weights, salt)
     return f"(1.0 / (1.0 + exp(-({z}))))"
 
 

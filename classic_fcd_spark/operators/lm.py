@@ -303,6 +303,34 @@ def bigram_nll_scores(
     )
 
 
+def _pair_structs(bs):
+    """Exploded (c, w) bigram structs over a bucket array (the zip_with
+    adjacent-pairs form shared by the trigram fit and both scorers)."""
+    return F.explode(
+        F.zip_with(
+            F.slice(bs, 1, F.size(bs) - 1),
+            F.slice(bs, 2, F.size(bs) - 1),
+            lambda c, w_: F.struct(c.alias("c"), w_.alias("w")),
+        )
+    )
+
+
+def _triple_structs(bs):
+    """Exploded (c1, c2, w) trigram structs over a bucket array."""
+    grams = F.zip_with(
+        F.zip_with(
+            F.slice(bs, 1, F.size(bs) - 2),
+            F.slice(bs, 2, F.size(bs) - 2),
+            lambda a, b: F.struct(a.alias("c1"), b.alias("c2")),
+        ),
+        F.slice(bs, 3, F.size(bs) - 2),
+        lambda cc, w_: F.struct(
+            cc["c1"].alias("c1"), cc["c2"].alias("c2"), w_.alias("w")
+        ),
+    )
+    return F.explode(grams)
+
+
 def trigram_nll_scores(
     docs: DataFrame,
     model_docs: DataFrame,
@@ -354,29 +382,7 @@ def trigram_nll_scores(
         ),
         "trigram_lm:model_buckets",
     )
-
-    def _pairs_col(bs):
-        return F.explode(
-            F.zip_with(
-                F.slice(bs, 1, F.size(bs) - 1),
-                F.slice(bs, 2, F.size(bs) - 1),
-                lambda c, w_: F.struct(c.alias("c"), w_.alias("w")),
-            )
-        )
-
-    def _triples_col(bs):
-        grams = F.zip_with(
-            F.zip_with(
-                F.slice(bs, 1, F.size(bs) - 2),
-                F.slice(bs, 2, F.size(bs) - 2),
-                lambda a, b: F.struct(a.alias("c1"), b.alias("c2")),
-            ),
-            F.slice(bs, 3, F.size(bs) - 2),
-            lambda cc, w_: F.struct(
-                cc["c1"].alias("c1"), cc["c2"].alias("c2"), w_.alias("w")
-            ),
-        )
-        return F.explode(grams)
+    _pairs_col, _triples_col = _pair_structs, _triple_structs
 
     # --- fit: one model scan per order, counts collected (bounded) -----
     pair_rows = (
@@ -516,3 +522,243 @@ def trigram_nll_scores(
         "sum_nll_e6",
         F.expr("sum_nll_e6 div n_tokens").alias("mean_nll_e6"),
     )
+
+
+def trigram_prob_scores(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    lams: tuple[float, float, float] = (0.2, 0.3, 0.5),
+    max_model_trigrams: int = 4_000_000,
+) -> DataFrame:
+    """(id, n_tokens, sum_p_e9): the LOG-FREE exact-integer twin of
+    trigram_nll_scores — per token, the interpolated probability itself
+
+        p = l3·p_tri + l2·p_bi + l1·p_uni      (tokens 3+)
+        p = (l2+l3)·p_bi + l1·p_uni            (token 2)
+        p = p_uni                              (token 1)
+
+    floored to e9 fixed point and integer-summed per doc.  Every
+    component probability is a RATIONAL (cnt+1)/(ctx+B) evaluated with
+    plain IEEE +,×,÷ — no log, no exp — so the score is bit-identical
+    on any engine that parses the same float literals, which is what
+    makes this form DRIVER-GATEABLE by value hash where the NLL form
+    (one ln per token) is libm-hostage and stays unit/in-test-gated.
+    -log is monotone, so every ordering/bucketing decision the NLL
+    scorer supports is equally supported by sum_p_e9 at equal n_tokens.
+
+    Fit = the exact count tables of trigram_nll_scores (same zip_with
+    explodes, same driver-bounded collects with the same
+    max_model_trigrams refusal); scoring = the same broadcast-join
+    shapes.  Model state is pure integers — no driver libm enters
+    anywhere in this function."""
+    l1, l2, l3 = lams
+    l23 = l2 + l3  # one Python addition, embedded as the same literal
+    bf = float(buckets)
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    from classic_fcd_spark.session import scoped_persist
+
+    mtoks = scoped_persist(
+        model_docs.repartition(par).select(
+            ngram_buckets(text_col, 1, buckets).alias("bs")
+        ),
+        "trigram_prob:model_buckets",
+    )
+    # unigram counts (B rows) + total
+    uni_rows = (
+        mtoks.select(F.explode("bs").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("ucnt"))
+        .collect()
+    )
+    utot = sum(int(r["ucnt"]) for r in uni_rows)
+    # (utot + B) as one exact double literal shared by every division
+    ut = float(utot) + bf
+    pair_rows = (
+        mtoks.select(_pair_structs(F.col("bs")).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    pair_cnt = {(int(r["p"]["c"]), int(r["p"]["w"])): int(r["n"]) for r in pair_rows}
+    ctx_tot: dict[int, int] = {}
+    for (c, _), n in pair_cnt.items():
+        ctx_tot[c] = ctx_tot.get(c, 0) + n
+    tri_grouped = (
+        mtoks.filter(F.size("bs") >= 3)
+        .select(_triple_structs(F.col("bs")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    n_tri = tri_grouped.count()
+    if n_tri > max_model_trigrams:
+        raise ValueError(
+            f"model corpus observes {n_tri} distinct hashed trigrams, "
+            f"over the driver-collect budget {max_model_trigrams}"
+        )
+    tri_rows = tri_grouped.collect()
+    tri_cnt = {
+        (int(r["t"]["c1"]), int(r["t"]["c2"]), int(r["t"]["w"])): int(r["n"])
+        for r in tri_rows
+    }
+    tri_ctx: dict[tuple[int, int], int] = {}
+    for (c1, c2, _), n in tri_cnt.items():
+        tri_ctx[(c1, c2)] = tri_ctx.get((c1, c2), 0) + n
+
+    uni_model = spark.createDataFrame(
+        [(int(r["w"]), int(r["ucnt"])) for r in uni_rows] or [(-1, 0)],
+        "w bigint, ucnt bigint",
+    )
+    pair_model = spark.createDataFrame(
+        [(c, w, n) for (c, w), n in pair_cnt.items()] or [(-1, -1, 0)],
+        "c bigint, w bigint, pcnt bigint",
+    )
+    pctx_model = spark.createDataFrame(
+        [(c, n) for c, n in ctx_tot.items()] or [(-1, 0)],
+        "c bigint, pctx bigint",
+    )
+    tri_model = spark.createDataFrame(
+        [(c1, c2, w, n) for (c1, c2, w), n in tri_cnt.items()] or [(-1, -1, -1, 0)],
+        "c1 bigint, c2 bigint, w bigint, tcnt bigint",
+    )
+    tctx_model = spark.createDataFrame(
+        [(c1, c2, n) for (c1, c2), n in tri_ctx.items()] or [(-1, -1, 0)],
+        "c1 bigint, c2 bigint, tctx bigint",
+    )
+
+    # --- score: identical IEEE expression shapes to duck_trigram_prob_sql
+    pu = (F.coalesce(F.col("ucnt"), F.lit(0)) + F.lit(1.0)) / F.lit(ut)
+    pb = (F.coalesce(F.col("pcnt"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("pctx"), F.lit(0)) + F.lit(bf)
+    )
+    p3 = (F.coalesce(F.col("tcnt"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("tctx"), F.lit(0)) + F.lit(bf)
+    )
+
+    def _e9(p):
+        return F.floor(p * F.lit(1000000000.0)).cast("bigint").alias("p_e9")
+
+    toks = docs.repartition(par, id_col).select(
+        F.col(id_col), ngram_buckets(text_col, 1, buckets).alias("bs")
+    )
+    firsts = (
+        toks.select(id_col, F.element_at("bs", 1).alias("w"))
+        .join(F.broadcast(uni_model), "w", "left")
+        .select(id_col, _e9(pu))
+    )
+    seconds = (
+        toks.filter(F.size("bs") >= 2)
+        .select(
+            id_col,
+            F.element_at("bs", 1).alias("c"),
+            F.element_at("bs", 2).alias("w"),
+        )
+        .join(F.broadcast(pair_model), ["c", "w"], "left")
+        .join(F.broadcast(pctx_model), "c", "left")
+        .join(F.broadcast(uni_model), "w", "left")
+        .select(id_col, _e9((F.lit(l23) * pb) + (F.lit(l1) * pu)))
+    )
+    triples = (
+        toks.filter(F.size("bs") >= 3)
+        .select(F.col(id_col), _triple_structs(F.col("bs")).alias("t"))
+        .select(
+            id_col,
+            F.col("t.c1").alias("c1"),
+            F.col("t.c2").alias("c2"),
+            F.col("t.w").alias("w"),
+        )
+        .join(F.broadcast(tri_model), ["c1", "c2", "w"], "left")
+        .join(F.broadcast(tctx_model), ["c1", "c2"], "left")
+        .join(
+            F.broadcast(pair_model.withColumnRenamed("c", "c2")), ["c2", "w"], "left"
+        )
+        .join(F.broadcast(pctx_model.withColumnRenamed("c", "c2")), "c2", "left")
+        .join(F.broadcast(uni_model), "w", "left")
+        .select(
+            id_col,
+            _e9(
+                ((F.lit(l3) * p3) + (F.lit(l2) * pb)) + (F.lit(l1) * pu)
+            ),
+        )
+    )
+    return (
+        firsts.unionByName(seconds)
+        .unionByName(triples)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("p_e9").alias("sum_p_e9"))
+    )
+
+
+def duck_trigram_prob_sql(
+    table: str = "documents",
+    model_filter: str = "source = 'src0'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    lams: tuple[float, float, float] = (0.2, 0.3, 0.5),
+) -> str:
+    """DuckDB oracle for trigram_prob_scores: same md5 bucketing, same
+    count tables (via LAG over token ordinals — set-identical to the
+    zip_with explodes), same rational probabilities with the same
+    literal lambdas in the same association order, same e9
+    floor-then-integer-sum.  Static SQL — no model literals needed,
+    because nothing transcendental is computed on either side."""
+    l1, l2, l3 = lams
+    l23 = l2 + l3
+    bf = float(buckets)
+    bucket = (
+        "CAST(CAST(('0x' || substr(md5(t[i]), 1, 15)) AS UBIGINT) "
+        f"% {buckets} AS BIGINT)"
+    )
+    pu = f"((COALESCE(u.ucnt, 0) + 1.0) / ((SELECT n FROM utot) + {bf!r}))"
+    pb = f"((COALESCE(p.pcnt, 0) + 1.0) / (COALESCE(px.pctx, 0) + {bf!r}))"
+    p3 = f"((COALESCE(tr.tcnt, 0) + 1.0) / (COALESCE(tx.tctx, 0) + {bf!r}))"
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, ({model_filter}) AS is_model,
+               regexp_split_to_array(trim({text_col}), ' +') AS t
+        FROM {table}
+    ),
+    ex AS (
+        SELECT {id_col}, is_model, i AS ord, {bucket} AS b
+        FROM (SELECT {id_col}, is_model, t, generate_subscripts(t, 1) AS i
+              FROM toks)
+    ),
+    seq AS (
+        SELECT {id_col}, is_model, ord, b,
+               LAG(b, 1) OVER w AS c2, LAG(b, 2) OVER w AS c1
+        FROM ex WINDOW w AS (PARTITION BY {id_col} ORDER BY ord)
+    ),
+    uni AS (SELECT b AS w, COUNT(*) AS ucnt FROM seq WHERE is_model GROUP BY 1),
+    utot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seq WHERE is_model),
+    pairs AS (
+        SELECT c2 AS c, b AS w, COUNT(*) AS pcnt
+        FROM seq WHERE is_model AND c2 IS NOT NULL GROUP BY 1, 2
+    ),
+    pctxs AS (SELECT c, SUM(pcnt) AS pctx FROM pairs GROUP BY 1),
+    tris AS (
+        SELECT c1, c2, b AS w, COUNT(*) AS tcnt
+        FROM seq WHERE is_model AND c1 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    tctxs AS (SELECT c1, c2, SUM(tcnt) AS tctx FROM tris GROUP BY 1, 2),
+    scored AS (
+        SELECT s.{id_col},
+               CAST(floor((CASE
+                   WHEN s.ord = 1 THEN {pu}
+                   WHEN s.ord = 2 THEN (({l23!r} * {pb}) + ({l1!r} * {pu}))
+                   ELSE ((({l3!r} * {p3}) + ({l2!r} * {pb})) + ({l1!r} * {pu}))
+               END) * 1000000000.0) AS BIGINT) AS p_e9
+        FROM seq s
+        LEFT JOIN uni u ON u.w = s.b
+        LEFT JOIN pairs p ON p.c = s.c2 AND p.w = s.b
+        LEFT JOIN pctxs px ON px.c = s.c2
+        LEFT JOIN tris tr ON tr.c1 = s.c1 AND tr.c2 = s.c2 AND tr.w = s.b
+        LEFT JOIN tctxs tx ON tx.c1 = s.c1 AND tx.c2 = s.c2
+    )
+    SELECT {id_col}, COUNT(*) AS n_tokens, CAST(SUM(p_e9) AS BIGINT) AS sum_p_e9
+    FROM scored GROUP BY {id_col}
+    """

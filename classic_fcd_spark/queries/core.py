@@ -36,18 +36,27 @@ def _day(col):
 
 # ---------------------------------------------------------------------------
 # A8/A9-family: grouped sums with derived expressions (flagship).
+#
+# Oracle policy note (r7, found by the sf1 sweep): decimal-sum -> double
+# conversions in the ORACLES route through VARCHAR
+# (CAST(CAST(SUM(...) AS VARCHAR) AS DOUBLE)) because DuckDB's direct
+# DECIMAL -> DOUBLE cast is not correctly rounded at ~1e10 magnitudes
+# (1 ulp high on 27864155010.941590), while Spark's BigDecimal
+# .doubleValue and DuckDB's string->double parse both are.  The Spark
+# side needs no change — the exact decimal sum is identical; only the
+# final float rendering differed.
 # ---------------------------------------------------------------------------
 @register(
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -173,11 +182,11 @@ def keyset_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS volume
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS volume
         FROM events WHERE event_type = 'purchase' GROUP BY 1
     )
     SELECT day, volume,
-           CAST(SUM(CAST(volume AS DECIMAL(28,6))) OVER w10 AS DOUBLE)
+           CAST(CAST(SUM(CAST(volume AS DECIMAL(28,6))) OVER w10 AS VARCHAR) AS DOUBLE)
              / COUNT(*) OVER w10 AS ma10,
            volume - LAG(volume, 1) OVER (ORDER BY day) AS dod_diff
     FROM daily

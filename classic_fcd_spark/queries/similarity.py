@@ -216,26 +216,32 @@ def _duck_band_arm(band: str) -> str:
     """
 
 
-@register(
-    "embedding_similar_pairs",
+# Oracle retained for the in-test DuckDB gate (tests/test_text_queries.py):
+# r7 rotated the driver slot to quality_logit_scores — the banded
+# hyperplane-LSH pair discipline stays driver-gated via ann_search (the
+# same LSH arm) and the MinHash banding family (minhash_lsh_near_dups /
+# near_dup_groups).
+EMBEDDING_SIMILAR_PAIRS_ORACLE_SQL = (
     "WITH t AS (\n        SELECT vec_id, embedding,\n"
     + ",\n".join(
         f"               {bucket_sql('embedding', w, 'duck')} AS band{i}"
         for i, w in enumerate(_PAIR_BANDS)
     )
     + "\n        FROM embeddings\n    )\n    "
-    + "\n    UNION\n    ".join(_duck_band_arm(f"band{i}") for i in range(_N_BANDS)),
-    doc="Embedding-cosine near-dup pairs (threshold 0.45) over banded "
-    "hyperplane-LSH candidates: a pair is a candidate iff it agrees on "
-    "every sign of at least one 2-plane band (MinHash-LSH banding applied "
-    "to hyperplane LSH), then exact-cosine verified; UNION dedups pairs "
-    "caught by several bands.  Every band is a shuffle-partitioned "
-    "equi-join on its band id — no BroadcastNestedLoopJoin, no broadcast "
-    "of the corpus (asserted in tests).  The oracle computes the same "
-    "banding, so the gate is exact; recall vs the all-pairs answer is "
-    "measured in the module comment and tunable via band width.",
+    + "\n    UNION\n    ".join(_duck_band_arm(f"band{i}") for i in range(_N_BANDS))
 )
+
+
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45) over banded
+    hyperplane-LSH candidates: a pair is a candidate iff it agrees on
+    every sign of at least one 2-plane band (MinHash-LSH banding applied
+    to hyperplane LSH), then exact-cosine verified; UNION dedups pairs
+    caught by several bands.  Every band is a shuffle-partitioned
+    equi-join on its band id — no BroadcastNestedLoopJoin, no broadcast
+    of the corpus (asserted in tests).  Driver-gated r2-r6 (green
+    throughout); since r7 gated by the in-test oracle
+    (EMBEDDING_SIMILAR_PAIRS_ORACLE_SQL)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     # 1) candidate (i, j) id pairs: all 8 band signatures are computed in
     #    ONE projection pass and exploded to (band_idx, band_val) rows, so

@@ -115,9 +115,11 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Token counting (whitespace + BPE-ish regex) with vocabulary explode.
 # ---------------------------------------------------------------------------
-@register(
-    "token_stats_by_source",
-    f"""
+# Oracle retained for the in-test DuckDB gate (tests/test_text_queries.py):
+# r7 rotated the driver slot to trigram_lm_scores — the per-source token
+# rollup is a thin twin of the driver-gated text_features (same tokenize +
+# groupBy shapes), which stays driver-green.
+TOKEN_STATS_ORACLE_SQL = f"""
     WITH per_doc AS (
         SELECT source, {_D_NTOK} AS ws_tokens,
                len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS re_tokens,
@@ -136,13 +138,16 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT counts.source, n_docs, total_ws_tokens, total_re_tokens, vocab_size
     FROM counts JOIN vocab USING (source)
-    """,
-    doc="LLM-pipeline token counting: whitespace + BPE-ish regex counts "
-    "per source, plus vocabulary size via explode → distinct (the explode "
-    "shuffles on (source, token); at 100 TB this is the classic "
-    "vocabulary-build job and partitions cleanly)",
-)
+    """
+
+
 def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline token counting: whitespace + BPE-ish regex counts
+    per source, plus vocabulary size via explode → distinct (the explode
+    shuffles on (source, token); at 100 TB this is the classic
+    vocabulary-build job and partitions cleanly).  Driver-gated r2-r6
+    (green throughout); since r7 gated by the in-test oracle
+    (TOKEN_STATS_ORACLE_SQL)."""
     docs = load_tables(spark, sf_dir)["documents"]
     per_doc = docs.select(
         "source",
@@ -195,3 +200,87 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return bm25_topk(docs, BM25_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated trigram LM — promoted to the driver gate in r7 (the
+# token_stats_by_source slot, per the r6 brief).  The gated form is the
+# LOG-FREE probability scorer: every per-token value is a rational
+# (cnt+1)/(ctx+B) mixed with literal lambdas — bit-identical IEEE
+# arithmetic on both engines, where the NLL twin's ln() is libm-bound
+# and stays unit/in-test-gated (operators/lm.trigram_nll_scores; -log is
+# monotone, so the two orderings agree).
+# ---------------------------------------------------------------------------
+from classic_fcd_spark.operators.lm import duck_trigram_prob_sql  # noqa: E402
+
+
+@register(
+    "trigram_lm_scores",
+    duck_trigram_prob_sql(),
+    doc="Interpolated hashed-trigram LM scoring (the order-3 instance of "
+    "the CCNet-style LM family, Wenzek 2019): p = 0.5*p_tri + 0.3*p_bi "
+    "+ 0.2*p_uni with Laplace smoothing over md5 buckets, token-1/2 "
+    "back-off at the edge; model = driver-bounded count tables "
+    "broadcast (<= observed-trigram rows, refused over budget); scoring "
+    "= three explodes + broadcast left joins + an exact e9 "
+    "floor-then-integer-sum.  The oracle re-fits the same counts via "
+    "LAG over token ordinals — set-identical n-grams, same literal "
+    "lambdas, same association order, zero transcendentals.",
+)
+def trigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.lm import trigram_prob_scores
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return trigram_prob_scores(docs, docs.filter(F.col("source") == "src0"))
+
+
+# ---------------------------------------------------------------------------
+# Trained-classifier quality scoring path — promoted to the driver gate
+# in r7 (the embedding_similar_pairs slot).  The gate pins the SCORER
+# (functions/text.linear_quality_logit — the column algebra every
+# trained weight vector rides at scan speed, operators/quality_model.py)
+# under a deterministic md5-derived weight vector; the MLlib training
+# loop that produces production weights is gated in
+# tests/test_quality_model.py.  Gated value = floor(logit * 1e6): the
+# logit is pure rational arithmetic (bucket lookup, sequential sum, one
+# divide) — bit-identical across engines — where the sigmoid's exp()
+# is libm-bound (and monotone, so thresholds transfer).
+# ---------------------------------------------------------------------------
+import hashlib as _hashlib  # noqa: E402
+
+_QUALITY_N_BUCKETS = 64
+# deterministic pseudo-trained weights in [-1, 1]: md5-derived so both
+# engines embed the exact same repr literals
+QUALITY_WEIGHTS = [
+    (int(_hashlib.md5(f"qw:{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+    / 1000.0
+    for i in range(_QUALITY_N_BUCKETS)
+]
+
+
+@register(
+    "quality_logit_scores",
+    f"""
+    SELECT doc_id,
+           CAST(floor({T.duck_linear_quality_logit("text", QUALITY_WEIGHTS)}
+                      * 1000000.0) AS BIGINT) AS logit_e6
+    FROM documents
+    """,
+    doc="Model-based quality scoring (fasttext-style linear classifier "
+    "inference, the CCNet/LLaMA curation recipe): mean-pooled hashed "
+    "bag-of-words logit, weights riding the plan as a broadcast array "
+    "literal, each token indexing via its md5 bucket — pure JVM column "
+    "algebra, no UDF, no shuffle; the exact scorer the trained "
+    "quality_model weights deploy through (pipeline/curation.py "
+    "drop:model_quality).  e6-floored integer logits on both engines.",
+)
+def quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.floor(
+            T.linear_quality_logit("text", QUALITY_WEIGHTS) * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("logit_e6"),
+    )
