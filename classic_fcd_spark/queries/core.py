@@ -113,6 +113,14 @@ def account_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     first_seen = ev.groupBy("user_id").agg(F.min(_day("ts")).alias("day"))
     per_day = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    # The cumulative window below is deliberately UNPARTITIONED and fires
+    # Spark's single-partition WindowExec warning.  That is accepted, not
+    # a scale risk: its input is per_day — one row per CALENDAR DAY after
+    # the aggregation — so even a century of data is ~36.5k narrow rows
+    # on one task.  A global ordered series has no partition key by
+    # definition; the heavy work (the per-user first-seen scan) is
+    # already distributed above.  Cardinality pinned in
+    # tests/test_operators.py::TestDayGrainWindowBoundedness.
     out = cumulative(per_day, "day", "new_users", "total_users")
     # pin int64 on both engines: DuckDB's windowed SUM yields HUGEINT
     return out.withColumn("total_users", F.col("total_users").cast("long"))
@@ -205,6 +213,9 @@ def daily_volume_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact decimal window sum / count instead of AVG-over-double: window
     # AVG over floats may associate differently across engines (oracle parity)
+    # Unpartitioned w10/lag windows: accepted single-partition WindowExec
+    # (same boundedness argument as account_growth — input is one row per
+    # calendar day post-aggregation, bounded by elapsed days)
     from pyspark.sql import Window
 
     w10 = Window.orderBy("day").rowsBetween(-9, Window.currentRow)

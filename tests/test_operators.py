@@ -226,3 +226,28 @@ class TestPlanAudit:
             if hits:
                 flagged[name] = hits
         assert flagged == {}
+
+
+class TestDayGrainWindowBoundedness:
+    """The accepted single-partition windows (queries/core.py day-grain
+    series): pin that the window INPUT cardinality equals the number of
+    calendar days in the corpus — the boundedness argument for running
+    them unpartitioned."""
+
+    def test_window_input_is_calendar_days(self, spark):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.session import load_tables
+        from tests.conftest import SF_SMALL
+
+        ev = load_tables(spark, SF_SMALL)["events"]
+        n_days = ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")
+        ).distinct().count()
+        first_seen = ev.groupBy("user_id").agg(
+            F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day")
+        )
+        per_day = first_seen.groupBy("day").agg(F.count("*").alias("n"))
+        assert per_day.count() <= n_days
+        # a century of days would still be a bounded single task
+        assert n_days < 40_000
