@@ -74,9 +74,28 @@ def _make_update(ttl_seconds: int):
             )
             return
 
+        # event-time TTL: expire when the watermark passes last_seen + ttl.
+        # Stateful ops do NOT drop late rows — with reordered input (e.g. a
+        # file source listing by modification time, where a parallel write
+        # finishes in arbitrary order) a group can be touched AFTER the
+        # frontier already passed last_seen + ttl, and registering that
+        # timeout would throw INVALID_TIMEOUT_TIMESTAMP.  Such an entry is
+        # expired-on-arrival: emit the eviction instead of a dead timeout.
+        timeout_ms = last_us // 1000 + ttl_seconds * 1000
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "txhash": [txhash],
+                    "first_seen": [pd.Timestamp(first_us, unit="us")],
+                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                    "reason": ["expired"],
+                }
+            )
+            return
+
         state.update((first_us, last_us))
-        # event-time TTL: expire when the watermark passes last_seen + ttl
-        state.setTimeoutTimestamp(last_us // 1000 + ttl_seconds * 1000)
+        state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
             columns=["txhash", "first_seen", "last_seen", "reason"]
         ).astype({"txhash": str, "reason": str})

