@@ -30,7 +30,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-COPIES = 10
+# xN dial: SWEEP_COPIES=100 gives the second decade of scale evidence
+# (5M docs at the default sf0.1 base)
+COPIES = int(os.environ.get("SWEEP_COPIES", "10"))
 OFFSET = 10_000_000
 QUERIES = [
     "duplicated_spans",
@@ -84,14 +86,15 @@ def main() -> None:
         k: v for k, v in _bench._extra_workloads().items() if k in QUERIES
     })
 
+    queries = [q for q in QUERIES if not sys.argv[1:] or q in sys.argv[1:]]
     work = tempfile.mkdtemp(prefix="sweep10x_")
-    big_dir = os.path.join(work, "sf10x")
+    big_dir = os.path.join(work, f"sf{COPIES}x")
     t0 = time.perf_counter()
     build_10x(spark, big_dir)
-    print(f"10x corpus built in {time.perf_counter() - t0:.1f}s")
+    print(f"{COPIES}x corpus built in {time.perf_counter() - t0:.1f}s")
 
     results = {}
-    for name in QUERIES:
+    for name in queries:
         fn = qmap[name]
         # warm both plans at the smallest SF (codegen paid once)
         try:
@@ -99,7 +102,7 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warm-up best effort
             pass
         times = {}
-        for label, d in (("x1", SF_DIR), ("x10", big_dir)):
+        for label, d in (("x1", SF_DIR), (f"x{COPIES}", big_dir)):
             best = None
             for _ in range(2):  # min-of-2 (the bench's noise policy)
                 t0 = time.perf_counter()
@@ -107,13 +110,14 @@ def main() -> None:
                 t = time.perf_counter() - t0
                 best = t if best is None else min(best, t)
             times[label] = (round(best, 2), n)
-        ratio = round(times["x10"][0] / times["x1"][0], 2)
+        big = f"x{COPIES}"
+        ratio = round(times[big][0] / times["x1"][0], 2)
         results[name] = {
             "x1_s": times["x1"][0],
-            "x10_s": times["x10"][0],
+            f"{big}_s": times[big][0],
             "ratio": ratio,
             "x1_rows": times["x1"][1],
-            "x10_rows": times["x10"][1],
+            f"{big}_rows": times[big][1],
         }
         print(name, results[name])
 
