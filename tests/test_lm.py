@@ -301,3 +301,50 @@ class TestBigramLM:
         }
         assert uni[0] == uni[1]  # bag-of-words blind
         assert bi[0] < bi[1]  # order-aware
+
+
+class TestTrigramModelSaveLoad:
+    def test_loaded_model_scores_bit_identical_to_fresh_fit(
+        self, spark, tables, tmp_path
+    ):
+        """The r8 fit/score split's contract: counts are integers, so a
+        parquet round-trip plus the load path's re-derived constants
+        must reproduce the fresh fit's scores EXACTLY — this is what
+        lets the gated query serve from the corpus-keyed model cache
+        (queries/text._trigram_model_for) without risking the driver's
+        value-hash gate."""
+        from classic_fcd_spark.operators.lm import (
+            fit_trigram_prob_model,
+            load_trigram_prob_model,
+            save_trigram_prob_model,
+            score_trigram_prob,
+        )
+
+        docs = tables["documents"]
+        mdocs = docs.filter(F.col("source") == "src0")
+        fresh = fit_trigram_prob_model(mdocs)
+        want = {
+            r["doc_id"]: (r["n_tokens"], r["sum_p_e9"])
+            for r in score_trigram_prob(docs, fresh).collect()
+        }
+        save_trigram_prob_model(fresh, str(tmp_path / "m"))
+        loaded = load_trigram_prob_model(spark, str(tmp_path / "m"))
+        assert loaded.ut == fresh.ut
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["sum_p_e9"])
+            for r in score_trigram_prob(docs, loaded).collect()
+        }
+        assert got == want
+        assert len(got) == 500
+
+    def test_null_and_empty_text_docs_emit_no_rows(self, spark):
+        """r7 advice: NULL-text docs must not score via a phantom
+        smoothed token — the oracle's token CTE emits no rows for them."""
+        from classic_fcd_spark.operators.lm import trigram_prob_scores
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, None), (3, "x y")],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"] for r in trigram_prob_scores(docs, docs).collect()}
+        assert got == {1, 3}
