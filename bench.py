@@ -69,12 +69,13 @@ HEADLINE = [
     # registered in r7 (driver-gated slot rotation)
     "trigram_lm_scores",
     "quality_logit_scores",
+    # registered in r8 (now the full bucketing query, driver-gated)
+    "ccnet_perplexity",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
     "simhash_docs",
     "ann_lsh_buckets",
     "approx_top_ngrams",
-    "ccnet_perplexity",
 ]
 
 # Batch-training workloads: per-corpus jobs, not per-query costs — timed
@@ -93,7 +94,10 @@ def _extra_workloads():
     folded in r3) but still benched: the multi-way TPC-H join and the
     signature/bucket projections."""
     from classic_fcd_spark.queries.core import revenue_by_nation
-    from classic_fcd_spark.queries.fcd import fcd_cumulative_rewards
+    from classic_fcd_spark.queries.fcd import (
+        fcd_avg_staking_daily,
+        fcd_cumulative_rewards,
+    )
 
     # r7 slot rotation: token_stats_by_source / embedding_similar_pairs
     # left the driver window (slots -> trigram_lm_scores /
@@ -156,15 +160,6 @@ def _extra_workloads():
             [(i, a, b) for i, (a, b) in enumerate(merges)], ["rank", "a", "b"]
         )
 
-    def ccnet_perplexity(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from classic_fcd_spark.operators.lm import unigram_nll_scores
-        from classic_fcd_spark.session import load_tables
-
-        docs = load_tables(spark, sf_dir)["documents"]
-        return unigram_nll_scores(docs, docs.filter(F.col("source") == "src0"))
-
     def approx_top_ngrams(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -194,7 +189,13 @@ def _extra_workloads():
         # so it adds no bench time
         "fcd_cumulative_rewards": fcd_cumulative_rewards,
         "approx_top_ngrams": approx_top_ngrams,
-        "ccnet_perplexity": ccnet_perplexity,
+        # r8 rotation: ccnet_perplexity is now a REGISTERED driver-gated
+        # query (bucketing included) resolved via query_fn_map — the raw
+        # NLL-score extra it replaces would shadow the gated row here.
+        # fcd_avg_staking_daily rotated the other way (slot ->
+        # ccnet_perplexity); kept here so plan_audit --extras still
+        # audits its window plan and the bench set stays comparable.
+        "fcd_avg_staking_daily": fcd_avg_staking_daily,
         "ann_ivfpq_search_trained": ann_ivfpq_search_trained,
         "bpe_train_50": bpe_train_50,
         "ann_lsh_buckets": ann_lsh_buckets,

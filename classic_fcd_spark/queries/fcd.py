@@ -772,20 +772,24 @@ _RANGE_MS = N * BLOCK_SPACING_S * 1000
 _YEAR_MS = 365 * 24 * 3600 * 1000
 
 
-@register(
-    "fcd_avg_staking_daily",
-    f"""
+# fcd_avg_staking_daily left the driver window in r8 (slot rotated to
+# ccnet_perplexity per the r7 brief); its daily integer-floor-average
+# pattern stays driver-gated via pricing_summary / fcd_dashboard and the
+# full query keeps this exact oracle as an in-test gate
+# (tests/test_fcd_pipeline.py::TestAvgStakingDailyOracle).
+AVG_STAKING_DAILY_ORACLE_SQL = f"""
     WITH {_DUCK_GI}
     SELECT day,
            CAST(SUM(staking_ratio_e6) // COUNT(*) AS BIGINT) AS avg_staking_ratio_e6,
            CAST(SUM(bonded_tokens) // COUNT(*) AS BIGINT) AS avg_bonded
     FROM general_info GROUP BY 1
-    """,
-    doc="A10 AVG(staking_ratio)/AVG(bonded_tokens) by date over the "
-    "general_info minute snapshots (src/collector/dashboard/"
-    "stakingReturn.ts:27-52).  Integer floor-average on both engines.",
-)
+    """
+
+
 def fcd_avg_staking_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 AVG(staking_ratio)/AVG(bonded_tokens) by date over the
+    general_info minute snapshots (src/collector/dashboard/
+    stakingReturn.ts:27-52).  Integer floor-average on both engines."""
     gi = gen_general_info(spark)
     return (
         gi.groupBy(F.date_format("datetime", "yyyy-MM-dd").alias("day"))

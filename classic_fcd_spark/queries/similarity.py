@@ -442,10 +442,151 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Merged ANN driver row (r5): both index structures in one gated query,
-# tagged by a `method` column — the LSH and IVF arms each keep their full
-# exact oracle (the SQL is the UNION ALL of the two r4 oracles), and the
-# freed slot went to sessionized_events.
+# PQ/ADC arm of the merged ANN driver row (r8, per the r7 brief): the
+# product-quantization compressed-domain search with a PINNED codebook —
+# sub-codebook j = the j-th dsub-slice of the first ks corpus vectors,
+# the same first-K determinism as the IVF arm and the SemDeDup codebook,
+# so the DuckDB oracle can reconstruct every code and distance exactly.
+# The trained path (pq_train spherical Lloyd) stays unit-gated in
+# tests/test_pq.py; what this row pins is the plumbing that runs at
+# 100 TB: encode = broadcast-codebook argmin (two narrow shuffles), ADC
+# scan = M element_at lookups per candidate over 8-byte codes.
+#
+# Gate-exactness design: the ADC ranking sums PER-SUBSPACE distances
+# floored to e6 integers (the module's order-free-integer policy), so
+# the GROUP-BY sum in SQL needs no float fold-order agreement; the
+# emitted score is then the EXACT cosine of each winner (same fold as
+# the green lsh/ivf arms), keeping the merged row's column contract.
+# ---------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_KS = 16
+_PQ_DSUB = DIM // _PQ_M
+
+_DUCK_SUBDIST = (
+    "list_sum(["
+    "(CAST(e.embedding[js.j*{d} + i] AS DOUBLE) - CAST(c.ce[js.j*{d} + i] AS DOUBLE))"
+    " * (CAST(e.embedding[js.j*{d} + i] AS DOUBLE) - CAST(c.ce[js.j*{d} + i] AS DOUBLE))"
+    " for i in range(1, {d} + 1)])"
+).format(d=_PQ_DSUB)
+
+PQ_ORACLE_SQL = f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < {_PQ_KS}
+    ),
+    sv AS (
+        SELECT e.vec_id, js.j, c.cid, {_DUCK_SUBDIST} AS d
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS j) js
+        CROSS JOIN cents c
+    ),
+    codes AS (
+        SELECT vec_id, j, cid AS code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                           ORDER BY d ASC, cid ASC) AS rn
+              FROM sv)
+        WHERE rn = 1
+    ),
+    qd AS (
+        SELECT vec_id AS qid, j, cid,
+               CAST(floor(d * 1000000.0) AS BIGINT) AS d_e6
+        FROM sv WHERE vec_id < {_N_QUERIES}
+    ),
+    adist AS (
+        SELECT q.qid, c.vec_id AS nid, SUM(q.d_e6) AS adist_e6
+        FROM codes c JOIN qd q ON q.j = c.j AND q.cid = c.code
+        WHERE c.vec_id <> q.qid
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adist_e6 ASC, nid ASC) AS rnk
+        FROM adist
+    )
+    SELECT r.qid, r.nid, r.rnk,
+           CAST(floor({duck_cosine_sql("q.embedding", "n.embedding", DIM)}
+                      * 1000000.0) AS BIGINT) AS cos_e6
+    FROM ranked r
+    JOIN embeddings q ON q.vec_id = r.qid
+    JOIN embeddings n ON n.vec_id = r.nid
+    WHERE r.rnk <= {_TOP_K}
+    """
+
+
+def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN with the pinned first-{ks}-vector sub-codebooks:
+    encode the corpus to M={m} codes (operators/similarity.pq_encode —
+    broadcast argmin, never a corpus re-shuffle wider than (id, m,
+    code)), rank candidates by the e6-quantized ADC distance (integer
+    sum of M per-subspace table lookups — order-free, so the rank is
+    bit-stable on any engine), then emit the exact cosine of each
+    winner.  Driver-gated via `ann_search` (pq arm)."""
+    from classic_fcd_spark.operators.similarity import _SQDIST, pq_encode
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < _PQ_KS).orderBy("vec_id").collect()
+    ]
+    books = [
+        [
+            [float(x) for x in cents[c][j * _PQ_DSUB : (j + 1) * _PQ_DSUB]]
+            for c in range(_PQ_KS)
+        ]
+        for j in range(_PQ_M)
+    ]
+    codes = pq_encode(emb, books)
+
+    def _lit_arr(vals):
+        return "array(" + ", ".join(repr(float(x)) for x in vals) + ")"
+
+    # per-query distance table, e6-floored at the CELL level so the
+    # M-term sum is pure bigint addition (order-free on both engines)
+    rows = []
+    for j in range(_PQ_M):
+        cells = []
+        for c in range(_PQ_KS):
+            sub = f"slice(embedding, {j * _PQ_DSUB + 1}, {_PQ_DSUB})"
+            cells.append(
+                "CAST(floor("
+                + _SQDIST.format(a=sub, b=_lit_arr(books[j][c]))
+                + " * 1000000.0) AS BIGINT)"
+            )
+        rows.append("array(" + ", ".join(cells) + ")")
+    dtab = F.expr("array(" + ", ".join(rows) + ")")
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        dtab.alias("dtab"),
+    )
+    score = F.expr(
+        "aggregate(zip_with(codes, dtab, "
+        "(c, row) -> element_at(row, CAST(c AS INT) + 1)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist_e6").asc(), F.col("nid").asc())
+    ranked = (
+        F.broadcast(q)
+        .crossJoin(codes.select(F.col("vec_id").alias("nid"), "codes"))
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "qe", "nid", score.alias("adist_e6"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+    )
+    ne = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    return ranked.join(ne, "nid").select(
+        "qid", "nid", "rnk", floor_e6(cosine("qe", "ne")).alias("cos_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merged ANN driver row (r5; third arm r8): the index structures in one
+# gated query, tagged by a `method` column — each arm keeps its full
+# exact oracle (the SQL is the UNION ALL of the per-arm oracles), and
+# the freed slots went to sessionized_events (r5) and ccnet_perplexity
+# (r8).
 # ---------------------------------------------------------------------------
 @register(
     "ann_search",
@@ -453,20 +594,24 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'lsh' AS method, * FROM ({LSH_ORACLE_SQL})
     UNION ALL
     SELECT 'ivf' AS method, * FROM ({IVF_ORACLE_SQL})
+    UNION ALL
+    SELECT 'pq' AS method, * FROM ({PQ_ORACLE_SQL})
     """,
-    doc="ANN search over both index structures in one gated row: "
+    doc="ANN search over three index structures in one gated row: "
     "method='lsh' is the 8-table x 4-plane multi-probe hash search, "
-    "method='ivf' the 16-cell coarse-quantizer probe — see "
-    "ann_lsh_search / ann_ivf_search for the per-arm plan and recall "
-    "notes (both driver-green individually in r2-r4; merged to free a "
-    "slot, not to weaken the gate — the oracle is the UNION ALL of the "
-    "two exact oracles, so every value of both arms is still "
-    "hash-compared every round).",
+    "method='ivf' the 16-cell coarse-quantizer probe, method='pq' the "
+    "product-quantization ADC scan (pinned sub-codebooks, e6-integer "
+    "ranking, exact-cosine emit) — see ann_lsh_search / ann_ivf_search "
+    "/ ann_pq_search for per-arm plan and recall notes.  Merged to free "
+    "slots, not to weaken the gate — the oracle is the UNION ALL of the "
+    "exact per-arm oracles, so every value of every arm is still "
+    "hash-compared every round.",
 )
 def ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann_lsh_search(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
     ivf = ann_ivf_search(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
-    return lsh.unionByName(ivf)
+    pq = ann_pq_search(spark, sf_dir).select(F.lit("pq").alias("method"), "*")
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 # ---------------------------------------------------------------------------

@@ -338,3 +338,66 @@ def quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("logit_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets — promoted to the driver gate in r8 (the
+# fcd_avg_staking_daily slot, per the r7 brief; A10's daily-floor-average
+# pattern stays gated via pricing_summary / fcd_dashboard).
+#
+# Oracle design: the score side reuses duck_unigram_nll_sql's model
+# RECOMPUTE path (DuckDB ln vs the driver's math.log — an e6-floor
+# boundary would have to land within ~1 ulp to split them; the in-test
+# gate has run this equivalence green since r2).  The BUCKET side pins
+# Spark's approxQuantile exact-mode convention: with rel_err small
+# enough that the GK summary keeps every sample (eps * n < 1), the
+# returned threshold is the element at 1-indexed rank ceil(p * n) of
+# the sorted scores — verified empirically across n in {7..5000}
+# including the float-tricky n = 501 — and ceil((1.0/3) * cnt) is the
+# same IEEE double product + ceil on both engines.  rel_err = 1e-7
+# keeps that exactness up to ~10M docs; the production path
+# (operators/lm.ccnet_buckets default rel_err = 0.001) keeps the
+# bounded-memory sketch and stays unit-gated.
+# ---------------------------------------------------------------------------
+from classic_fcd_spark.operators.lm import duck_unigram_nll_sql  # noqa: E402
+
+CCNET_PERPLEXITY_ORACLE_SQL = f"""
+    WITH scores AS ({duck_unigram_nll_sql()}),
+    nn AS (SELECT COUNT(*) AS cnt FROM scores),
+    ranked AS (
+        SELECT mean_nll_e6 AS v,
+               ROW_NUMBER() OVER (ORDER BY mean_nll_e6) AS rk
+        FROM scores
+    ),
+    lo AS (SELECT v FROM ranked, nn
+           WHERE rk = CAST(ceil((1.0/3) * cnt) AS BIGINT)),
+    hi AS (SELECT v FROM ranked, nn
+           WHERE rk = CAST(ceil((2.0/3) * cnt) AS BIGINT))
+    SELECT doc_id, n_tokens, mean_nll_e6,
+           CASE WHEN mean_nll_e6 <= (SELECT v FROM lo) THEN 'head'
+                WHEN mean_nll_e6 <= (SELECT v FROM hi) THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scores
+    """
+
+
+@register(
+    "ccnet_perplexity",
+    CCNET_PERPLEXITY_ORACLE_SQL,
+    doc="CCNet head/middle/tail perplexity bucketing (Wenzek 2019): "
+    "score every doc's mean NLL under the hashed-unigram LM fit on the "
+    "src0 reference corpus (model = 4096 e6-integer literals computed "
+    "once by the driver, broadcast; scoring = explode + broadcast join "
+    "+ exact integer sums), then split at the 1/3 and 2/3 "
+    "approxQuantile thresholds — Greenwald-Khanna mergeable-sketch "
+    "machinery, run at rel_err=1e-7 so the thresholds are the exact "
+    "rank-ceil(p*n) elements the oracle reproduces; production keeps "
+    "rel_err=0.001 for bounded sketch memory at 100 TB doc counts.",
+)
+def ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.lm import ccnet_buckets
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return ccnet_buckets(
+        docs, docs.filter(F.col("source") == "src0"), rel_err=1e-7
+    )

@@ -52,6 +52,8 @@ ALLOW: dict[str, dict[str, str]] = {
     "account_growth": {"global_window": "cumsum over per-day counts"},
     "fcd_cumulative_rewards": {"global_window": "cumsum over per-day sums"},
     "daily_volume_ma": {"global_window": "trailing MA over per-day sums"},
+    # r8: rotated out of the driver window (slot -> ccnet_perplexity);
+    # still audited via --extras (bench extra)
     "fcd_avg_staking_daily": {"global_window": "rank over per-day averages"},
     # keyset / offset page contracts: ordering a page-bounded or
     # pre-aggregated relation

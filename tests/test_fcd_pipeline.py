@@ -314,3 +314,31 @@ class TestVotesPageOracle:
         expected = [tuple(r) for r in duckdb.sql(VOTES_PAGE_ORACLE_SQL).fetchall()]
         assert got == expected
         assert len(got) == 10
+
+
+class TestAvgStakingDailyOracle:
+    """fcd_avg_staking_daily left the driver window in r8 (slot rotated
+    to ccnet_perplexity); this is its oracle gate now — the same
+    fixture-CTE DuckDB SQL that drove its green r2-r7 driver rows.  The
+    daily integer-floor-average pattern stays driver-gated via
+    pricing_summary / fcd_dashboard."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.fcd import (
+            AVG_STAKING_DAILY_ORACLE_SQL,
+            fcd_avg_staking_daily,
+        )
+        from tests.conftest import SF_SMALL
+
+        got = {
+            str(r["day"]): (r["avg_staking_ratio_e6"], r["avg_bonded"])
+            for r in fcd_avg_staking_daily(spark, SF_SMALL).collect()
+        }
+        expected = {
+            str(r[0]): (r[1], r[2])
+            for r in duckdb.sql(AVG_STAKING_DAILY_ORACLE_SQL).fetchall()
+        }
+        assert got == expected
+        assert len(got) > 0
