@@ -112,3 +112,124 @@ class TestAccountPage:
         keys = [(r["height"], r["hash"]) for r in rows]
         # file order (no orderBy!) must already be height desc, hash desc
         assert keys == sorted(keys, reverse=True)
+
+
+class TestIncrementalMaintenance:
+    """r8: the extract's partition-scoped merge path — the streaming twin
+    of the reference collector's per-block index upkeep
+    (src/collector/block/tx.ts:240-247).  Asserts (a) lookups see txs
+    merged after the bootstrap build, (b) ONLY the kb= buckets touched
+    by a batch are rewritten (file-mtime audit), (c) checkpointed
+    restart processes only new files (S2)."""
+
+    @staticmethod
+    def _bucket_mtimes(path):
+        import os
+
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("kb="):
+                continue
+            full = os.path.join(path, d)
+            out[d] = max(
+                os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full)
+            )
+        return out
+
+    def test_streamed_batches_merge_partition_scoped(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from classic_fcd_spark.serving.extract import (
+            _bucket_py,
+            lookup_account_page,
+            lookup_tx,
+            merge_tx_lookup_extract,
+            run_extract_maintenance_available_now,
+        )
+
+        txs = gen_txs(spark)
+        out = str(tmp_path / "extract")
+        src = str(tmp_path / "txs_stream")
+        ckpt = str(tmp_path / "ckpt")
+
+        # batch 1: bootstrap from the first 60 blocks via the stream
+        txs.filter(F.col("height") <= 60).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        run_extract_maintenance_available_now(spark, src, ckpt, out)
+        # valid fixture tx indices: i = h*3+k with k < h%3
+        h_old = tx_hash_str(4 * 3 + 0)  # height 4 (4%3=1 -> k=0 valid)
+        h_new = tx_hash_str(70 * 3 + 0)  # height 70 — not yet streamed
+        assert lookup_tx(spark, out, h_old).count() == 1
+        assert lookup_tx(spark, out, h_new).count() == 0
+
+        before = self._bucket_mtimes(f"{out}/tx_by_hash")
+
+        # batch 2: the remaining blocks arrive; restart from checkpoint
+        import time
+
+        time.sleep(1.1)  # mtime resolution guard
+        txs.filter(F.col("height") > 60).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        run_extract_maintenance_available_now(spark, src, ckpt, out)
+
+        # (a) lookups see the new txs, old ones unchanged
+        assert lookup_tx(spark, out, h_new).count() == 1
+        assert lookup_tx(spark, out, h_old).count() == 1
+        # full-corpus equivalence: merged extract == bootstrap-from-all
+        want = sorted(
+            r["hash"] for r in txs.select("hash").distinct().collect()
+        )
+        got = sorted(
+            r["hash"]
+            for r in spark.read.parquet(f"{out}/tx_by_hash")
+            .select("hash")
+            .distinct()
+            .collect()
+        )
+        assert got == want
+
+        # (b) only the touched buckets were rewritten
+        after = self._bucket_mtimes(f"{out}/tx_by_hash")
+        new_hashes = [
+            r["hash"]
+            for r in txs.filter(F.col("height") > 60).select("hash").collect()
+        ]
+        touched = {f"kb={_bucket_py(h, 16)}" for h in new_hashes}
+        for d, t in after.items():
+            if d in touched:
+                assert t > before.get(d, 0), f"{d} should have been rewritten"
+            else:
+                assert t == before[d], f"{d} rewritten but not touched"
+
+        # account page still serves the keyset contract post-merge
+        acct = account_tx_silver(txs).select("account").first()["account"]
+        rows = lookup_account_page(spark, out, acct, limit=5)
+        assert 0 < len(rows) <= 6  # limit+1 probe
+        hs = [(r["height"], r["hash"]) for r in rows]
+        # keyset order: height desc, hash desc
+        assert hs == sorted(hs, reverse=True)
+
+        # (c) a third run with no new files is a no-op for every bucket
+        run_extract_maintenance_available_now(spark, src, ckpt, out)
+        assert self._bucket_mtimes(f"{out}/tx_by_hash") == after
+
+    def test_merge_is_idempotent_by_key(self, spark, tmp_path):
+        from classic_fcd_spark.serving.extract import (
+            lookup_tx,
+            merge_tx_lookup_extract,
+            write_tx_lookup_extract,
+        )
+
+        txs = gen_txs(spark)
+        out = str(tmp_path / "extract2")
+        write_tx_lookup_extract(txs, out)
+        n0 = spark.read.parquet(f"{out}/tx_by_hash").count()
+        # re-deliver an overlapping batch (T1 replay): counts unchanged
+        merge_tx_lookup_extract(txs.filter(F.col("height") > 90), out)
+        assert spark.read.parquet(f"{out}/tx_by_hash").count() == n0
+        h = tx_hash_str(95 * 3 + 0)
+        assert lookup_tx(spark, out, h).count() == 1
