@@ -232,11 +232,38 @@ def _txs_with_id(txs: DataFrame) -> DataFrame:
     return txs.withColumn("id", F.row_number().over(w))
 
 
-def _keyset_page(filtered: DataFrame, limit: int, offset: int | None):
+# (application id, scope) -> persisted id-stamped frame: a cursor WALK
+# re-requested the global id-stamping sort on every page (r7 advice —
+# the exact serving soft spot the extract exists to avoid); pages of the
+# same filter chain now share one persisted stamped frame.  Small LRU:
+# scopes are per-operator/account strings, capped so a long-lived
+# serving session cannot accumulate executor storage.
+_STAMPED: dict[tuple[str, str], DataFrame] = {}
+_STAMPED_CAP = 32
+
+
+def _stamped_for(scope: str | None, filtered: DataFrame) -> DataFrame:
+    if scope is None:
+        return _txs_with_id(filtered)
+    key = (filtered.sparkSession.sparkContext.applicationId, scope)
+    if key not in _STAMPED:
+        while len(_STAMPED) >= _STAMPED_CAP:
+            _, old = _STAMPED.popitem()
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
+        _STAMPED[key] = _txs_with_id(filtered).persist()
+    return _STAMPED[key]
+
+
+def _keyset_page(
+    filtered: DataFrame, limit: int, offset: int | None, scope: str | None = None
+):
     """(page_rows, next): the getClaimTxs paging contract — id < offset,
     newest first, limit+1 probe; next is rows[limit-1].id when a full
     probe came back."""
-    q = _txs_with_id(filtered)
+    q = _stamped_for(scope, filtered)
     if offset:
         q = q.filter(F.col("id") < offset)
     rows = (
@@ -272,7 +299,12 @@ def get_delegation_txs(
 
     src = txs if txs is not None else gen_txs(spark)
     rows, next_id = _keyset_page(
-        src.filter(delegation_tx_filter(operator)), limit, offset
+        src.filter(delegation_tx_filter(operator)),
+        limit,
+        offset,
+        # fixture frames share one stamped persist per operator; an
+        # injected tx frame (tests) skips the memo to stay hermetic
+        scope=f"delegation:{operator}" if txs is None else None,
     )
     events = []
     for r in rows:
@@ -356,7 +388,10 @@ def get_claims(
 
     src = txs if txs is not None else gen_txs(spark)
     filtered = src.filter(F.col("code").isNull() & F.exists("msgs", m_pred))
-    rows, next_id = _keyset_page(filtered, limit, offset)
+    rows, next_id = _keyset_page(
+        filtered, limit, offset,
+        scope=f"claims:{operator}" if txs is None else None,
+    )
     claims = []
     for r in rows:
         logs = json.loads(r["logs_json"]) if r["logs_json"] else []
@@ -404,25 +439,33 @@ def get_delegators_page(
         .groupBy(F.col("delegator_address").alias("address"))
         .agg(F.sum("shares").cast("long").alias("amount"))
     )
+    # a popular validator's delegator set is unbounded (r7 advice): the
+    # page order + LIMIT run in Spark (TakeOrdered — distributed, no
+    # unpartitioned window) and only page*limit rows ever reach the
+    # driver; totalCnt/total come from one bounded 1-row aggregate
+    tot = mine.agg(
+        F.count("*").alias("cnt"), F.sum("amount").alias("total")
+    ).collect()[0]
+    total_cnt, total = int(tot["cnt"]), tot["total"]
+    start = (page - 1) * limit
     rows = (
-        mine.withColumn("total", F.sum("amount").over(Window.partitionBy()))
-        .orderBy(F.col("amount").desc(), "address")
-        .collect()
+        mine.orderBy(F.col("amount").desc(), "address")
+        .limit(page * limit)
+        .collect()[start : start + limit]
     )
     delegators = [
         {
             "address": r["address"],
             "amount": _money(r["amount"]),
-            "weight": _money(Decimal(r["amount"]) / Decimal(r["total"])),
+            "weight": _money(Decimal(r["amount"]) / Decimal(total)),
         }
         for r in rows
     ]
-    start = (page - 1) * limit
     return {
-        "totalCnt": len(delegators),
+        "totalCnt": total_cnt,
         "page": page,
         "limit": limit,
-        "delegators": delegators[start : start + limit],
+        "delegators": delegators,
     }
 
 
@@ -496,51 +539,60 @@ def get_account_balance(spark: SparkSession, address: str) -> dict:
     sch_map = {
         v["denom"]: v["schedules"] for v in (a["vesting_schedules"] or [])
     }
-    # the per-coin arithmetic stays the gated column algebra: one bounded
-    # plan over this account's coins reusing freed_rate/vesting_balance
-    coins = [(c["denom"], float(c["amount"])) for c in (a["coins"] or [])]
-    cdf = spark.createDataFrame(coins or [("uluna", 0.0)], "denom string, amount double")
+    # the per-coin arithmetic stays the gated column algebra, but as ONE
+    # plan over the coins array — one row per coin carrying its own
+    # schedules, freed_rate and vesting_balance evaluated in the same
+    # select, one collect (r7 verdict item 7: the previous form launched
+    # a Spark job per coin and per vesting schedule in a Python loop)
+    coin_rows = [
+        (
+            c["denom"],
+            float(c["amount"]),
+            float(ov_map.get(c["denom"], 0)),
+            float(dv_map.get(c["denom"], 0)),
+            [
+                (s["start_time"], s["end_time"], s["ratio"])
+                for s in (sch_map.get(c["denom"]) or [])
+            ],
+            # calculate.ts:61-62: isVested = isLuna || usdr
+            c["denom"] in ("uluna", "usdr"),
+        )
+        for c in (a["coins"] or [])
+    ]
     balance = []
-    for denom, amount in coins:
-        ov = float(ov_map.get(denom, 0))
-        dv = float(dv_map.get(denom, 0))
-        sch = sch_map.get(denom) or []
-        rate = 0.0
-        if sch:
-            sdf = spark.createDataFrame(
-                [([(s["start_time"], s["end_time"], s["ratio"]) for s in sch],)],
-                "sch array<struct<start_time:string,end_time:string,ratio:string>>",
-            )
-            rate = float(
-                sdf.select(
-                    F.coalesce(freed_rate(F.col("sch"), _NOW_MS), F.lit(0.0)).alias("r")
-                ).collect()[0]["r"]
-            )
-        row = (
-            cdf.filter(F.col("denom") == denom)
-            .select(
-                vesting_balance(
-                    F.col("amount"),
-                    F.lit(ov),
-                    F.lit(dv),
-                    F.lit(rate),
-                    # calculate.ts:61-62: isVested = isLuna || usdr
-                    F.lit(denom in ("uluna", "usdr")),
-                ).alias("b")
-            )
-            .collect()[0]["b"]
+    if coin_rows:
+        cdf = spark.createDataFrame(
+            coin_rows,
+            "denom string, amount double, ov double, dv double, "
+            "sch array<struct<start_time:string,end_time:string,ratio:string>>, "
+            "is_vested boolean",
         )
-        balance.append(
-            {
-                "denom": denom,
-                "available": _money(row["available"]),
-                "delegatedVesting": _money(dv),
-                "delegatable": _money(amount) if denom == "uluna" else "0",
-                "freedVesting": _money(row["freed_vesting"]),
-                "unbonding": "0",  # no unbonding fixture stream
-                "remainingVesting": _money(row["remaining_vesting"]),
-            }
-        )
+        rows = cdf.select(
+            "denom",
+            "amount",
+            "dv",
+            vesting_balance(
+                F.col("amount"),
+                F.col("ov"),
+                F.col("dv"),
+                F.coalesce(freed_rate(F.col("sch"), _NOW_MS), F.lit(0.0)),
+                F.col("is_vested"),
+            ).alias("b"),
+        ).collect()
+        for r in rows:
+            balance.append(
+                {
+                    "denom": r["denom"],
+                    "available": _money(r["b"]["available"]),
+                    "delegatedVesting": _money(r["dv"]),
+                    "delegatable": _money(r["amount"])
+                    if r["denom"] == "uluna"
+                    else "0",
+                    "freedVesting": _money(r["b"]["freed_vesting"]),
+                    "unbonding": "0",  # no unbonding fixture stream
+                    "remainingVesting": _money(r["b"]["remaining_vesting"]),
+                }
+            )
     vesting = []
     for denom in (c["denom"] for c in (a["original_vesting"] or [])):
         ov = Decimal(ov_map.get(denom, "0"))
