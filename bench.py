@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_search",
     "ann_ivf_search",
+    "ann_pq_search",
     "embedding_similar_pairs",
     # fcd domain pipeline (fixture-driven, scale-independent)
     "fcd_tx_volume_minute",
@@ -122,6 +123,7 @@ def _extra_workloads():
         ann_ivf_search_trained,
         ann_lsh_buckets,
         ann_lsh_search,
+        ann_pq_search,
         ann_pq_search_trained,
         ann_topk_bruteforce,
     )
@@ -201,6 +203,9 @@ def _extra_workloads():
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,
+        # r8: the pq arm of the merged ann_search row, benched per-arm
+        # like its lsh/ivf siblings
+        "ann_pq_search": ann_pq_search,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_ivf_search_trained": ann_ivf_search_trained,
         "ann_pq_search_trained": ann_pq_search_trained,

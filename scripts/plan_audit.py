@@ -39,7 +39,11 @@ ALLOW: dict[str, dict[str, str]] = {
     # r5 review: the IVF arm's cell assignment is corpus x broadcast
     # 16-row codebook (constant-bounded dim cross, one fold per pair);
     # the corpus-x-corpus probe itself is the cell equi-join
-    "ann_search": {"nested_loop": "corpus x broadcast 16-row codebook cross"},
+    "ann_search": {
+        "nested_loop": "corpus x broadcast 16-row codebook cross; r8 pq "
+        "arm adds the ADC compressed-domain scan (codes x broadcast "
+        "10-query distance tables — flat-PQ by design, 8 B/candidate)"
+    },
     # r5 (late) review: same constant-bounded codebook cross as ann_search's
     # IVF arm — assignment is corpus x broadcast 16-row dim, one fold/pair
     "semantic_dedup": {"nested_loop": "corpus x broadcast 16-row codebook cross"},
@@ -75,6 +79,11 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "ann_lsh_search": {"nested_loop": "corpus x broadcast 32-plane literal bucket projection"},
     "ann_ivf_search": {"nested_loop": "corpus x broadcast 16-row codebook cross"},
+    "ann_pq_search": {
+        "nested_loop": "encode: corpus-subvectors x broadcast sub-codebook "
+        "argmin; search: ADC codes scan x broadcast quantized tables "
+        "(flat-PQ by design, same shape as ann_pq_search_trained)"
+    },
     "ann_ivf_search_trained": {"nested_loop": "corpus x broadcast trained codebook cross"},
     "ann_pq_search_trained": {
         "nested_loop": "ADC scan: codes x broadcast 10-query distance tables "

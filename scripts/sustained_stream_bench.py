@@ -204,6 +204,66 @@ def main() -> None:
         "max_refresh_set": max(refreshed) if refreshed else 0,
     }
 
+    # --- 5) serving-extract maintenance twin (r8): per-block index upkeep ----
+    # The partition-scoped merge's contract is per-batch cost ∝ batch +
+    # touched buckets, NOT corpus size — so as the extract grows across
+    # drops, per-batch wall must stay flat.  Asserted like the rollup.
+    from classic_fcd_spark.pipeline.medallion import account_tx_silver
+    from classic_fcd_spark.serving.extract import (
+        lookup_tx,
+        merge_account_page_extract,
+        merge_tx_lookup_extract,
+    )
+    from classic_fcd_spark.sources.fixtures import gen_txs, tx_hash_str
+
+    n_drops = 30
+    txs = gen_txs(spark, n=3000)
+    tx_dir = os.path.join(work, "tx_feed")
+    txs.repartitionByRange(n_drops, "height").write.parquet(tx_dir)
+    ext_dir = os.path.join(work, "extract")
+    ext_times: list[float] = []
+    elast = {"t": time.perf_counter()}
+
+    def esink(batch_df, batch_id):
+        batch_df = batch_df.cache()
+        try:
+            merge_tx_lookup_extract(batch_df, ext_dir)
+            merge_account_page_extract(account_tx_silver(batch_df), ext_dir)
+        finally:
+            batch_df.unpersist()
+        now = time.perf_counter()
+        ext_times.append(now - elast["t"])
+        elast["t"] = now
+
+    eq = (
+        spark.readStream.schema(txs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tx_dir)
+        .writeStream.foreachBatch(esink)
+        .option("checkpointLocation", os.path.join(work, "ckpt_extract"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    elast["t"] = time.perf_counter()
+    eq.awaitTermination()
+    esteady = ext_times[1:]
+    ehalf = len(esteady) // 2
+    out["extract_maintenance"] = {
+        "drops": len(ext_times),
+        "p50_s": round(statistics.median(esteady), 3),
+        "p99_s": round(p(esteady, 0.99), 3),
+        "first_half_mean_s": round(statistics.mean(esteady[:ehalf]), 3),
+        "second_half_mean_s": round(statistics.mean(esteady[ehalf:]), 3),
+        "extract_mb": round(du_bytes(ext_dir) / 1e6, 2),
+    }
+    # flat-upkeep assert: per-batch merge cost must not trend up as the
+    # extract accumulates all prior drops
+    assert statistics.mean(esteady[ehalf:]) <= 1.5 * statistics.mean(
+        esteady[:ehalf]
+    ), out["extract_maintenance"]
+    # and the freshly-merged index must actually serve (last block's tx)
+    assert lookup_tx(spark, ext_dir, tx_hash_str(2999 * 3 + 0)).count() == 1
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 
