@@ -170,3 +170,159 @@ class TestRepetitionFilters:
         assert not self._one(
             spark, passes_repetition_filter("text"), ("spam ham " * 20).strip()
         )
+
+
+class TestMathDuckOracle:
+    """F1/F2 cross-engine oracle (r8): the same null/zero quirks
+    evaluated as DECIMAL SQL in DuckDB over a shared value table —
+    upgrading the BigNumber-parity gate from unit pins to an
+    engine-equivalence check.  Operand pairs are exact at scale 10
+    (clean divisors), so no rounding-rule divergence can mask or fake a
+    semantics difference."""
+
+    CASES = [
+        ("1.5", "2.5"),
+        (None, "2"),
+        ("5.5", None),
+        (None, None),
+        ("-3.99", "2"),
+        ("7.5", "0.5"),
+        ("9", "2"),
+        ("5", "0"),          # zero divisor: Infinity -> NULL on both sides
+        ("-7", "4"),
+        # sized so every result is exact on both engines: DuckDB DECIMAL
+        # division routes through DOUBLE (exact only below ~2^53/1e10)
+        # and DECIMAL(38) products overflow where Spark allows precision
+        # loss — the (38,10) extreme itself is pinned in TestMathSemantics
+        ("123456.25", "5"),
+    ]
+
+    def _spark_rows(self, spark):
+        import classic_fcd_spark.functions.math as m
+
+        df = spark.createDataFrame(self.CASES, "a string, b string")
+        return {
+            (r["a"], r["b"]): (
+                r["plus"], r["minus"], r["times"], r["div"], r["intp"],
+            )
+            for r in df.select(
+                "a",
+                "b",
+                m.plus("a", "b").alias("plus"),
+                m.minus("a", "b").alias("minus"),
+                m.times("a", "b").alias("times"),
+                F.col("a").alias("_a"),
+                m.div("a", "b").cast("decimal(38,10)").alias("div"),
+                m.get_integer_portion("a").alias("intp"),
+            ).collect()
+        }
+
+    def test_matches_duckdb_decimal_semantics(self, spark):
+        import duckdb
+
+        got = self._spark_rows(spark)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t (a VARCHAR, b VARCHAR)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?)", self.CASES)
+        az = "COALESCE(CAST(a AS DECIMAL(38,10)), 0)"
+        bz = "COALESCE(CAST(b AS DECIMAL(38,10)), 0)"
+        b1 = "COALESCE(CAST(b AS DECIMAL(38,10)), 1)"
+        want_rows = con.execute(
+            f"""
+            SELECT a, b,
+                   {az} + {bz} AS plus,
+                   {az} - {bz} AS minus,
+                   CAST({az} * {bz} AS DECIMAL(38,10)) AS times,
+                   CAST({az} / NULLIF({b1}, 0) AS DECIMAL(38,10)) AS div,
+                   CAST(TRUNC(CAST(a AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS intp
+            FROM t
+            """
+        ).fetchall()
+        want = {(r[0], r[1]): tuple(r[2:]) for r in want_rows}
+        assert set(got) == set(want)
+        for k in got:
+            for g, w, name in zip(
+                got[k], want[k], ("plus", "minus", "times", "div", "intp")
+            ):
+                assert (g is None) == (w is None), (k, name, g, w)
+                if g is not None:
+                    assert Decimal(g) == Decimal(w), (k, name, g, w)
+
+
+class TestCompatDuckOracle:
+    """F14/F15 cross-engine oracle (r8): the rename chain and the
+    null-byte scrub as DuckDB replace() chains in the same
+    longest-first order, over strings that exercise the ordering trap
+    (MsgSend inside MsgMultiSend) and the NUL escape variants."""
+
+    def test_sync_msg_type_matches_duckdb(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.functions.compat import (
+            _ORDERED_RENAMES,
+            sync_msg_type,
+        )
+
+        cases = [
+            ('{"type":"cosmos-sdk/MsgSend","x":1}',),
+            ('{"type":"cosmos-sdk/MsgMultiSend","x":1}',),
+            # both in one payload; the longest-first chain must rewrite
+            # MultiSend as a unit, never via the MsgSend substring
+            ('["cosmos-sdk/MsgMultiSend","cosmos-sdk/MsgSend"]',),
+            ('{"type":"cosmos-sdk/MsgWithdrawValidatorCommission"}',),
+            ('{"type":"market/MsgSwap"}',),  # no rename applies
+        ]
+        df = spark.createDataFrame(cases, "raw string")
+        got = {
+            r["raw"]: r["out"]
+            for r in df.select("raw", sync_msg_type("raw").alias("out")).collect()
+        }
+        con = duckdb.connect()
+        expr = "raw"
+        for old, new in _ORDERED_RENAMES:
+            expr = f"replace({expr}, '{old}', '{new}')"
+        con.execute("CREATE TABLE t (raw VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", cases)
+        want = {r[0]: r[1] for r in con.execute(f"SELECT raw, {expr} FROM t").fetchall()}
+        assert got == want
+        # and the trap case actually renamed both, correctly
+        assert (
+            got['["cosmos-sdk/MsgMultiSend","cosmos-sdk/MsgSend"]']
+            == '["pay/MsgMultiSend","pay/MsgSend"]'
+        )
+
+    def test_scrub_null_bytes_matches_duckdb(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.functions.compat import scrub_null_bytes
+
+        cases = [
+            ('memo \\\\u0000 tail',),
+            ('memo \\u0000 tail',),
+            ("memo \x00 tail",),
+            ('a\\\\u0000b\\u0000c\x00d',),
+            ("clean",),
+        ]
+        df = spark.createDataFrame(cases, "raw string")
+        got = {
+            r["raw"]: r["out"]
+            for r in df.select(
+                "raw", scrub_null_bytes("raw").alias("out")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (raw VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", cases)
+        # same longest-first chain: 2-backslash, 1-backslash, raw NUL
+        expr = (
+            "replace(replace(replace(replace(raw,"
+            " '\\\\u0000', ''),"
+            " '\\u0000', ''),"
+            " chr(0), ''), '@@never@@', '')"
+        )
+        want = {
+            r[0]: r[1] for r in con.execute(f"SELECT raw, {expr} FROM t").fetchall()
+        }
+        assert got == want
