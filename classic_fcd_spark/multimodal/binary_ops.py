@@ -294,6 +294,67 @@ def sniff_media_header(content: bytes):
             if b[12:16] == b"fmt ":
                 return ("wav", None, None, int.from_bytes(b[24:28], "little"))
             return ("wav", None, None, None)
+        if b[:4] == b"fLaC" and len(b) >= 22:
+            # METADATA_BLOCK_STREAMINFO is mandatory-first (RFC 9639
+            # §8.1): 4-byte marker, 4-byte block header, then at byte
+            # offset 18 the 20-bit sample rate (bits 80-99 of the block)
+            if (b[4] & 0x7F) == 0:  # block type 0 = STREAMINFO
+                sr = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+                return ("flac", None, None, sr or None)
+            return ("flac", None, None, None)
+        if b[:4] == b"OggS" and len(b) >= 27:
+            # first page payload starts after the 27-byte page header +
+            # segment table; a Vorbis identification header packet is
+            # "\x01vorbis" + version(4) + channels(1) + rate(4 LE)
+            # (Vorbis I spec §4.2.2)
+            nseg = b[26]
+            off = 27 + nseg
+            if b[off : off + 7] == b"\x01vorbis" and len(b) >= off + 16:
+                return (
+                    "ogg",
+                    None,
+                    None,
+                    int.from_bytes(b[off + 12 : off + 16], "little") or None,
+                )
+            return ("ogg", None, None, None)
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            # ISO-BMFF (MP4/MOV): walk top-level boxes to moov, then
+            # moov's children to each trak/tkhd; the track header's
+            # width/height live in the box's last 8 bytes as 16.16
+            # fixed-point (ISO 14496-12 §8.3.2).  Audio tracks carry
+            # 0x0 — take the first non-zero geometry (the video track).
+            def boxes(lo: int, hi: int):
+                i = lo
+                while i + 8 <= hi:
+                    size = int.from_bytes(b[i : i + 4], "big")
+                    typ = b[i + 4 : i + 8]
+                    if size == 1:  # 64-bit largesize
+                        if i + 16 > hi:
+                            return
+                        size = int.from_bytes(b[i + 8 : i + 16], "big")
+                    if size < 8 or i + size > hi:
+                        return
+                    yield i, size, typ
+                    i += size
+
+            for mi, msize, mtyp in boxes(0, len(b)):
+                if mtyp != b"moov":
+                    continue
+                for ti, tsize, ttyp in boxes(mi + 8, mi + msize):
+                    if ttyp != b"trak":
+                        continue
+                    for hi_, hsize, htyp in boxes(ti + 8, ti + tsize):
+                        if htyp != b"tkhd" or hsize < 24:
+                            continue
+                        w = int.from_bytes(
+                            b[hi_ + hsize - 8 : hi_ + hsize - 4], "big"
+                        ) >> 16
+                        h = int.from_bytes(
+                            b[hi_ + hsize - 4 : hi_ + hsize], "big"
+                        ) >> 16
+                        if w and h:
+                            return ("mp4", w, h, None)
+            return ("mp4", None, None, None)
         return none
     except Exception:  # noqa: BLE001 — sniffing must never fail a scan
         return none

@@ -214,3 +214,119 @@ class TestHeaderSniffing:
             + (99).to_bytes(2, "big") + (77).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
         )
         assert sniff_media_header(jpeg) == ("jpeg", 77, 99, None)
+
+
+class TestVideoAudioContainerSniffing:
+    """r8: the FLAC / OGG-Vorbis / ISO-BMFF (MP4) header walks — the
+    audio/video side of the no-codec boundary.  Bytes hand-built per
+    RFC 9639 §8.1 (FLAC STREAMINFO), the Vorbis I spec §4.2.2
+    (identification header), and ISO 14496-12 §8.3.2 (tkhd 16.16
+    fixed-point geometry)."""
+
+    @staticmethod
+    def _flac(rate: int) -> bytes:
+        # marker + STREAMINFO block header (type 0, len 34) + 34-byte body
+        body = bytearray(34)
+        # sample rate is 20 bits starting at body byte 10 (stream byte 18)
+        body[10] = (rate >> 12) & 0xFF
+        body[11] = (rate >> 4) & 0xFF
+        body[12] = (rate & 0xF) << 4
+        return b"fLaC" + b"\x00" + (34).to_bytes(3, "big") + bytes(body)
+
+    @staticmethod
+    def _ogg(rate: int) -> bytes:
+        # 27-byte page header with 1 segment, then the Vorbis id packet
+        header = b"OggS" + b"\x00" * 22 + b"\x01" + b"\x1e"
+        pkt = (
+            b"\x01vorbis"
+            + (0).to_bytes(4, "little")  # vorbis_version
+            + b"\x02"  # channels
+            + rate.to_bytes(4, "little")
+            + b"\x00" * 14
+        )
+        return header + pkt
+
+    @staticmethod
+    def _box(typ: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+    @classmethod
+    def _mp4(cls, w: int, h: int, with_audio_track: bool = True) -> bytes:
+        def tkhd(width, height):
+            # version0 tkhd: 4 (ver/flags) + 80 body bytes; geometry is
+            # the LAST 8 bytes as 16.16 fixed point
+            body = bytearray(84)
+            body[-8:-4] = (width << 16).to_bytes(4, "big")
+            body[-4:] = (height << 16).to_bytes(4, "big")
+            return cls._box(b"tkhd", bytes(body))
+
+        traks = b""
+        if with_audio_track:
+            traks += cls._box(b"trak", tkhd(0, 0))  # audio: 0x0 geometry
+        traks += cls._box(b"trak", tkhd(w, h))
+        moov = cls._box(b"moov", cls._box(b"mvhd", b"\x00" * 100) + traks)
+        ftyp = cls._box(b"ftyp", b"isom" + b"\x00" * 8)
+        return ftyp + moov
+
+    def test_flac_sample_rate(self):
+        from classic_fcd_spark.multimodal.binary_ops import sniff_media_header
+
+        assert sniff_media_header(self._flac(44100)) == ("flac", None, None, 44100)
+        assert sniff_media_header(self._flac(96000)) == ("flac", None, None, 96000)
+        # truncated marker-only content stays null-safe
+        assert sniff_media_header(b"fLaC") == (None, None, None, None)
+
+    def test_ogg_vorbis_sample_rate(self):
+        from classic_fcd_spark.multimodal.binary_ops import sniff_media_header
+
+        assert sniff_media_header(self._ogg(48000)) == ("ogg", None, None, 48000)
+        # an Ogg page wrapping a non-Vorbis codec sniffs as ogg, rate
+        # unknown (no misread)
+        opus = b"OggS" + b"\x00" * 22 + b"\x01" + b"\x10" + b"OpusHead" + b"\x00" * 8
+        assert sniff_media_header(opus) == ("ogg", None, None, None)
+
+    def test_mp4_video_geometry_skips_audio_track(self):
+        from classic_fcd_spark.multimodal.binary_ops import sniff_media_header
+
+        assert sniff_media_header(self._mp4(1920, 1080)) == ("mp4", 1920, 1080, None)
+        assert sniff_media_header(self._mp4(640, 360, with_audio_track=False)) == (
+            "mp4", 640, 360, None,
+        )
+        # ftyp with no moov: format detected, geometry unknown
+        assert sniff_media_header(self._box(b"ftyp", b"isom" + b"\x00" * 8)) == (
+            "mp4", None, None, None,
+        )
+        # corrupt box size must not loop or raise
+        bad = self._box(b"ftyp", b"isom") + b"\x00\x00\x00\x03moov"
+        assert sniff_media_header(bad) == ("mp4", None, None, None)
+
+    def test_mixed_media_batch_via_map_in_pandas(self, spark):
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.multimodal.binary_ops import with_header_meta
+
+        rows = [
+            (0, "video", bytearray(self._mp4(1280, 720))),
+            (1, "audio", bytearray(self._flac(22050))),
+            (2, "audio", bytearray(self._ogg(8000))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+        got = {
+            r["media_id"]: (
+                r["sniffed"]["format"], r["sniffed"]["width"],
+                r["sniffed"]["height"], r["sniffed"]["sample_rate"],
+            )
+            for r in with_header_meta(df).collect()
+        }
+        assert got == {
+            0: ("mp4", 1280, 720, None),
+            1: ("flac", None, None, 22050),
+            2: ("ogg", None, None, 8000),
+        }
+        # the no-codec quality gate now spans audio too: drop low-rate
+        n = (
+            with_header_meta(df)
+            .filter(F.col("sniffed.sample_rate") >= 16000)
+            .count()
+        )
+        assert n == 1
