@@ -241,7 +241,19 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on its band id — no BroadcastNestedLoopJoin, no broadcast
     of the corpus (asserted in tests).  Driver-gated r2-r6 (green
     throughout); since r7 gated by the in-test oracle
-    (EMBEDDING_SIMILAR_PAIRS_ORACLE_SQL)."""
+    (EMBEDDING_SIMILAR_PAIRS_ORACLE_SQL).
+
+    r8: DUPLICATE-COLLAPSED (the semantic_dedup fingerprint-collapse
+    pattern, r7).  Byte-identical vectors share every band signature and
+    every pairwise cosine, so the band join and the cosine verify run
+    once per DISTINCT vector (groupBy the array itself — exact, no hash
+    fingerprint to collide) and the result expands back to member pairs:
+    cross-group pairs via a members join, intra-group pairs via the
+    self-cosine (the same IEEE expression on the same bytes the oracle
+    evaluates on two copies).  On a duplicate-heavy corpus the pair
+    compute is multiplicity-independent — the sf1 10x-clone sweep
+    measured 101 s -> the output-expansion cost only — while the emitted
+    pair set is provably identical to the uncollapsed oracle's."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     # 1) candidate (i, j) id pairs: all 8 band signatures are computed in
     #    ONE projection pass and exploded to (band_idx, band_val) rows, so
@@ -259,12 +271,23 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, w in enumerate(_PAIR_BANDS)
         ]
     )
-    # single-file scans arrive as one partition; spread the 8x64-dim fold
-    # work across cores before computing the signatures
-    par = spark.sparkContext.defaultParallelism
+    from classic_fcd_spark.session import scoped_persist
+
+    # 0) duplicate collapse: one representative per DISTINCT vector, with
+    #    the sorted member list carried for the expansion step.  The
+    #    groupBy's own hash shuffle both collapses AND spreads the reps
+    #    across cores for the band/norm folds downstream — no separate
+    #    repartition needed.
+    groups = scoped_persist(
+        emb.groupBy("embedding").agg(
+            F.min("vec_id").alias("rid"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
+        ),
+        "embpairs:groups",
+    )
+    reps = groups.select(F.col("rid").alias("vec_id"), "embedding")
     tagged = (
-        emb.repartition(par, "vec_id")
-        .select("vec_id", F.explode(bands).alias("bd"))
+        reps.select("vec_id", F.explode(bands).alias("bd"))
         .select("vec_id", F.col("bd.b").alias("b"), F.col("bd.v").alias("v"))
     )
     a = tagged.select("b", "v", F.col("vec_id").alias("i"))
@@ -272,13 +295,13 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         a.join(b, ["b", "v"]).filter(F.col("i") < F.col("j")).select("i", "j").distinct()
     )
-    # 2) exact-cosine verify ONCE per unique pair, with per-vector squared
-    #    norms hoisted out of the pair loop (the naive form recomputes
-    #    dot(a,a)/dot(b,b) per candidate — 3x the fold work); same
-    #    float expression shape as the oracle: dot/(sqrt*sqrt)
+    # 2) exact-cosine verify ONCE per unique REP pair, with per-vector
+    #    squared norms hoisted out of the pair loop (the naive form
+    #    recomputes dot(a,a)/dot(b,b) per candidate — 3x the fold work);
+    #    same float expression shape as the oracle: dot/(sqrt*sqrt)
     from classic_fcd_spark.operators.similarity import dot_sql
 
-    normed = emb.select(
+    normed = reps.select(
         "vec_id", "embedding", F.expr(dot_sql("embedding", "embedding")).alias("n2")
     )
     pa = normed.select(
@@ -288,12 +311,54 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("j"), F.col("embedding").alias("eb"), F.col("n2").alias("nb2")
     )
     cos = F.expr(dot_sql("ea", "eb")) / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
-    return (
+    rep_pairs = (
         cands.join(F.broadcast(pa), "i")
         .join(F.broadcast(pb), "j")
         .filter(cos >= _PAIR_THRESHOLD)
         .select("i", "j", floor_e6(cos).alias("cos_e6"))
     )
+    # duplicate-free corpus: reps ARE the vectors, so rep_pairs IS the
+    # answer — skip the expansion joins entirely (one scalar probe of
+    # the already-persisted groups; keeps the 1x bench at the
+    # pre-collapse cost while the dup-heavy path stays
+    # multiplicity-independent)
+    max_m = groups.agg(F.max(F.size("members"))).first()[0] or 1
+    if max_m == 1:
+        return rep_pairs
+    # 3) expand back to member pairs.  Cross-group: every (a in g_i,
+    #    b in g_j) inherits the rep cosine (identical bytes -> identical
+    #    IEEE value); least/greatest restores the i<j contract.
+    mi = groups.select(F.col("rid").alias("i"), F.col("members").alias("mi"))
+    mj = groups.select(F.col("rid").alias("j"), F.col("members").alias("mj"))
+    cross = (
+        rep_pairs.join(mi, "i")
+        .join(mj, "j")
+        .select("cos_e6", F.explode("mi").alias("a"), "mj")
+        .select("cos_e6", "a", F.explode("mj").alias("bb"))
+        .select(
+            F.least("a", "bb").alias("i"),
+            F.greatest("a", "bb").alias("j"),
+            "cos_e6",
+        )
+    )
+    # Intra-group: copies share every band, so each C(m,2) pair is an
+    # oracle pair with the self-cosine — the SAME expression the oracle
+    # evaluates on the two byte-identical copies (NaN-safe: a zero
+    # vector fails the >= filter on both engines)
+    self_cos = F.expr(dot_sql("embedding", "embedding")) / (
+        F.sqrt(F.expr(dot_sql("embedding", "embedding")))
+        * F.sqrt(F.expr(dot_sql("embedding", "embedding")))
+    )
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .filter(self_cos >= _PAIR_THRESHOLD)
+        .select(floor_e6(self_cos).alias("cos_e6"), "members")
+        .select("cos_e6", F.explode("members").alias("i"), "members")
+        .select("cos_e6", "i", F.explode("members").alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "cos_e6")
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
