@@ -350,3 +350,66 @@ def fcd_bank_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         bal["vesting"].alias("vesting"),
         bal["remaining_vesting"].alias("remaining_vesting"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W10 — undelegation schedule (src/service/staking/helper.ts:115-140
+# getUndelegateSchedule): flatten every unbonding's entries, graft the
+# validator dim, order by releaseTime asc.  In-test DuckDB-oracle gated
+# (the 50-row driver registry is full; the explode + broadcast-dim-join
+# + orderBy pattern is driver-gated via fcd_block_txs / fcd_staking_view).
+# The fixture carries no validator status column, so the schedule omits
+# the reference's validatorStatus field (everything else is 1:1).
+# ---------------------------------------------------------------------------
+from classic_fcd_spark.sources.fixtures import DUCK_UNBONDINGS, gen_unbondings  # noqa: E402
+
+UNDELEGATION_SCHEDULE_ORACLE_SQL = f"""
+    WITH {DUCK_UNBONDINGS},
+    vals AS (
+        SELECT {{valaddr}} AS validator,
+               'validator-' || CAST(v AS VARCHAR) AS moniker
+        FROM (SELECT unnest(range(0, 20)) AS v)
+    )
+    SELECT ub.delegator AS delegator_address,
+           ub.validator AS validator_address,
+           v.moniker AS validator_name,
+           ub.completion_time AS release_time,
+           ub.balance AS amount,
+           ub.creation_height
+    FROM unbond ub JOIN vals v ON v.validator = ub.validator
+    """
+
+
+def _undelegation_oracle_sql() -> str:
+    from classic_fcd_spark.sources.fixtures import duck_valaddr
+
+    return UNDELEGATION_SCHEDULE_ORACLE_SQL.format(valaddr=duck_valaddr("v"))
+
+
+def fcd_undelegation_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flattened, validator-joined, releaseTime-ordered undelegation
+    schedule over every in-flight unbonding (W10).  Explode is linear in
+    entries; the validator dim rides a broadcast; the global order is
+    the response contract (serving collects per-delegator subsets, which
+    are response-bounded)."""
+    from classic_fcd_spark.sources.fixtures import gen_validators
+
+    flat = gen_unbondings(spark).select(
+        "delegator_address", "validator_address", F.explode("entries").alias("e")
+    )
+    vals = gen_validators(spark).select(
+        F.col("operator_address").alias("validator_address"),
+        F.col("moniker").alias("validator_name"),
+    )
+    return (
+        flat.join(F.broadcast(vals), "validator_address")
+        .select(
+            "delegator_address",
+            "validator_address",
+            "validator_name",
+            F.col("e.completion_time").alias("release_time"),
+            F.col("e.balance").alias("amount"),
+            F.col("e.creation_height").alias("creation_height"),
+        )
+        .orderBy("release_time", "validator_address", "creation_height")
+    )

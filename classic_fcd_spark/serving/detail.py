@@ -626,11 +626,33 @@ def get_account_balance(spark: SparkSession, address: str) -> dict:
         .filter(F.col("delegator_address") == address)
         .collect()
     ]
+    # unbondings in the raw LCD staking/unbonding_delegations shape
+    # (getBalance/index.ts:27 passes them through; getStaking flattens
+    # them via getUndelegateSchedule) — delegator-filtered, bounded
+    from classic_fcd_spark.sources.fixtures import gen_unbondings
+
+    unbondings = [
+        {
+            "delegator_address": r["delegator_address"],
+            "validator_address": r["validator_address"],
+            "entries": [
+                {
+                    "creation_height": str(e["creation_height"]),
+                    "completion_time": e["completion_time"],
+                    "balance": _money(e["balance"]),
+                }
+                for e in r["entries"]
+            ],
+        }
+        for r in gen_unbondings(spark)
+        .filter(F.col("delegator_address") == address)
+        .collect()
+    ]
     return {
         "balance": _sort_denoms(balance),
         "vesting": _sort_denoms(vesting),
         "delegations": delegations,
-        "unbondings": [],
+        "unbondings": unbondings,
     }
 
 

@@ -198,6 +198,23 @@ def get_staking_account_view(spark: SparkSession, address: str) -> dict:
         .select("operator_address", "moniker", "voting_power", "my_shares")
         .collect()
     )
+    # W10: the caller's undelegation schedule (helper.ts
+    # getUndelegateSchedule via getStaking.ts:119) — delegator-filtered
+    # BEFORE the flatten, so the collect is response-bounded
+    from classic_fcd_spark.queries.fcd_read import fcd_undelegation_schedule
+
+    my_undelegations = [
+        {
+            "releaseTime": r["release_time"],
+            "amount": _money(r["amount"]),
+            "validatorName": r["validator_name"],
+            "validatorAddress": r["validator_address"],
+            "creationHeight": str(r["creation_height"]),
+        }
+        for r in fcd_undelegation_schedule(spark, "")
+        .filter(F.col("delegator_address") == address)
+        .collect()
+    ]
     validators = []
     my_delegations = []
     total = 0
@@ -206,6 +223,14 @@ def get_staking_account_view(spark: SparkSession, address: str) -> dict:
             "operatorAddress": r["operator_address"],
             "description": {"moniker": r["moniker"]},
             "votingPower": _money(r["voting_power"]),
+            # getStaking.ts:86-89 grafts the filtered schedule onto EVERY
+            # validator — an empty array is truthy in JS, so the key is
+            # always present (quirk preserved deliberately)
+            "myUndelegation": [
+                u
+                for u in my_undelegations
+                if u["validatorAddress"] == r["operator_address"]
+            ],
         }
         if r["my_shares"] is not None:
             v["myDelegation"] = _money(r["my_shares"])
@@ -225,6 +250,7 @@ def get_staking_account_view(spark: SparkSession, address: str) -> dict:
         "validators": validators,
         "myDelegations": my_delegations,
         "delegationTotal": _money(total),
+        "undelegations": my_undelegations,
     }
 
 

@@ -433,6 +433,55 @@ DUCK_DELEGATIONS = f"""
 """
 
 
+FIXTURE_N_UNBONDINGS = 40
+
+
+def gen_unbondings(spark: SparkSession, n: int = FIXTURE_N_UNBONDINGS) -> DataFrame:
+    """In-flight unbondings in the LCD staking/unbonding_delegations
+    shape the reference's getUndelegateSchedule flattens (W10,
+    src/service/staking/helper.ts:115-140): one row per (delegator,
+    validator) with an `entries` array of (creation_height,
+    completion_time ISO string, balance).  Entry e of unbonding u
+    completes at genesis + (u*13 + e*5) hours — deterministic
+    arithmetic, DuckDB-regenerable via DUCK_UNBONDINGS."""
+    u = F.col("id")
+
+    def entry(e):
+        return F.struct(
+            (u * 7 + e * 3 + 100).cast("long").alias("creation_height"),
+            F.date_format(
+                F.timestamp_seconds(F.lit(1609459200) + (u * 13 + e * 5) * 3600),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("completion_time"),
+            ((u * 17 + e * 11) % 900 + 1).cast("long").alias("balance"),
+        )
+
+    entries = F.transform(F.sequence(F.lit(0), (u % 3).cast("int")), entry)
+    delegator = F.when(u % 4 == 0, _addr(u % 20 + 1000)).otherwise(_addr(u % 30))
+    return spark.range(0, n).select(
+        delegator.alias("delegator_address"),
+        _valaddr(u % 20).alias("validator_address"),
+        entries.alias("entries"),
+    )
+
+
+DUCK_UNBONDINGS = f"""
+    unbond AS (
+        SELECT CASE WHEN u % 4 = 0 THEN {duck_addr("(u % 20) + 1000")}
+                    ELSE {duck_addr("u % 30")} END AS delegator,
+               {duck_valaddr("u % 20")} AS validator,
+               u * 7 + e * 3 + 100 AS creation_height,
+               strftime(make_timestamp((1609459200 + (u * 13 + e * 5) * 3600)
+                                       * 1000000),
+                        '%Y-%m-%dT%H:%M:%SZ') AS completion_time,
+               (u * 17 + e * 11) % 900 + 1 AS balance
+        FROM (SELECT unnest(range(0, {FIXTURE_N_UNBONDINGS})) AS u)
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS e)
+        WHERE e <= u % 3
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Proposals dim (governance read surface — getProposals.ts:24-36) and the
 # on-chain listing used by the removeDeletedProposals anti-join (D1,

@@ -97,7 +97,9 @@ class TestGovernanceDepositsPage:
 class TestStakingAccountView:
     def test_shape_and_golden_values(self, spark):
         body = E.get_staking_account_view(spark, addr_str(3))
-        assert set(body) == {"validators", "myDelegations", "delegationTotal"}
+        assert set(body) == {
+            "validators", "myDelegations", "delegationTotal", "undelegations",
+        }
         # every validator appears, power-desc (L6 ordering)
         assert len(body["validators"]) == 20
         assert body["validators"][0]["description"]["moniker"] == "validator-19"
@@ -459,3 +461,58 @@ class TestTxAndDashboardShapePins:
         # cumulative array contract)
         cums = [r["cumulative_active"] for r in rows]
         assert all(b >= a for a, b in zip(cums, cums[1:]))
+
+
+class TestUndelegationSchedule:
+    """W10 (helper.ts:115-140 getUndelegateSchedule): DuckDB-oracle
+    equivalence for the flattened schedule, the releaseTime ordering
+    contract, and the serving grafts added in r8."""
+
+    def test_matches_duckdb_oracle_and_order(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.fcd_read import (
+            _undelegation_oracle_sql,
+            fcd_undelegation_schedule,
+        )
+
+        rows = fcd_undelegation_schedule(spark, "").collect()
+        got = sorted(tuple(r) for r in rows)
+        want = sorted(
+            tuple(r) for r in duckdb.sql(_undelegation_oracle_sql()).fetchall()
+        )
+        assert got == want
+        assert len(got) == 79
+        key = [
+            (r["release_time"], r["validator_address"], r["creation_height"])
+            for r in rows
+        ]
+        assert key == sorted(key)
+
+    def test_staking_view_grafts_undelegations(self, spark):
+        # addr_str(3) owns unbondings u=3 (validator 3) and u=33
+        # (validator 13) in the fixture arithmetic
+        body = E.get_staking_account_view(spark, addr_str(3))
+        mine = body["undelegations"]
+        assert {u["validatorAddress"] for u in mine} == {
+            valaddr_str(3), valaddr_str(13),
+        }
+        rel = [u["releaseTime"] for u in mine]
+        assert rel == sorted(rel)
+        # the JS truthy-empty-array quirk: EVERY validator row carries
+        # myUndelegation, empty where none applies
+        assert all("myUndelegation" in v for v in body["validators"])
+        per_val = {
+            v["operatorAddress"]: v["myUndelegation"] for v in body["validators"]
+        }
+        assert [u["validatorAddress"] for u in per_val[valaddr_str(3)]] == [
+            valaddr_str(3)
+        ]
+        assert per_val[valaddr_str(5)] == []
+
+    def test_balance_serves_raw_unbondings(self, spark):
+        from classic_fcd_spark.serving.detail import get_account_balance
+        from classic_fcd_spark.queries.fcd_read import _BALANCE_ACCOUNTS  # noqa: F401
+
+        # the synthetic balance accounts have no unbondings
+        assert get_account_balance(spark, "terra1base")["unbondings"] == []
