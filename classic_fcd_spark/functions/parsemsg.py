@@ -172,3 +172,74 @@ def proposal_type_display(ptype: Column | str) -> Column:
     for k, disp in PROPOSAL_TYPE_DISPLAY.items():
         out = F.when(c == k, F.lit(disp)).otherwise(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# F18 cross-engine oracle (r8): the DuckDB twin of parse_msg +
+# to_failure_message, so the parser's gate is engine-equivalence over a
+# case table (tests/test_parsemsg.py::TestParseMsgDuckOracle) on top of
+# the 22 reference spec cases — the same upgrade the F1/F14 scalars got.
+# ---------------------------------------------------------------------------
+def duck_parse_msg_sql(table: str = "msgs") -> str:
+    """SELECT (id, tag, text) from `table`(id, t, v, code): the same
+    when-chain, JSON paths, literal fragments, and failed-msg verb
+    rewrite as parse_msg/to_failure_message, in DuckDB SQL.  NULL
+    propagation matches (both engines null the whole concat on a missing
+    JSON path)."""
+
+    def js(p: str) -> str:
+        return f"json_extract_string(v, '{p}')"
+
+    is_sent = f"({js('$.from_address')} = addr OR addr IS NULL)"
+    send_text = (
+        f"CASE WHEN {is_sent} THEN 'Sent ' || {js('$.amount[0].amount')}"
+        f" || ' ' || {js('$.amount[0].denom')} || ' to ' || {js('$.to_address')}"
+        f" ELSE 'Received ' || {js('$.amount[0].amount')}"
+        f" || ' ' || {js('$.amount[0].denom')} || ' from ' || {js('$.from_address')} END"
+    )
+    send_tag = f"CASE WHEN {is_sent} THEN 'Send' ELSE 'Receive' END"
+    multisend_text = (
+        "'Sent multiSend message with ' || "
+        "CAST(json_array_length(v, '$.inputs') AS VARCHAR) || ' inputs'"
+    )
+    delegate_text = (
+        f"'Delegated ' || {js('$.amount.amount')} || ' ' || {js('$.amount.denom')}"
+        f" || ' to ' || {js('$.validator_address')}"
+    )
+    swap_text = (
+        f"'Swapped ' || {js('$.offer_coin.amount')} || ' ' || {js('$.offer_coin.denom')}"
+        f" || ' for ' || {js('$.ask_denom')}"
+    )
+    unjail_text = f"'Requested unjail for ' || {js('$.address')}"
+    tag = f"""CASE
+        WHEN t IN ('bank/MsgSend', 'pay/MsgSend') THEN {send_tag}
+        WHEN t IN ('bank/MsgMultiSend', 'pay/MsgMultiSend') THEN 'Multisend'
+        WHEN t = 'staking/MsgDelegate' THEN 'Staking'
+        WHEN t = 'market/MsgSwap' THEN 'Swap'
+        WHEN t = 'slashing/MsgUnjail' THEN 'Slashing'
+        ELSE 'Other' END"""
+    text = f"""CASE
+        WHEN t IN ('bank/MsgSend', 'pay/MsgSend') THEN {send_text}
+        WHEN t IN ('bank/MsgMultiSend', 'pay/MsgMultiSend') THEN {multisend_text}
+        WHEN t = 'staking/MsgDelegate' THEN {delegate_text}
+        WHEN t = 'market/MsgSwap' THEN {swap_text}
+        WHEN t = 'slashing/MsgUnjail' THEN {unjail_text}
+        ELSE 'Message type ' || t END"""
+    verb_map = " ".join(
+        f"WHEN '{past}' THEN '{inf}'" for past, inf in VERB_INFINITIVES.items()
+    )
+    infinitive = (
+        f"(CASE split_part(text, ' ', 1) {verb_map} "
+        "ELSE lower(split_part(text, ' ', 1)) END || "
+        "CASE WHEN strpos(text, ' ') > 0 "
+        "THEN substr(text, strpos(text, ' ')) ELSE '' END)"
+    )
+    return f"""
+    WITH parsed AS (
+        SELECT id, code, {tag} AS tag, {text} AS text FROM {table}
+    )
+    SELECT id, tag,
+           CASE WHEN code IS NOT NULL THEN 'Failed to ' || {infinitive}
+                ELSE text END AS text
+    FROM parsed
+    """

@@ -106,3 +106,83 @@ class TestProposalDisplay:
         ).collect()
         assert (rows[0]["s"], rows[0]["t"]) == ("Voting", "Text Proposal")
         assert (rows[1]["s"], rows[1]["t"]) == ("Passed", "bogus/Thing")  # passthrough
+
+
+class TestParseMsgDuckOracle:
+    """F18 cross-engine oracle (r8): parse_msg + the failed-msg verb
+    rewrite evaluated as DuckDB SQL over one shared case table covering
+    every family, both Send directions, the code-failed path, and the
+    NULL-propagation edge (missing JSON path nulls the text on BOTH
+    engines)."""
+
+    CASES = [
+        # (id, type, value_json, address_or_None, code_or_None)
+        (0, "bank/MsgSend",
+         '{"from_address":"terra1me","to_address":"terra1you",'
+         '"amount":[{"denom":"uluna","amount":"1000"}]}', "terra1me", None),
+        (1, "bank/MsgSend",
+         '{"from_address":"terra1you","to_address":"terra1me",'
+         '"amount":[{"denom":"uluna","amount":"1000"}]}', "terra1me", None),
+        (2, "pay/MsgSend",
+         '{"from_address":"terra1me","to_address":"terra1you",'
+         '"amount":[{"denom":"ukrw","amount":"5"}]}', "terra1me", 4),
+        (3, "bank/MsgMultiSend",
+         '{"inputs":[{"a":1},{"a":2},{"a":3}]}', None, None),
+        (4, "staking/MsgDelegate",
+         '{"validator_address":"terravaloper1x",'
+         '"amount":{"denom":"uluna","amount":"777"}}', None, None),
+        (5, "staking/MsgDelegate",
+         '{"validator_address":"terravaloper1x",'
+         '"amount":{"denom":"uluna","amount":"777"}}', None, 2),
+        (6, "market/MsgSwap",
+         '{"offer_coin":{"denom":"uluna","amount":"9"},"ask_denom":"uusd"}',
+         None, None),
+        (7, "slashing/MsgUnjail", '{"address":"terravaloper1y"}', None, 1),
+        (8, "gov/MsgVote", '{"option":"yes"}', None, None),
+        (9, "gov/MsgVote", '{"option":"yes"}', None, 5),
+        # missing amount path: concat nulls out on both engines
+        (10, "bank/MsgSend", '{"from_address":"terra1me"}', "terra1me", None),
+    ]
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.functions.parsemsg import (
+            duck_parse_msg_sql,
+            parse_msg,
+        )
+
+        got = {}
+        for mid, t, v, addr, code in self.CASES:
+            df = spark.createDataFrame(
+                [({"type": t, "value": v}, code)],
+                "m struct<type:string,value:string>, code int",
+            )
+            row = df.select(
+                parse_msg(
+                    F.col("m"),
+                    address=F.lit(addr) if addr is not None else None,
+                    code=F.col("code"),
+                ).alias("p")
+            ).collect()[0]["p"]
+            got[mid] = (row["tag"], row["text"])
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE msgs (id INT, t VARCHAR, v VARCHAR,"
+            " addr VARCHAR, code INT)"
+        )
+        con.executemany("INSERT INTO msgs VALUES (?, ?, ?, ?, ?)", self.CASES)
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(duck_parse_msg_sql()).fetchall()
+        }
+        assert got == want
+        # spot pins so both engines being wrong together cannot hide
+        assert got[0] == ("Send", "Sent 1000 uluna to terra1you")
+        assert got[1] == ("Receive", "Received 1000 uluna from terra1you")
+        assert got[2] == ("Send", "Failed to send 5 ukrw to terra1you")
+        assert got[3] == ("Multisend", "Sent multiSend message with 3 inputs")
+        assert got[5] == ("Staking", "Failed to delegate 777 uluna to terravaloper1x")
+        assert got[9] == ("Other", "Failed to message type gov/MsgVote")
+        assert got[10] == ("Send", None)
