@@ -40,6 +40,14 @@ QUERIES = [
     "ccnet_perplexity",
     "dsir_select",
     "semantic_dedup",
+    # r8 additions: the scan-speed family (exact dedup, feature pass,
+    # cached-model trigram scoring).  Pair-emitting queries with
+    # duplication-inflated quadratic OUTPUT (minhash/jaccard) are
+    # deliberately absent — their rows, not their plans, scale with
+    # clone multiplicity (see BENCH_NOTES sf1 table).
+    "exact_dedup_groups",
+    "text_features",
+    "trigram_lm_scores",
 ]
 
 
