@@ -281,8 +281,25 @@ def _trigram_model_for(spark: SparkSession, sf_dir: str, docs: DataFrame):
     )
     mdir = os.path.join(base, "trigram_lm", key)
     if not os.path.exists(os.path.join(mdir, "tri", "_SUCCESS")):
+        # Fit into a process-unique staging dir and promote with ONE
+        # os.rename: two concurrent sessions (bench + the driver gate)
+        # that both miss can no longer interleave writes into the same
+        # keyed path or delete tables out from under a mid-load reader
+        # (ADVICE r8).  POSIX rename onto an existing non-empty dir
+        # fails, so the first promoter wins and the loser just loads
+        # the winner's (bit-identical — same corpus key) model.
+        import uuid
+
+        stage = f"{mdir}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         model = fit_trigram_prob_model(docs.filter(F.col("source") == "src0"))
-        save_trigram_prob_model(model, mdir)
+        save_trigram_prob_model(model, stage)
+        os.makedirs(os.path.dirname(mdir), exist_ok=True)
+        try:
+            os.rename(stage, mdir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     # ALWAYS score from the loaded parquet model so cold and warm runs
     # execute the identical plan over identical bytes
     return load_trigram_prob_model(spark, mdir)

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import re
+from collections import OrderedDict
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -235,25 +236,41 @@ def _txs_with_id(txs: DataFrame) -> DataFrame:
 # (application id, scope) -> persisted id-stamped frame: a cursor WALK
 # re-requested the global id-stamping sort on every page (r7 advice —
 # the exact serving soft spot the extract exists to avoid); pages of the
-# same filter chain now share one persisted stamped frame.  Small LRU:
-# scopes are per-operator/account strings, capped so a long-lived
-# serving session cannot accumulate executor storage.
-_STAMPED: dict[tuple[str, str], DataFrame] = {}
+# same filter chain now share one persisted stamped frame.  Small LRU
+# (true least-recently-USED: hits move to the back, eviction pops the
+# front — plain dict.popitem() would evict the newest and pin the 31
+# oldest forever, ADVICE r8): scopes are per-operator/account strings,
+# capped so a long-lived serving session cannot accumulate executor
+# storage.  The memo assumes an immutable fixture source for the
+# session's lifetime (the test corpus contract); a mutating tx source
+# must call _stamped_invalidate() after each write.
+_STAMPED: OrderedDict[tuple[str, str], DataFrame] = OrderedDict()
 _STAMPED_CAP = 32
+
+
+def _stamped_invalidate() -> None:
+    while _STAMPED:
+        _, old = _STAMPED.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
 
 
 def _stamped_for(scope: str | None, filtered: DataFrame) -> DataFrame:
     if scope is None:
         return _txs_with_id(filtered)
     key = (filtered.sparkSession.sparkContext.applicationId, scope)
-    if key not in _STAMPED:
-        while len(_STAMPED) >= _STAMPED_CAP:
-            _, old = _STAMPED.popitem()
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 — session may be gone
-                pass
-        _STAMPED[key] = _txs_with_id(filtered).persist()
+    if key in _STAMPED:
+        _STAMPED.move_to_end(key)
+        return _STAMPED[key]
+    while len(_STAMPED) >= _STAMPED_CAP:
+        _, old = _STAMPED.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+    _STAMPED[key] = _txs_with_id(filtered).persist()
     return _STAMPED[key]
 
 

@@ -33,12 +33,16 @@ verdict's "overwrite-only" gap, closed in r8."""
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 KB = "kb"  # bucket partition column
+_MANIFEST = "_promote_manifest.json"
+_OLD_SUFFIX = "__old"
 
 
 def _bucket_expr(key_col: str, num_buckets: int) -> F.Column:
@@ -108,6 +112,56 @@ def write_account_page_extract(
 # Same rename-promotion caveat as streaming/minute_pipeline.merge_upsert:
 # on object stores this body becomes a Delta/Iceberg MERGE INTO.
 # ---------------------------------------------------------------------------
+def _promote_bucket(tmp: str, path: str, b: int) -> None:
+    """Crash-safe single-bucket swap: park the live bucket aside, move
+    the rebuilt one into place, then drop the parked copy.  At no point
+    is the bucket's previously-merged history the only copy in a
+    directory about to be deleted — the r8 rmtree(dst)-then-rename
+    ordering could permanently lose it (ADVICE r8 medium)."""
+    src = os.path.join(tmp, f"{KB}={b}")
+    dst = os.path.join(path, f"{KB}={b}")
+    old = dst + _OLD_SUFFIX
+    if not os.path.exists(src):
+        # promotion already completed for this bucket (heal/replay)
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(src, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def heal_extract(path: str) -> list[int]:
+    """Finish (or back out of) a promotion that crashed mid-swap.
+
+    _merge_bucketed writes a manifest BEFORE touching any live bucket;
+    once the staged tree is fully written, dying at any point leaves a
+    state this function converges from: each bucket is either
+    un-promoted (staged dir still present -> finish the swap), half
+    swapped (live dir parked at kb=N__old -> the staged dir is still
+    present, same finish), or done (staged dir gone -> drop the parked
+    copy).  Idempotent; called on every merge and every open, so the
+    next reader/writer after a crash sees a complete extract.  Returns
+    the bucket ids it repaired ([] when the extract is clean)."""
+    man = os.path.join(path, _MANIFEST)
+    if not os.path.exists(man):
+        return []
+    with open(man) as f:
+        meta = json.load(f)
+    tmp, touched = meta["tmp"], meta["touched"]
+    healed = []
+    for b in touched:
+        if os.path.exists(os.path.join(tmp, f"{KB}={b}")) or os.path.exists(
+            os.path.join(path, f"{KB}={b}") + _OLD_SUFFIX
+        ):
+            healed.append(b)
+        _promote_bucket(tmp, path, b)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(man)
+    return healed
+
+
 def _merge_bucketed(
     updates: DataFrame,
     path: str,
@@ -118,12 +172,24 @@ def _merge_bucketed(
 ) -> list[int]:
     """MERGE `updates` into the kb-bucketed extract at `path`; returns
     the touched bucket ids.  Re-delivered rows replace by `dedup_keys`,
-    so micro-batch replay after failure is idempotent (T1)."""
-    import shutil
-
+    so micro-batch replay after failure is idempotent (T1).  Within a
+    batch, later-is-arbitrary duplicates by `dedup_keys` are collapsed
+    to one row (the reference's ON CONFLICT upsert keeps one row per
+    key — src/collector/block/tx.ts:240-247) and NULL-keyed rows are
+    rejected (the reference column is a PRIMARY KEY; a NULL here is a
+    producer bug, and it would also break the bucket-id collect)."""
     spark = updates.sparkSession
-    up = updates.withColumn(KB, _bucket_expr(key_col, num_buckets)).cache()
+    key_ok = F.lit(True)
+    for k in dedup_keys:
+        key_ok = key_ok & F.col(k).isNotNull()
+    up = (
+        updates.filter(key_ok)
+        .dropDuplicates(dedup_keys)
+        .withColumn(KB, _bucket_expr(key_col, num_buckets))
+        .cache()
+    )
     try:
+        heal_extract(path)
         touched = sorted(r[0] for r in up.select(KB).distinct().collect())
         if not touched:
             return []
@@ -148,13 +214,17 @@ def _merge_bucketed(
             .parquet(tmp)
         )
         os.makedirs(path, exist_ok=True)
+        # two-phase promotion: manifest first (atomic via rename), then
+        # per-bucket swaps; a crash anywhere is healed by heal_extract
+        man = os.path.join(path, _MANIFEST)
+        man_tmp = man + ".tmp"
+        with open(man_tmp, "w") as f:
+            json.dump({"tmp": tmp, "touched": touched}, f)
+        os.rename(man_tmp, man)
         for b in touched:
-            src = os.path.join(tmp, f"{KB}={b}")
-            dst = os.path.join(path, f"{KB}={b}")
-            if os.path.exists(src):
-                shutil.rmtree(dst, ignore_errors=True)
-                os.rename(src, dst)
+            _promote_bucket(tmp, path, b)
         shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(man)
         return touched
     finally:
         up.unpersist()
@@ -244,6 +314,10 @@ def _invalidate_open(out_dir: str) -> None:
 def open_extract(spark: SparkSession, path: str, refresh: bool = False) -> DataFrame:
     key = (spark.sparkContext.applicationId, path)
     if refresh or key not in _OPEN:
+        # finish any promotion that crashed mid-swap BEFORE the reader
+        # lists partitions — a parked kb=N__old dir would otherwise leak
+        # into partition discovery as a bogus kb value
+        heal_extract(path)
         _OPEN[key] = spark.read.parquet(path)
     return _OPEN[key]
 

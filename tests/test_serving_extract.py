@@ -7,6 +7,8 @@ point read touches one bucket directory, not the table.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -217,6 +219,28 @@ class TestIncrementalMaintenance:
         run_extract_maintenance_available_now(spark, src, ckpt, out)
         assert self._bucket_mtimes(f"{out}/tx_by_hash") == after
 
+    def test_batch_internal_duplicates_collapse(self, spark, tmp_path):
+        """Two rows with the same dedup key in ONE micro-batch keep one
+        row (the reference's ON CONFLICT upsert), and NULL-keyed rows
+        are rejected before bucketing (ADVICE r8)."""
+        from classic_fcd_spark.serving.extract import (
+            lookup_tx,
+            merge_tx_lookup_extract,
+        )
+
+        txs = gen_txs(spark)
+        out = str(tmp_path / "extract3")
+        batch = txs.filter(F.col("height") <= 10)
+        doubled = batch.unionByName(batch).unionByName(
+            batch.limit(1).withColumn("hash", F.lit(None).cast("string"))
+        )
+        merge_tx_lookup_extract(doubled, out)
+        stored = spark.read.parquet(f"{out}/tx_by_hash")
+        assert stored.count() == batch.count()
+        assert stored.filter(F.col("hash").isNull()).count() == 0
+        h = tx_hash_str(4 * 3 + 0)
+        assert lookup_tx(spark, out, h).count() == 1
+
     def test_merge_is_idempotent_by_key(self, spark, tmp_path):
         from classic_fcd_spark.serving.extract import (
             lookup_tx,
@@ -233,3 +257,94 @@ class TestIncrementalMaintenance:
         assert spark.read.parquet(f"{out}/tx_by_hash").count() == n0
         h = tx_hash_str(95 * 3 + 0)
         assert lookup_tx(spark, out, h).count() == 1
+
+
+class TestCrashSafePromotion:
+    """r9 (ADVICE r8 medium + verdict item 6): the merge's per-bucket
+    promotion can die at ANY rename boundary without losing previously
+    merged history — a manifest precedes the first move, each swap
+    parks the live bucket before the staged one moves in, and
+    heal_extract (run by the next open OR the next merge) converges to
+    the exact state an uninterrupted merge would have produced."""
+
+    @staticmethod
+    def _hashes(spark, out):
+        return sorted(
+            r["hash"]
+            for r in spark.read.parquet(f"{out}/tx_by_hash")
+            .select("hash")
+            .collect()
+        )
+
+    def _crash_at_rename(self, spark, tmp_path, fail_at, heal_via):
+        import shutil
+
+        import classic_fcd_spark.serving.extract as ex
+
+        txs = gen_txs(spark)
+        base = txs.filter(F.col("height") <= 60)
+        batch = txs.filter(F.col("height") > 60)
+
+        out = str(tmp_path / f"x{fail_at}_{heal_via}")
+        ex.write_tx_lookup_extract(base, out)
+        # control: what an uninterrupted merge produces
+        ctrl = str(tmp_path / f"c{fail_at}_{heal_via}")
+        shutil.copytree(f"{out}/tx_by_hash", f"{ctrl}/tx_by_hash")
+        ex.merge_tx_lookup_extract(batch, ctrl)
+        want = self._hashes(spark, ctrl)
+
+        real = os.rename
+        calls = {"n": 0}
+
+        def bomb(a, b):
+            calls["n"] += 1
+            if calls["n"] == fail_at:
+                raise RuntimeError("injected crash")
+            return real(a, b)
+
+        os.rename = bomb
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                ex.merge_tx_lookup_extract(batch, out)
+        finally:
+            os.rename = real
+        assert calls["n"] == fail_at, "crash point never reached"
+
+        if heal_via == "open":
+            # the next READER heals before partition discovery
+            got = sorted(
+                r["hash"]
+                for r in ex.open_extract(
+                    spark, f"{out}/tx_by_hash", refresh=True
+                )
+                .select("hash")
+                .collect()
+            )
+        else:
+            # the next MERGE (an idempotent replay of the same batch —
+            # the streaming checkpoint's recovery path) heals first
+            ex.merge_tx_lookup_extract(batch, out)
+            got = self._hashes(spark, out)
+        assert got == want
+        assert not os.path.exists(f"{out}/tx_by_hash/{ex._MANIFEST}")
+        assert not any(
+            d.endswith(ex._OLD_SUFFIX)
+            for d in os.listdir(f"{out}/tx_by_hash")
+        )
+
+    @pytest.mark.parametrize("fail_at", [2, 3, 4, 5])
+    def test_heal_on_open_at_every_rename_boundary(
+        self, spark, tmp_path, fail_at
+    ):
+        # rename #2/#4 = park-live-bucket; #3/#5 = staged-dir move-in
+        # (the half-swapped window the r8 code could lose forever).
+        # The manifest is committed, so the next reader finishes the
+        # promotion and sees the full post-merge state.
+        self._crash_at_rename(spark, tmp_path, fail_at, "open")
+
+    @pytest.mark.parametrize("fail_at", [1, 3, 4])
+    def test_heal_on_next_merge(self, spark, tmp_path, fail_at):
+        # rename #1 = the manifest commit itself: the merge aborts with
+        # no bucket moved (stale-but-consistent extract); the streaming
+        # checkpoint replays the batch and the re-merge converges.
+        self._crash_at_rename(spark, tmp_path, fail_at, "merge")
