@@ -358,8 +358,8 @@ def fcd_bank_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # validator dim, order by releaseTime asc.  In-test DuckDB-oracle gated
 # (the 50-row driver registry is full; the explode + broadcast-dim-join
 # + orderBy pattern is driver-gated via fcd_block_txs / fcd_staking_view).
-# The fixture carries no validator status column, so the schedule omits
-# the reference's validatorStatus field (everything else is 1:1).
+# r9: carries validatorStatus per entry exactly as the reference does
+# (helper.ts:124 reads validatorObj[addr].status into every entry).
 # ---------------------------------------------------------------------------
 from classic_fcd_spark.sources.fixtures import DUCK_UNBONDINGS, gen_unbondings  # noqa: E402
 
@@ -367,12 +367,14 @@ UNDELEGATION_SCHEDULE_ORACLE_SQL = f"""
     WITH {DUCK_UNBONDINGS},
     vals AS (
         SELECT {{valaddr}} AS validator,
-               'validator-' || CAST(v AS VARCHAR) AS moniker
+               'validator-' || CAST(v AS VARCHAR) AS moniker,
+               {{valstatus}} AS status
         FROM (SELECT unnest(range(0, 20)) AS v)
     )
     SELECT ub.delegator AS delegator_address,
            ub.validator AS validator_address,
            v.moniker AS validator_name,
+           v.status AS validator_status,
            ub.completion_time AS release_time,
            ub.balance AS amount,
            ub.creation_height
@@ -381,9 +383,14 @@ UNDELEGATION_SCHEDULE_ORACLE_SQL = f"""
 
 
 def _undelegation_oracle_sql() -> str:
-    from classic_fcd_spark.sources.fixtures import duck_valaddr
+    from classic_fcd_spark.sources.fixtures import (
+        duck_valaddr,
+        duck_validator_status,
+    )
 
-    return UNDELEGATION_SCHEDULE_ORACLE_SQL.format(valaddr=duck_valaddr("v"))
+    return UNDELEGATION_SCHEDULE_ORACLE_SQL.format(
+        valaddr=duck_valaddr("v"), valstatus=duck_validator_status("v")
+    )
 
 
 def fcd_undelegation_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,6 +407,7 @@ def fcd_undelegation_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = gen_validators(spark).select(
         F.col("operator_address").alias("validator_address"),
         F.col("moniker").alias("validator_name"),
+        F.col("status").alias("validator_status"),
     )
     return (
         flat.join(F.broadcast(vals), "validator_address")
@@ -407,6 +415,7 @@ def fcd_undelegation_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delegator_address",
             "validator_address",
             "validator_name",
+            "validator_status",
             F.col("e.completion_time").alias("release_time"),
             F.col("e.balance").alias("amount"),
             F.col("e.creation_height").alias("creation_height"),

@@ -209,6 +209,7 @@ def get_staking_account_view(spark: SparkSession, address: str) -> dict:
             "amount": _money(r["amount"]),
             "validatorName": r["validator_name"],
             "validatorAddress": r["validator_address"],
+            "validatorStatus": r["validator_status"],
             "creationHeight": str(r["creation_height"]),
         }
         for r in fcd_undelegation_schedule(spark, "")

@@ -573,13 +573,38 @@ DUCK_PROPOSALS = f"""
 """
 
 
+def duck_validator_status(i_expr: str) -> str:
+    """DuckDB twin of gen_validators' status column (below)."""
+    return (
+        f"CASE WHEN ({i_expr}) % 7 = 3 THEN 'jailed' "
+        f"WHEN ({i_expr}) % 5 = 1 THEN 'inactive' "
+        f"WHEN ({i_expr}) % 5 = 2 THEN 'unbonding' "
+        f"WHEN ({i_expr}) % 5 = 3 THEN 'active' "
+        f"ELSE 'unknown' END"
+    )
+
+
 @bronze_table
 def gen_validators(spark: SparkSession, n: int = 20) -> DataFrame:
+    """Validator dim.  `status` applies the reference's LCD→display
+    mapping (src/collector/staking/validatorDetails.ts:23-44
+    getValidatorStatus: jailed wins, then LCD code 1/2/3 →
+    inactive/unbonding/active, else unknown) to deterministic raw
+    fields (jailed = v%7==3, LCD code = v%5 so code 0 and 4 exercise
+    the UNKNOWN branch)."""
     v = F.col("id")
+    status = (
+        F.when(v % 7 == 3, F.lit("jailed"))
+        .when(v % 5 == 1, F.lit("inactive"))
+        .when(v % 5 == 2, F.lit("unbonding"))
+        .when(v % 5 == 3, F.lit("active"))
+        .otherwise(F.lit("unknown"))
+    )
     return spark.range(0, n).select(
         _valaddr(v).alias("operator_address"),
         _addr(v + 1000).alias("account_address"),
         F.concat(F.lit("validator-"), v.cast("string")).alias("moniker"),
         (v * 1000 + 5000).cast("decimal(38,10)").alias("voting_power"),
         (F.lit(0.01) + (v % 10).cast("double") / 100.0).alias("commission_rate"),
+        status.alias("status"),
     )

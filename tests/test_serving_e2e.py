@@ -499,6 +499,14 @@ class TestUndelegationSchedule:
         }
         rel = [u["releaseTime"] for u in mine]
         assert rel == sorted(rel)
+        # r9: every entry carries the validator's status exactly as the
+        # reference does (helper.ts:124); fixture mapping: v=3 -> jailed
+        # (jailed wins), v=13 -> 13%5=3 -> active
+        status_by_val = {u["validatorAddress"]: u["validatorStatus"] for u in mine}
+        assert status_by_val == {
+            valaddr_str(3): "jailed",
+            valaddr_str(13): "active",
+        }
         # the JS truthy-empty-array quirk: EVERY validator row carries
         # myUndelegation, empty where none applies
         assert all("myUndelegation" in v for v in body["validators"])
@@ -509,6 +517,22 @@ class TestUndelegationSchedule:
             valaddr_str(3)
         ]
         assert per_val[valaddr_str(5)] == []
+
+    def test_validator_status_mapping_branches(self, spark):
+        """The fixture's status column walks every branch of the
+        reference's getValidatorStatus (validatorDetails.ts:23-44):
+        jailed short-circuits, LCD codes 1/2/3 map, others -> unknown."""
+        from classic_fcd_spark.sources.fixtures import gen_validators
+
+        by_moniker = {
+            r["moniker"]: r["status"] for r in gen_validators(spark).collect()
+        }
+        assert by_moniker["validator-0"] == "unknown"  # code 0
+        assert by_moniker["validator-1"] == "inactive"
+        assert by_moniker["validator-2"] == "unbonding"
+        assert by_moniker["validator-3"] == "jailed"  # jailed beats code 3
+        assert by_moniker["validator-4"] == "unknown"  # code 4
+        assert by_moniker["validator-8"] == "active"  # 8%5=3, not jailed
 
     def test_balance_serves_raw_unbondings(self, spark):
         from classic_fcd_spark.serving.detail import get_account_balance
