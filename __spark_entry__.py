@@ -19,10 +19,13 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from classic_fcd_spark.queries import query_fn_map
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    pricing_summary stays the flagship after its r9 driver-slot rotation
+    (slot -> scd2_order_history); imported directly since it no longer
+    rides the registry."""
+    from classic_fcd_spark.queries.core import pricing_summary
 
-    return query_fn_map()["pricing_summary"](spark, SF0001)
+    return pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

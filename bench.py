@@ -72,6 +72,10 @@ HEADLINE = [
     "quality_logit_scores",
     # registered in r8 (now the full bucketing query, driver-gated)
     "ccnet_perplexity",
+    # registered in r9 (driver-gated slot rotation: pricing_summary /
+    # fcd_validator_annual_return rotated to extras)
+    "scd2_order_history",
+    "approx_top_tokens",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
     "simhash_docs",
@@ -94,10 +98,11 @@ def _extra_workloads():
     """Heavy plans kept outside the driver-gated registry (pattern-twins
     folded in r3) but still benched: the multi-way TPC-H join and the
     signature/bucket projections."""
-    from classic_fcd_spark.queries.core import revenue_by_nation
+    from classic_fcd_spark.queries.core import pricing_summary, revenue_by_nation
     from classic_fcd_spark.queries.fcd import (
         fcd_avg_staking_daily,
         fcd_cumulative_rewards,
+        fcd_validator_annual_return,
     )
 
     # r7 slot rotation: token_stats_by_source / embedding_similar_pairs
@@ -198,6 +203,12 @@ def _extra_workloads():
         # ccnet_perplexity); kept here so plan_audit --extras still
         # audits its window plan and the bench set stays comparable.
         "fcd_avg_staking_daily": fcd_avg_staking_daily,
+        # r9 rotation: slots went to scd2_order_history /
+        # approx_top_tokens; pricing_summary keeps its bench slot (it is
+        # still the flagship entry() query) and both keep in-test oracle
+        # gates + plan audits here
+        "pricing_summary": pricing_summary,
+        "fcd_validator_annual_return": fcd_validator_annual_return,
         "ann_ivfpq_search_trained": ann_ivfpq_search_trained,
         "bpe_train_50": bpe_train_50,
         "ann_lsh_buckets": ann_lsh_buckets,

@@ -224,3 +224,63 @@ def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("session_end") - F.unix_micros("session_start")
         ).alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 snapshot collapse — promoted to the driver gate in r9 (the
+# pricing_summary slot, per the r8 brief; grouped-decimal-sums stay
+# driver-gated via fcd_dashboard / fcd_minute_fees).  The reference
+# polls validator/general_info state on a schedule (src/collector/
+# general) — the warehouse layout for that snapshot stream is SCD2
+# change intervals (operators/windows.py:scd2_from_snapshots).  Here
+# the snapshot stream is each customer's order states in order-date
+# order; the orderkey tie-break makes the per-key snapshot sequence a
+# total order, so the collapse is deterministic (the snapshot-poller
+# contract) and hash-exact cross-engine: every output column is a
+# string/int/bool.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_order_history",
+    """
+    WITH s AS (
+        SELECT o_custkey AS entity,
+               strftime(o_orderdate, '%Y-%m-%d') || '-'
+                 || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS snap_ts,
+               o_orderstatus AS status, o_orderpriority AS priority
+        FROM orders
+    ),
+    d AS (
+        SELECT *, lag(status) OVER w IS DISTINCT FROM status
+                OR lag(priority) OVER w IS DISTINCT FROM priority
+                OR lag(snap_ts) OVER w IS NULL AS chg
+        FROM s WINDOW w AS (PARTITION BY entity ORDER BY snap_ts)
+    ),
+    starts AS (SELECT entity, snap_ts, status, priority FROM d WHERE chg)
+    SELECT entity, snap_ts AS valid_from, status, priority,
+           lead(snap_ts) OVER (PARTITION BY entity ORDER BY snap_ts) AS valid_to,
+           lead(snap_ts) OVER (PARTITION BY entity ORDER BY snap_ts) IS NULL
+             AS is_current
+    FROM starts
+    """,
+    doc="SCD2 history from a snapshot stream (the validator/general_info "
+    "poller's warehouse layout): null-safe lag change-detection + lead "
+    "interval-closing over ONE (key, ts) partitioning — a single "
+    "shuffle+sort for the whole collapse (plan-asserted in "
+    "tests/test_scd2.py); storage O(changes), point-in-time enrichment "
+    "becomes an interval/as-of join.",
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.windows import scd2_from_snapshots
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    snaps = orders.select(
+        F.col("o_custkey").alias("entity"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit("-"),
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        ).alias("snap_ts"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return scd2_from_snapshots(snaps, ["entity"], "snap_ts", ["status", "priority"])

@@ -45,10 +45,14 @@ def _day(col):
 # .doubleValue and DuckDB's string->double parse both are.  The Spark
 # side needs no change — the exact decimal sum is identical; only the
 # final float rendering differed.
+# r9 slot rotation: pricing_summary left the driver window (slot ->
+# scd2_order_history); the grouped-decimal-sums pattern and the decimal
+# money policy stay driver-gated via fcd_dashboard / fcd_minute_fees /
+# fcd_rewards_converted, and this query keeps its oracle as an in-test
+# gate (tests/test_operators.py TestPricingSummaryOracle), its bench
+# slot, and the plan audits.
 # ---------------------------------------------------------------------------
-@register(
-    "pricing_summary",
-    """
+PRICING_SUMMARY_ORACLE_SQL = """
     SELECT l_returnflag, l_linestatus,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
@@ -61,11 +65,12 @@ def _day(col):
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
-    """,
-    doc="A8/A9 grouped daily sums; decimal money policy (SURVEY §1.3); "
-    "reference src/collector/dashboard/rewardsInfo.ts:18-44",
-)
+    """
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9 grouped daily sums; decimal money policy (SURVEY §1.3);
+    reference src/collector/dashboard/rewardsInfo.ts:18-44."""
     li = load_tables(spark, sf_dir)["lineitem"]
     base = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
     qty = _dec("l_quantity")

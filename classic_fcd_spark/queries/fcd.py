@@ -664,9 +664,12 @@ def fcd_block_txs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fcd_validator_annual_return",
-    f"""
+# r9 slot rotation: fcd_validator_annual_return left the driver window
+# (slot -> approx_top_tokens); the daily-return input (A13) stays
+# driver-gated via fcd_validator_returns, and the annualization
+# arithmetic keeps this oracle as an in-test gate
+# (tests/test_fcd_pipeline.py TestValidatorAnnualReturnOracle).
+VALIDATOR_ANNUAL_RETURN_ORACLE_SQL = f"""
     WITH blocks AS (SELECT unnest(range(1, {N} + 1)) AS h),
     ev AS (
         SELECT {_DAY} AS day, {duck_valaddr("h % 20")} AS operator_address,
@@ -693,16 +696,17 @@ def fcd_block_txs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_days,
            COUNT(*) < 15 AS is_new_validator
     FROM rets GROUP BY 1
-    """,
-    doc="A14 annualized validator return "
-    "(src/service/staking/getValidatorReturn.ts:11-43: "
-    "SUM(return/power) * 365 / COUNT(*), isNewValidator when the window "
-    "has < 15 data points, avg_voting_power > 0 guard).  Integer-µ "
-    "encoding replaces the reference's float division for exact "
-    "cross-engine compare; the fixture spans 4 days so every validator "
-    "flags as new — the flag logic still computes.",
-)
+    """
+
+
 def fcd_validator_annual_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 annualized validator return
+    (src/service/staking/getValidatorReturn.ts:11-43:
+    SUM(return/power) * 365 / COUNT(*), isNewValidator when the window
+    has < 15 data points, avg_voting_power > 0 guard).  Integer-µ
+    encoding replaces the reference's float division for exact
+    cross-engine compare; the fixture spans 4 days so every validator
+    flags as new — the flag logic still computes."""
     vr = validator_returns_gold(gen_blocks(spark), gen_validators(spark))
     rets = vr.select(
         "operator_address",

@@ -418,3 +418,55 @@ def ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(
         docs, docs.filter(F.col("source") == "src0"), rel_err=1e-7
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — promoted to the driver gate in r9 (the
+# fcd_validator_annual_return slot, per the r8 brief; the daily-return
+# input A13 stays driver-gated via fcd_validator_returns).  The gate
+# pins the EXACT regime: approx_top_items' Misra-Gries candidate pass
+# provably retains every item with global count > N/capacity, and the
+# sf corpora's 20th token count exceeds that threshold by >100x
+# (sf0.01: 888 vs 6.6), so the MG union + exact recount returns the
+# true top-20 with exact integer counts — which is what the plain
+# GROUP BY oracle computes.  The k-th-count > N/capacity precondition
+# is what a production deployment sizes `capacity` for; the
+# degraded-regime behavior (candidates only, still a superset bound)
+# stays unit-gated in tests/test_heavyhitters.py.
+# ---------------------------------------------------------------------------
+APPROX_TOP_TOKENS_ORACLE_SQL = """
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS item
+        FROM documents
+    )
+    SELECT item, COUNT(*) AS cnt
+    FROM toks WHERE item <> ''
+    GROUP BY item
+    ORDER BY cnt DESC, item ASC
+    LIMIT 20
+    """
+
+
+@register(
+    "approx_top_tokens",
+    APPROX_TOP_TOKENS_ORACLE_SQL,
+    doc="Distributed Misra-Gries heavy hitters + exact recount "
+    "(operators/heavyhitters.py): per-partition Arrow-batched candidate "
+    "summaries (<= capacity counters each), broadcast semi-join, ONE "
+    "map-side-combined count over the bounded candidate set — the "
+    "shuffle never sees more than |candidates| keys, vs a corpus-sized "
+    "shuffle for the naive exact groupBy at 100 TB n-gram cardinality.",
+)
+def approx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from classic_fcd_spark.operators.heavyhitters import approx_top_items
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # single-file scan = ONE partition: spread the MG pass across the
+    # cluster (same fix as the approx_top_ngrams bench workload)
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par, "doc_id")
+        .select(F.explode(T.ws_tokens("text")).alias("item"))
+        .filter(F.col("item") != "")
+    )
+    return approx_top_items(toks, "item", k=20, capacity=4096)

@@ -321,7 +321,7 @@ class TestAvgStakingDailyOracle:
     to ccnet_perplexity); this is its oracle gate now — the same
     fixture-CTE DuckDB SQL that drove its green r2-r7 driver rows.  The
     daily integer-floor-average pattern stays driver-gated via
-    pricing_summary / fcd_dashboard."""
+    fcd_dashboard (pricing_summary rotated to an in-test gate in r9)."""
 
     def test_matches_duckdb_oracle(self, spark):
         import duckdb
@@ -342,3 +342,32 @@ class TestAvgStakingDailyOracle:
         }
         assert got == expected
         assert len(got) > 0
+
+
+class TestValidatorAnnualReturnOracle:
+    """fcd_validator_annual_return left the driver window in r9 (slot
+    rotated to approx_top_tokens); this is its oracle gate now — the
+    same fixture-CTE DuckDB SQL that drove its green driver rows.  The
+    daily-return input (A13) stays driver-gated via
+    fcd_validator_returns."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.fcd import (
+            VALIDATOR_ANNUAL_RETURN_ORACLE_SQL,
+            fcd_validator_annual_return,
+        )
+
+        got = {
+            r["operator_address"]: (
+                r["annual_return_e6"], r["n_days"], r["is_new_validator"]
+            )
+            for r in fcd_validator_annual_return(spark, "").collect()
+        }
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duckdb.sql(VALIDATOR_ANNUAL_RETURN_ORACLE_SQL).fetchall()
+        }
+        assert got == want
+        assert len(got) == 20

@@ -118,8 +118,16 @@ class TestPlanQuality:
         df = query_fn_map()[name](spark, SF_SMALL)
         return df._jdf.queryExecution().executedPlan().toString()
 
+    def _pricing_plan(self, spark):
+        # pricing_summary left the driver registry in r9 (slot ->
+        # scd2_order_history) but keeps its plan audits here
+        from classic_fcd_spark.queries.core import pricing_summary
+
+        df = pricing_summary(spark, SF_SMALL)
+        return df._jdf.queryExecution().executedPlan().toString()
+
     def test_filter_pushes_to_parquet_scan(self, spark):
-        plan = self._plan(spark, "pricing_summary")
+        plan = self._pricing_plan(spark)
         assert "PushedFilters: [" in plan
         assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
 
@@ -135,7 +143,7 @@ class TestPlanQuality:
     def test_scan_prunes_columns(self, spark):
         # pricing_summary touches 7 of lineitem's 16 columns; the scan's
         # ReadSchema must not include untouched ones like l_comment
-        plan = self._plan(spark, "pricing_summary")
+        plan = self._pricing_plan(spark)
         read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
         assert "l_comment" not in read_schema
         assert "l_quantity" in read_schema
@@ -251,3 +259,40 @@ class TestDayGrainWindowBoundedness:
         assert per_day.count() <= n_days
         # a century of days would still be a bounded single task
         assert n_days < 40_000
+
+
+class TestPricingSummaryOracle:
+    """pricing_summary left the driver window in r9 (slot rotated to
+    scd2_order_history); this is its oracle gate now — the same DuckDB
+    SQL that drove its green r1-r8 driver rows, over the same parquet.
+    The grouped-decimal-sums pattern and the money policy stay
+    driver-gated via fcd_dashboard / fcd_minute_fees."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.core import (
+            PRICING_SUMMARY_ORACLE_SQL,
+            pricing_summary,
+        )
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+        )
+        cols = [
+            "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+            "avg_qty", "avg_price", "avg_disc", "count_order",
+        ]
+        got = {
+            (r["l_returnflag"], r["l_linestatus"]): tuple(r[c] for c in cols)
+            for r in pricing_summary(spark, SF_SMALL).collect()
+        }
+        want = {
+            (r[0], r[1]): tuple(r[2:])
+            for r in con.sql(PRICING_SUMMARY_ORACLE_SQL).fetchall()
+        }
+        # exact (bit-identical) float compare — the decimal money policy
+        assert got == want
+        assert len(got) > 0
