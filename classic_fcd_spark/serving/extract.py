@@ -33,16 +33,20 @@ verdict's "overwrite-only" gap, closed in r8."""
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from classic_fcd_spark.sources.promote import (
+    MANIFEST as _MANIFEST,
+    OLD_SUFFIX as _OLD_SUFFIX,
+    heal_table,
+    promote_partitions,
+)
+
 KB = "kb"  # bucket partition column
-_MANIFEST = "_promote_manifest.json"
-_OLD_SUFFIX = "__old"
 
 
 def _bucket_expr(key_col: str, num_buckets: int) -> F.Column:
@@ -112,54 +116,14 @@ def write_account_page_extract(
 # Same rename-promotion caveat as streaming/minute_pipeline.merge_upsert:
 # on object stores this body becomes a Delta/Iceberg MERGE INTO.
 # ---------------------------------------------------------------------------
-def _promote_bucket(tmp: str, path: str, b: int) -> None:
-    """Crash-safe single-bucket swap: park the live bucket aside, move
-    the rebuilt one into place, then drop the parked copy.  At no point
-    is the bucket's previously-merged history the only copy in a
-    directory about to be deleted — the r8 rmtree(dst)-then-rename
-    ordering could permanently lose it (ADVICE r8 medium)."""
-    src = os.path.join(tmp, f"{KB}={b}")
-    dst = os.path.join(path, f"{KB}={b}")
-    old = dst + _OLD_SUFFIX
-    if not os.path.exists(src):
-        # promotion already completed for this bucket (heal/replay)
-        shutil.rmtree(old, ignore_errors=True)
-        return
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(dst):
-        os.rename(dst, old)
-    os.rename(src, dst)
-    shutil.rmtree(old, ignore_errors=True)
-
-
 def heal_extract(path: str) -> list[int]:
-    """Finish (or back out of) a promotion that crashed mid-swap.
-
-    _merge_bucketed writes a manifest BEFORE touching any live bucket;
-    once the staged tree is fully written, dying at any point leaves a
-    state this function converges from: each bucket is either
-    un-promoted (staged dir still present -> finish the swap), half
-    swapped (live dir parked at kb=N__old -> the staged dir is still
-    present, same finish), or done (staged dir gone -> drop the parked
-    copy).  Idempotent; called on every merge and every open, so the
-    next reader/writer after a crash sees a complete extract.  Returns
-    the bucket ids it repaired ([] when the extract is clean)."""
-    man = os.path.join(path, _MANIFEST)
-    if not os.path.exists(man):
-        return []
-    with open(man) as f:
-        meta = json.load(f)
-    tmp, touched = meta["tmp"], meta["touched"]
-    healed = []
-    for b in touched:
-        if os.path.exists(os.path.join(tmp, f"{KB}={b}")) or os.path.exists(
-            os.path.join(path, f"{KB}={b}") + _OLD_SUFFIX
-        ):
-            healed.append(b)
-        _promote_bucket(tmp, path, b)
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.remove(man)
-    return healed
+    """Finish (or back out of) a kb-bucket promotion that crashed
+    mid-swap — the extract-specific name for the shared two-phase
+    machinery (sources/promote.py; see its docstring for the full
+    convergence argument).  Idempotent; called on every merge and every
+    open, so the next reader/writer after a crash sees a complete
+    extract.  Returns the bucket ids it repaired."""
+    return heal_table(path)
 
 
 def _merge_bucketed(
@@ -213,18 +177,9 @@ def _merge_bucketed(
             .partitionBy(KB)
             .parquet(tmp)
         )
-        os.makedirs(path, exist_ok=True)
         # two-phase promotion: manifest first (atomic via rename), then
         # per-bucket swaps; a crash anywhere is healed by heal_extract
-        man = os.path.join(path, _MANIFEST)
-        man_tmp = man + ".tmp"
-        with open(man_tmp, "w") as f:
-            json.dump({"tmp": tmp, "touched": touched}, f)
-        os.rename(man_tmp, man)
-        for b in touched:
-            _promote_bucket(tmp, path, b)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.remove(man)
+        promote_partitions(tmp, path, KB, touched)
         return touched
     finally:
         up.unpersist()

@@ -1,0 +1,97 @@
+"""Crash-safe two-phase partition promotion — shared by every
+parquet-MERGE sink (serving extracts, minute rollup, unified block
+ingest).
+
+Every partition-scoped MERGE in this repo has the same final step:
+rewrite the touched `col=value` partition directories of a live table
+from a freshly-written staging tree.  A naive rmtree(dst) + rename(src)
+has an unrecoverable window — a crash between the two permanently drops
+that partition's previously-merged history (ADVICE r8 medium).  This
+module makes the swap convergent from ANY crash point:
+
+1. `promote_partitions` commits a manifest (atomic rename) BEFORE any
+   live directory moves, then per partition: park the live dir at
+   `<dst>__old`, move the staged dir in, drop the parked copy.
+2. `heal_table` (idempotent; run by the next merge AND the next reader)
+   replays the manifest: un-promoted partitions finish their swap,
+   half-swapped partitions complete from the still-present staged dir,
+   done partitions drop their parked copy.
+
+At no point is a partition's only copy inside a directory about to be
+deleted.  On object stores (no atomic dir rename) the whole MERGE path
+this serves is the documented Delta/Iceberg MERGE INTO instead — this
+is the local-filesystem/HDFS mechanism, not the deployment design.
+
+Reference parity: the reference gets this atomicity from Postgres
+(saveBlockInformation's per-block transaction,
+src/collector/block/block.ts:142-197, and INSERT … ON CONFLICT upserts,
+src/collector/block/tx.ts:240-247); here the commit point is the
+manifest rename and the replay boundary is the streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+MANIFEST = "_promote_manifest.json"
+OLD_SUFFIX = "__old"
+
+
+def _promote_one(tmp: str, table_dir: str, part_col: str, value) -> None:
+    """Crash-safe single-partition swap (convergent on replay)."""
+    src = os.path.join(tmp, f"{part_col}={value}")
+    dst = os.path.join(table_dir, f"{part_col}={value}")
+    old = dst + OLD_SUFFIX
+    if not os.path.exists(src):
+        # promotion already completed for this partition (heal/replay)
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(src, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def promote_partitions(
+    tmp: str, table_dir: str, part_col: str, values: list
+) -> None:
+    """Two-phase promotion of the staged partition dirs under `tmp`
+    into `table_dir`: manifest first (atomic via rename), then
+    per-partition swaps, then cleanup.  A crash anywhere is healed by
+    heal_table."""
+    os.makedirs(table_dir, exist_ok=True)
+    man = os.path.join(table_dir, MANIFEST)
+    man_tmp = man + ".tmp"
+    with open(man_tmp, "w") as f:
+        json.dump({"tmp": tmp, "part_col": part_col, "values": values}, f)
+    os.rename(man_tmp, man)
+    for v in values:
+        _promote_one(tmp, table_dir, part_col, v)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(man)
+
+
+def heal_table(table_dir: str) -> list:
+    """Finish (or back out of) a promotion that crashed mid-swap; see
+    module docstring.  Returns the partition values it repaired ([]
+    when the table is clean).  Idempotent; cheap (one stat) in the
+    clean case, so every merge and every open calls it."""
+    man = os.path.join(table_dir, MANIFEST)
+    if not os.path.exists(man):
+        return []
+    with open(man) as f:
+        meta = json.load(f)
+    tmp, part_col, values = meta["tmp"], meta["part_col"], meta["values"]
+    healed = []
+    for v in values:
+        if os.path.exists(os.path.join(tmp, f"{part_col}={v}")) or os.path.exists(
+            os.path.join(table_dir, f"{part_col}={v}") + OLD_SUFFIX
+        ):
+            healed.append(v)
+        _promote_one(tmp, table_dir, part_col, v)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(man)
+    return healed

@@ -25,6 +25,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from classic_fcd_spark.sources.promote import heal_table, promote_partitions
+
 
 def _events_stream(
     spark: SparkSession,
@@ -112,7 +114,10 @@ def merge_upsert(
     HDFS-style rename-capable stores).  On object stores rename is a
     copy, so the production path is the Delta/Iceberg MERGE INTO this
     function stands in for — the parquet rename is the test-environment
-    mechanism, not the deployment design."""
+    mechanism, not the deployment design.  r9: the swap is the shared
+    crash-safe two-phase promotion (sources/promote.py) — a crash at
+    any rename boundary loses no merged history and heals on the next
+    merge or read."""
     if partition_expr is None:
         partition_expr = F.substring(keys[0], 1, 10)  # minute -> day prefix
     # keep partition values opaque strings; date/number inference would
@@ -120,7 +125,10 @@ def merge_upsert(
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     updates = updates.withColumn(PARTITION_COL, partition_expr).cache()
     try:
+        heal_table(out_dir)
         touched = [r[0] for r in updates.select(PARTITION_COL).distinct().collect()]
+        if not touched:
+            return
         if os.path.exists(out_dir) and any(
             f.startswith(f"{PARTITION_COL}=") for f in os.listdir(out_dir)
         ):
@@ -131,21 +139,14 @@ def merge_upsert(
         else:
             merged = updates
         # single partitioned write to staging, then promote each touched
-        # partition dir by rename — untouched partitions are never read,
-        # written, or moved
+        # partition dir (two-phase, crash-safe) — untouched partitions
+        # are never read, written, or moved
         import shutil
 
         tmp = out_dir.rstrip("/") + "__tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(tmp)
-        os.makedirs(out_dir, exist_ok=True)
-        for pt in touched:
-            src = os.path.join(tmp, f"{PARTITION_COL}={pt}")
-            dst = os.path.join(out_dir, f"{PARTITION_COL}={pt}")
-            if os.path.exists(src):
-                shutil.rmtree(dst, ignore_errors=True)
-                os.rename(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        promote_partitions(tmp, out_dir, PARTITION_COL, touched)
     finally:
         updates.unpersist()
 
@@ -170,4 +171,5 @@ def run_minute_rollup_available_now(
     )
     q.awaitTermination()
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    heal_table(out_dir)
     return spark.read.parquet(out_dir).drop(PARTITION_COL)

@@ -264,6 +264,110 @@ def main() -> None:
     # and the freshly-merged index must actually serve (last block's tx)
     assert lookup_tx(spark, ext_dir, tx_hash_str(2999 * 3 + 0)).count() == 1
 
+    # --- 6) UNIFIED per-block ingest (r9): all five sinks, ONE checkpoint ----
+    # The composed transaction (streaming/block_ingest.py) must cost
+    # roughly the sum of its stages per batch — bronze + silver appends
+    # + both extract merges + the minute-rollup merge — and stay FLAT
+    # as all sinks accumulate (same asserts as the per-stage loops).
+    # The reference's envelope is 1 block / 6 s INCLUDING rollups
+    # (src/collector/watcher.ts:73-82); the combined p50 is the number
+    # to hold against it.
+    from classic_fcd_spark.streaming.block_ingest import (
+        read_bronze,
+        run_block_ingest_available_now,
+    )
+
+    uni_feed = os.path.join(work, "uni_feed")
+    txs.repartitionByRange(n_drops, "height").write.parquet(uni_feed)
+    uni_out = os.path.join(work, "uni_out")
+    uni_times: list[float] = []
+    ulast = {"t": time.perf_counter()}
+
+    def utick(batch_id):
+        now = time.perf_counter()
+        uni_times.append(now - ulast["t"])
+        ulast["t"] = now
+
+    ulast["t"] = time.perf_counter()
+    run_block_ingest_available_now(
+        spark,
+        uni_feed,
+        os.path.join(work, "ckpt_unified"),
+        uni_out,
+        on_batch=utick,
+    )
+    usteady = uni_times[1:]
+    uhalf = len(usteady) // 2
+    out["unified_ingest"] = {
+        "drops": len(uni_times),
+        "p50_s": round(statistics.median(usteady), 3),
+        "p99_s": round(p(usteady, 0.99), 3),
+        "first_half_mean_s": round(statistics.mean(usteady[:uhalf]), 3),
+        "second_half_mean_s": round(statistics.mean(usteady[uhalf:]), 3),
+        "extract_only_p50_s": out["extract_maintenance"]["p50_s"],
+    }
+    # flat-upkeep assert across all five accumulating sinks
+    assert statistics.mean(usteady[uhalf:]) <= 1.5 * statistics.mean(
+        usteady[:uhalf]
+    ), out["unified_ingest"]
+    # the reference's per-block envelope, with margin for the shared host
+    assert statistics.median(usteady) < 6.0, out["unified_ingest"]
+    # the composed run actually wrote everything once
+    assert read_bronze(spark, uni_out).count() == txs.count()
+    assert (
+        lookup_tx(
+            spark, os.path.join(uni_out, "extract"), tx_hash_str(2999 * 3 + 0)
+        ).count()
+        == 1
+    )
+
+    # --- 7) incremental LM maintenance (r9): refit cost ∝ batch -------------
+    # Counts are additive, so each batch writes only ITS delta tables;
+    # per-batch cost must stay flat as the accumulated model grows (the
+    # r8 verdict's x100 cold-fit item), and the merged model is
+    # bit-identical to a from-scratch fit (tests/test_lm_maintenance.py).
+    from classic_fcd_spark.streaming.lm_maintenance import (
+        load_trigram_model_incremental,
+        run_lm_maintenance_available_now,
+    )
+
+    n_lm_batches = 20
+    lm_feed = os.path.join(work, "lm_feed")
+    docs.select("doc_id", "text").repartitionByRange(
+        n_lm_batches, "doc_id"
+    ).write.parquet(lm_feed)
+    lm_model = os.path.join(work, "lm_model")
+    lm_times: list[float] = []
+    llast = {"t": time.perf_counter()}
+
+    def ltick(batch_id):
+        now = time.perf_counter()
+        lm_times.append(now - llast["t"])
+        llast["t"] = now
+
+    llast["t"] = time.perf_counter()
+    run_lm_maintenance_available_now(
+        spark, lm_feed, lm_model, os.path.join(work, "ckpt_lm"), on_batch=ltick
+    )
+    t0 = time.perf_counter()
+    n_tri = load_trigram_model_incremental(spark, lm_model).tri_model.count()
+    lm_load_s = time.perf_counter() - t0
+    lsteady = lm_times[1:]
+    lhalf = len(lsteady) // 2
+    out["lm_maintenance"] = {
+        "batches": len(lm_times),
+        "p50_s": round(statistics.median(lsteady), 3),
+        "first_half_mean_s": round(statistics.mean(lsteady[:lhalf]), 3),
+        "second_half_mean_s": round(statistics.mean(lsteady[lhalf:]), 3),
+        "model_trigrams": n_tri,
+        "merged_load_s": round(lm_load_s, 2),
+    }
+    # refit ∝ batch: per-batch delta cost must not trend up as the
+    # model accumulates prior batches
+    assert statistics.mean(lsteady[lhalf:]) <= 1.5 * statistics.mean(
+        lsteady[:lhalf]
+    ), out["lm_maintenance"]
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 

@@ -14,8 +14,46 @@ dedup queries find 10x the work, not new semantics); embeddings likewise
 on vec_id (semantic_dedup's input).  Other tables are symlinked from
 sf0.1 unchanged.
 
+VARIETY MODE (SWEEP_VARIETY=1, r9 — VERDICT r8 item 2): plain cloning
+makes the PAIR-EMITTING family's output quadratic in clone multiplicity
+(every cross-copy clone pair is a true near-dup), so minhash/jaccard/
+embedding-pair queries previously had no second-decade wall-time
+evidence at all.  Variety mode applies a deterministic per-copy
+mutation that is RECALL-PRESERVING for the planted within-copy dups
+and eliminates cross-copy similarity:
+
+- documents: a copy-keyed token BIJECTION (every token of copy c>0 gets
+  the suffix `~c`).  A vocabulary bijection renames every shingle
+  consistently, so the Jaccard similarity of any two documents WITHIN a
+  copy is EXACTLY its copy-0 value (set intersections/unions are
+  preserved under bijection) — planted near-dup groups keep their
+  similarity, exact dups stay exact — while any cross-copy pair shares
+  zero tokens.  n_chars is recomputed so the metadata stays consistent.
+- embeddings: a copy-keyed SIGNED PERMUTATION (rotate the 64 dims by c,
+  flip the sign of every (i+c)%5==0 coordinate).  Signed permutations
+  are orthogonal, so within-copy inner products and cosines are EXACTLY
+  preserved (planted similar pairs survive verbatim), while a vector
+  and its cross-copy clone land far apart in cosine.
+
+Result: each copy contributes exactly its own within-copy pairs, so for
+the TEXT pair queries output grows EXACTLY linearly in copies (disjoint
+vocabularies have Jaccard 0 — zero background) and the wall-time ratio
+becomes a meaningful plan-scaling signal (SWEEP_VARIETY=1
+SWEEP_COPIES=100 gives the x100 rows in BENCH_NOTES).
+
+Measured limit (r9): embedding_similar_pairs' deliberately weak 0.45
+threshold sits INSIDE the random-cosine tail of 64-dim geometry (its
+own x1 pairs live in [0.45, 0.6); decorrelated cross-copy pairs reach
+0.50), so for that one query quadratic background pairs are the
+query's true semantics on ANY clone-free corpus — no mutation can
+make its output linear.  Its second-decade evidence therefore comes
+from the clone corpus instead, where the r8 duplicate-collapse keeps
+pair COMPUTE multiplicity-independent and only the emitted rows grow
+(BENCH_NOTES documents both).
+
 Usage: python scripts/text_scale_sweep.py   (results -> stdout; r6 run
 recorded in BENCH_NOTES.md)
+       SWEEP_VARIETY=1 python scripts/text_scale_sweep.py  (pair family)
 """
 
 from __future__ import annotations
@@ -33,7 +71,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # xN dial: SWEEP_COPIES=100 gives the second decade of scale evidence
 # (5M docs at the default sf0.1 base)
 COPIES = int(os.environ.get("SWEEP_COPIES", "10"))
+VARIETY = os.environ.get("SWEEP_VARIETY", "0") == "1"
 OFFSET = 10_000_000
+# the pair-emitting family: only sweepable under variety mode (plain
+# clones inflate their OUTPUT quadratically in copy multiplicity)
+PAIR_QUERIES = [
+    "minhash_lsh_near_dups",
+    "ngram_jaccard_pairs",
+    "embedding_similar_pairs",
+]
 QUERIES = [
     "duplicated_spans",
     "bm25_search",
@@ -51,6 +97,54 @@ QUERIES = [
 ]
 
 
+def _mutate_doc_copy(df, c):
+    """Copy-keyed token bijection (variety mode): suffix every token of
+    copy c>0 with ~c.  Bijective on the vocabulary, so within-copy
+    Jaccard/fingerprint relations are exactly preserved; cross-copy
+    pairs share zero tokens."""
+    from pyspark.sql import functions as F
+
+    if c == 0 or not VARIETY:
+        return df
+    mut = F.array_join(
+        F.transform(
+            F.split(F.trim("text"), " +"),
+            lambda t: F.concat(t, F.lit(f"~{c}")),
+        ),
+        " ",
+    )
+    return df.withColumn("text", mut).withColumn("n_chars", F.length("text"))
+
+
+def _mutate_emb_copy(df, c, dim=64):
+    """Copy-keyed signed permutation (variety mode): coordinate i takes
+    value sign(c,i) * embedding[(a_c*i + c) mod dim] with a_c odd (a
+    bijection mod the power-of-two dim) and md5-parity sign flips.
+    Signed permutations are orthogonal — within-copy inner products and
+    cosines are EXACTLY preserved — while the index scrambling + ~half
+    sign flips decorrelate cross-copy clones even for smooth/clustered
+    vectors (a plain shift rotation left smooth clones correlated)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    if c == 0 or not VARIETY:
+        return df
+    a = 2 * ((c * 7) % (dim // 2)) + 1  # odd -> bijective multiplier
+    cols = []
+    for i in range(dim):
+        j = (a * i + c) % dim
+        sign = (
+            -1.0
+            if int(hashlib.md5(f"{c}:{i}".encode()).hexdigest(), 16) % 2
+            else 1.0
+        )
+        cols.append(
+            (F.element_at("embedding", j + 1) * F.lit(sign)).cast("float")
+        )
+    return df.withColumn("embedding", F.array(*cols))
+
+
 def build_10x(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
@@ -63,7 +157,9 @@ def build_10x(spark, out_dir: str) -> None:
             os.symlink(src, os.path.join(out_dir, f"{t}.parquet"))
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     parts = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * OFFSET))
+        _mutate_doc_copy(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * OFFSET)), i
+        )
         for i in range(COPIES)
     ]
     big = parts[0]
@@ -72,7 +168,9 @@ def build_10x(spark, out_dir: str) -> None:
     big.write.parquet(os.path.join(out_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     eparts = [
-        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET))
+        _mutate_emb_copy(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET)), i
+        )
         for i in range(COPIES)
     ]
     bige = eparts[0]
@@ -90,11 +188,12 @@ def main() -> None:
     # ccnet_perplexity is bench-only: resolve it from the bench module
     import bench as _bench
 
+    pool = PAIR_QUERIES if VARIETY else QUERIES
     qmap.update({
-        k: v for k, v in _bench._extra_workloads().items() if k in QUERIES
+        k: v for k, v in _bench._extra_workloads().items() if k in pool
     })
 
-    queries = [q for q in QUERIES if not sys.argv[1:] or q in sys.argv[1:]]
+    queries = [q for q in pool if not sys.argv[1:] or q in sys.argv[1:]]
     work = tempfile.mkdtemp(prefix="sweep10x_")
     big_dir = os.path.join(work, f"sf{COPIES}x")
     t0 = time.perf_counter()
