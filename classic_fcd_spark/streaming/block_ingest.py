@@ -13,22 +13,32 @@ of the extracts with no shared replay boundary (VERDICT r8, missing
 item 1).
 
 This module composes them: one tx-feed stream, one checkpoint, one
-foreachBatch that per micro-batch writes ALL FIVE sinks —
+foreachBatch that per micro-batch writes ALL SIX sinks —
 
 1. bronze txs            (append, exactly-once via batch-keyed overwrite)
-2. account_tx silver     (same discipline, derived from the batch)
-3. tx-by-hash extract    (partition-scoped MERGE, idempotent by key)
-4. account-page extract  (partition-scoped MERGE, idempotent by key)
-5. minute tx-volume rollup (recomputed FROM BRONZE for the touched
+2. blocks entity         (per-height row: timestamp + tx count — the
+   generateBlockEntity write, block.ts:155-157; same discipline)
+3. account_tx silver     (same discipline, derived from the batch)
+4. tx-by-hash extract    (partition-scoped MERGE, idempotent by key)
+5. account-page extract  (partition-scoped MERGE, idempotent by key)
+6. minute tx-volume rollup (recomputed FROM BRONZE for the touched
    minutes, then MERGE by (minute, denom))
+
+Not composed here: detectAndUpdateProposal (block.ts:165) — the tx
+fixture carries no governance msgs, so a proposal sink would be
+untestable dead code; the proposal pipeline itself is gated separately
+(pipeline/governance.py, fcd_proposals / fcd_vote_tally driver rows).
+blockreward is likewise a separate feed in this engine (the blocks
+fixture carries the reward CSVs; pipeline/medallion.py rollups), with
+the same batch-keyed-overwrite recipe available when it streams.
 
 Exactly-once argument, sink by sink, under foreachBatch's contract
 (a failed batch is replayed with the SAME batch_id and rows):
-- (1)(2) replay overwrites the same `ingest_batch=<id>` directory —
+- (1)(2)(3) replay overwrites the same `ingest_batch=<id>` directory —
   no duplicates, no loss;
-- (3)(4) replace-by-key MERGE — replay converges (and the two-phase
+- (4)(5) replace-by-key MERGE — replay converges (and the two-phase
   promotion in sources/promote.py makes the swap itself crash-safe);
-- (5) is a deterministic function of bronze restricted to the touched
+- (6) is a deterministic function of bronze restricted to the touched
   minutes: whether the crash happened before or after the bronze
   write, the replay recomputes from post-write bronze and overwrites
   by key — the same convergence the reference gets from recomputing
@@ -68,6 +78,7 @@ from classic_fcd_spark.serving.extract import (
 from classic_fcd_spark.streaming.minute_pipeline import merge_upsert
 
 BRONZE = "txs_bronze"
+BLOCKS = "blocks"
 SILVER = "account_tx"
 EXTRACT = "extract"
 ROLLUP = "tx_volume_minute"
@@ -92,24 +103,32 @@ def ingest_block_batch(
     out_dir: str,
     num_buckets: int = 16,
 ) -> None:
-    """The per-batch transaction body: all five sinks, in the
+    """The per-batch transaction body: all six sinks, in the
     reference's write order (bronze rows first, serving indexes next,
     minute rollups last — block.ts:152-176)."""
     batch_df = batch_df.cache()
     try:
         # 1) bronze txs
         _append_batch(batch_df, os.path.join(out_dir, BRONZE), batch_id)
-        # 2) account_tx silver (F4 address explode, per batch)
+        # 2) block entities: one row per height in the batch (the
+        # generateBlockEntity write) — a block's txs always arrive in
+        # one feed file, so its row is complete within its batch
+        blocks = batch_df.groupBy("height").agg(
+            F.min("timestamp").alias("timestamp"),
+            F.count("*").alias("n_txs"),
+        )
+        _append_batch(blocks, os.path.join(out_dir, BLOCKS), batch_id)
+        # 3) account_tx silver (F4 address explode, per batch)
         at = account_tx_silver(batch_df).cache()
         try:
             _append_batch(at, os.path.join(out_dir, SILVER), batch_id)
-            # 3) + 4) both serving extracts (idempotent keyed MERGE)
+            # 4) + 5) both serving extracts (idempotent keyed MERGE)
             ext = os.path.join(out_dir, EXTRACT)
             merge_tx_lookup_extract(batch_df, ext, num_buckets)
             merge_account_page_extract(at, ext, num_buckets)
         finally:
             at.unpersist()
-        # 5) minute rollup: recompute the touched minutes FROM BRONZE
+        # 6) minute rollup: recompute the touched minutes FROM BRONZE
         # (deterministic + convergent under replay), merge by key
         minutes = [
             r[0]
@@ -136,7 +155,7 @@ def run_block_ingest_available_now(
     on_batch=None,
 ) -> None:
     """Drain the tx feed through the unified transaction.  ONE
-    checkpoint covers all five sinks — the composed replay boundary the
+    checkpoint covers all six sinks — the composed replay boundary the
     reference gets from its per-block DB transaction.  availableNow +
     maxFilesPerTrigger=1 gives per-block micro-batches on catch-up (S2)
     and is what the crash tests and the sustained bench drive."""
@@ -179,3 +198,7 @@ def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
     )
     return spark.read.parquet(path).drop(PARTITION_COL)
+
+
+def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, BLOCKS)).drop(BATCH_COL)

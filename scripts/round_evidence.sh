@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# One-shot round-evidence runner (r9, VERDICT r8 item 8): produce every
+# per-round artifact the judge re-verifies, in one command, so the
+# evidence habit is mechanical instead of manual:
+#
+#   PYTEST_r0N.txt            full pytest, ONE run
+#   CHECK_r0N_strict.txt      scripts/check_correctness.py at sf0.01
+#   CHECK_r0N_strict_sf01.txt same at sf0.1
+#   CHECK_r0N_strict_sf1.txt  same at a freshly-rebuilt 10x /tmp/sf1
+#   SUSTAINED_r0N.json        scripts/sustained_stream_bench.py (its
+#                             in-script asserts are the gate; rc!=0 fails)
+#   BENCH_sf1_r0N.json        bench.py on the rebuilt sf1 corpus
+#
+# Usage: scripts/round_evidence.sh <round>     e.g. scripts/round_evidence.sh 9
+# Runs serially (the host is shared; parallel Spark sessions poison the
+# latency numbers).  Progress \r junk is stripped before the artifacts
+# are written (the r7 lesson).  Exits nonzero on the FIRST failing step.
+
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+R="${1:?usage: round_evidence.sh <round-number>}"
+RR=$(printf "r%02d" "$R")
+strip_cr() { sed -e 's/\r[^\n]*\r//g' -e 's/\r//g'; }
+
+echo "== [1/6] pytest (one run) -> PYTEST_${RR}.txt"
+python -m pytest tests/ -q 2>&1 | strip_cr > "PYTEST_${RR}.txt"
+tail -2 "PYTEST_${RR}.txt"
+
+echo "== [2/6] strict check sf0.01 -> CHECK_${RR}_strict.txt"
+python scripts/check_correctness.py 2>&1 | strip_cr > "CHECK_${RR}_strict.txt"
+tail -2 "CHECK_${RR}_strict.txt"
+
+echo "== [3/6] strict check sf0.1 -> CHECK_${RR}_strict_sf01.txt"
+SF_DIR=/root/testdata/sf0.1 python scripts/check_correctness.py 2>&1 \
+  | strip_cr > "CHECK_${RR}_strict_sf01.txt"
+tail -2 "CHECK_${RR}_strict_sf01.txt"
+
+echo "== [4/6] rebuild /tmp/sf1 (10x) + strict check -> CHECK_${RR}_strict_sf1.txt"
+rm -rf /tmp/sf1
+python scripts/make_sf_scale.py /tmp/sf1 10
+SF_DIR=/tmp/sf1 python scripts/check_correctness.py 2>&1 \
+  | strip_cr > "CHECK_${RR}_strict_sf1.txt"
+tail -2 "CHECK_${RR}_strict_sf1.txt"
+
+echo "== [5/6] sustained streaming bench -> SUSTAINED_${RR}.json"
+python scripts/sustained_stream_bench.py 2>/dev/null | tail -1 \
+  > "SUSTAINED_${RR}.json"
+head -c 300 "SUSTAINED_${RR}.json"; echo
+
+echo "== [6/6] bench at sf1 -> BENCH_sf1_${RR}.json"
+SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py 2>/dev/null | tail -1 \
+  > "BENCH_sf1_${RR}.json"
+head -c 300 "BENCH_sf1_${RR}.json"; echo
+
+echo "== all evidence written for ${RR}"

@@ -27,10 +27,16 @@ def _write_feed(spark, path: str) -> None:
 
 
 def _state(spark, out: str) -> dict:
-    """Full observable state of all five sinks, order-normalized."""
+    """Full observable state of all six sinks, order-normalized."""
     ext_tx = spark.read.parquet(f"{out}/{bi.EXTRACT}/tx_by_hash")
     ext_at = spark.read.parquet(f"{out}/{bi.EXTRACT}/account_tx")
     return {
+        "blocks": sorted(
+            tuple(r)
+            for r in bi.read_blocks(spark, out)
+            .select("height", "n_txs")
+            .collect()
+        ),
         "bronze": sorted(
             r["hash"] for r in bi.read_bronze(spark, out).select("hash").collect()
         ),
@@ -74,6 +80,11 @@ class TestUnifiedIngest:
         # extracts mirror bronze/silver exactly (no lag under one ckpt)
         assert st["ext_tx"] == st["bronze"]
         assert st["ext_at"] == st["silver"]
+        # block entities: one row per height, tx counts match bronze
+        assert len(st["blocks"]) == len(
+            {h for h, _ in st["blocks"]}
+        )
+        assert sum(n for _, n in st["blocks"]) == len(st["bronze"])
         # rollup == the batch twin computed over the whole feed at once
         from classic_fcd_spark.pipeline.medallion import tx_volume_minute_silver
 
