@@ -85,15 +85,32 @@ ROLLUP = "tx_volume_minute"
 BATCH_COL = "ingest_batch"
 
 
-def _append_batch(df: DataFrame, table_dir: str, batch_id: int) -> None:
+DAY_COL = "day_pt"
+
+
+def _append_batch(
+    df: DataFrame, table_dir: str, batch_id: int, day_partition: bool = False
+) -> None:
     """Exactly-once append: the batch lands in its own
     `ingest_batch=<id>` partition directory with mode=overwrite, so a
     replayed batch rewrites the same directory instead of duplicating
     rows (the parquet analogue of the reference's per-block INSERT
-    inside the transaction)."""
-    df.write.mode("overwrite").parquet(
-        os.path.join(table_dir, f"{BATCH_COL}={batch_id}")
-    )
+    inside the transaction).  With `day_partition`, rows are further
+    partitioned by event day INSIDE the batch dir, so day filters
+    (the rollup recompute, every time-ranged silver job) resolve to
+    PartitionFilters — a real partition prune, not just row-group
+    stats."""
+    if day_partition:
+        (
+            df.withColumn(DAY_COL, F.date_format("timestamp", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy(DAY_COL)
+            .parquet(os.path.join(table_dir, f"{BATCH_COL}={batch_id}"))
+        )
+    else:
+        df.write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"{BATCH_COL}={batch_id}")
+        )
 
 
 def ingest_block_batch(
@@ -108,8 +125,11 @@ def ingest_block_batch(
     minute rollups last — block.ts:152-176)."""
     batch_df = batch_df.cache()
     try:
-        # 1) bronze txs
-        _append_batch(batch_df, os.path.join(out_dir, BRONZE), batch_id)
+        # 1) bronze txs (day-partitioned inside the batch dir so the
+        # rollup recompute and every time-ranged silver job prune)
+        _append_batch(
+            batch_df, os.path.join(out_dir, BRONZE), batch_id, day_partition=True
+        )
         # 2) block entities: one row per height in the batch (the
         # generateBlockEntity write) — a block's txs always arrive in
         # one feed file, so its row is complete within its batch
@@ -137,9 +157,9 @@ def ingest_block_batch(
             .collect()
         ]
         if minutes:
-            bronze = spark.read.parquet(os.path.join(out_dir, BRONZE))
-            scoped = bronze.filter(_minute("timestamp").isin(minutes))
-            roll = tx_volume_minute_silver(scoped)
+            roll = tx_volume_minute_silver(
+                rollup_scoped_bronze(spark, out_dir, minutes)
+            )
             merge_upsert(spark, roll, os.path.join(out_dir, ROLLUP), ["minute", "denom"])
     finally:
         batch_df.unpersist()
@@ -179,9 +199,32 @@ def run_block_ingest_available_now(
     q.awaitTermination()
 
 
+def rollup_scoped_bronze(
+    spark: SparkSession, out_dir: str, minutes: list[str]
+) -> DataFrame:
+    """Bronze restricted to the touched minutes: the day literals hit
+    the day_pt partition column — a real PartitionFilters prune
+    (plan-asserted in tests), so the recompute reads only the touched
+    days' files however large bronze grows — and the minute predicate
+    prunes row groups within the day."""
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    days = sorted({m[:10] for m in minutes})
+    bronze = spark.read.parquet(os.path.join(out_dir, BRONZE))
+    return bronze.filter(
+        F.col(DAY_COL).isin(days) & _minute("timestamp").isin(minutes)
+    )
+
+
 def read_bronze(spark: SparkSession, out_dir: str) -> DataFrame:
     """The bronze tx table (all ingested batches)."""
-    return spark.read.parquet(os.path.join(out_dir, BRONZE)).drop(BATCH_COL)
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    return spark.read.parquet(os.path.join(out_dir, BRONZE)).drop(
+        BATCH_COL, DAY_COL
+    )
 
 
 def read_account_tx(spark: SparkSession, out_dir: str) -> DataFrame:

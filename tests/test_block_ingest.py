@@ -91,6 +91,23 @@ class TestUnifiedIngest:
         want = sorted(tuple(r) for r in tx_volume_minute_silver(txs).collect())
         assert st["rollup"] == want
 
+    def test_rollup_recompute_prunes_bronze_partitions(self, spark, control):
+        """The per-batch rollup recompute must read only the touched
+        days of bronze: the day literals resolve to PartitionFilters on
+        the scan (bronze is day-partitioned inside each batch dir), so
+        the recompute stays O(touched days) as bronze accumulates."""
+        minutes = [
+            r[0]
+            for r in bi.read_rollup(spark, control["out"])
+            .select("minute")
+            .limit(2)
+            .collect()
+        ]
+        scoped = bi.rollup_scoped_bronze(spark, control["out"], minutes)
+        plan = scoped._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2 and bi.DAY_COL in pf[1].split("]", 1)[0], plan[:1500]
+
     def test_extract_serves_point_lookups(self, spark, control):
         from classic_fcd_spark.serving.extract import lookup_tx
 
