@@ -23,15 +23,20 @@ e9-integer score level).
 
 Scale: per-batch cost ∝ batch tokens (tokenize + three aggregations
 over the batch only); the accumulated model never re-reads old
-documents.  Delta-partition count grows with batches — compaction is
-the postings story (sources/layout compaction pass, or periodically
-rewriting the summed tables as a new epoch partition); at one
-delta per block the sum stays a few thousand tiny files per day, and
-the load-side sum is itself a candidate for scheduled materialization.
+documents.  Delta-partition count grows with batches;
+`compact_lm_deltas` periodically folds all deltas into ONE epoch
+partition (model-sized work — a sum over the bounded hashed
+vocabulary; crash-safe via an atomic epoch-manifest commit —
+uncommitted epoch dirs are invisible to loaders) so the load-side sum
+and the file count stay bounded; new batches keep landing beside the
+epoch and the next compaction folds them in.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +50,34 @@ from classic_fcd_spark.operators.lm import (
 )
 
 TABLES = ("uni", "pair", "tri")
+_EPOCH_MANIFEST = "_epoch.json"
+
+
+def _epoch_state(model_dir: str) -> tuple[list[str], str | None]:
+    """(covered batch ids, committed epoch name) from the compaction
+    manifest; ([], None) before the first compaction."""
+    p = os.path.join(model_dir, _EPOCH_MANIFEST)
+    if not os.path.exists(p):
+        return [], None
+    with open(p) as f:
+        m = json.load(f)
+    return m["covered"], m["epoch"]
+
+
+def _live_partitions(df: DataFrame, covered: list[str], epoch: str | None) -> DataFrame:
+    """The authoritative delta set: the committed epoch (if any) plus
+    every batch partition not folded into it.  An UNCOMMITTED epoch dir
+    (a compaction that crashed before its manifest rename) is excluded
+    by the epoch- prefix rule, so a crashed compaction is invisible and
+    its overwrite-retry is idempotent."""
+    c = F.col("batch_pt").cast("string")
+    keep = ~c.isin(covered) if covered else F.lit(True)
+    not_epoch = ~c.startswith("epoch-")
+    if epoch is not None:
+        keep = keep & (not_epoch | (c == epoch))
+    else:
+        keep = keep & not_epoch
+    return df.filter(keep)
 
 
 def write_lm_delta_batch(
@@ -132,23 +165,95 @@ def load_trigram_model_incremental(
     tables (pctx/tctx) and the `ut` constant are recomputed exactly as
     operators/lm.load_trigram_prob_model does, so a maintained model
     scores bit-identically to a from-scratch fit of the same corpus."""
-    uni = (
-        spark.read.parquet(f"{model_dir}/uni_delta")
-        .groupBy("w")
-        .agg(F.sum("ucnt").alias("ucnt"))
-    )
-    pair = (
-        spark.read.parquet(f"{model_dir}/pair_delta")
-        .groupBy("c", "w")
-        .agg(F.sum("pcnt").alias("pcnt"))
-    )
-    tri = (
-        spark.read.parquet(f"{model_dir}/tri_delta")
-        .groupBy("c1", "c2", "w")
-        .agg(F.sum("tcnt").alias("tcnt"))
-    )
+    covered, epoch = _epoch_state(model_dir)
+
+    def table(name: str, keys: list[str], cnt: str) -> DataFrame:
+        df = _live_partitions(
+            spark.read.parquet(f"{model_dir}/{name}_delta"), covered, epoch
+        )
+        return df.groupBy(*keys).agg(F.sum(cnt).alias(cnt))
+
+    uni = table("uni", ["w"], "ucnt")
+    pair = table("pair", ["c", "w"], "pcnt")
+    tri = table("tri", ["c1", "c2", "w"], "tcnt")
     utot = uni.agg(F.sum("ucnt")).first()[0] or 0
     ut = float(utot) + float(buckets)
     pctx = pair.groupBy("c").agg(F.sum("pcnt").alias("pctx"))
     tctx = tri.groupBy("c1", "c2").agg(F.sum("tcnt").alias("tctx"))
     return TrigramProbModel(uni, pair, pctx, tri, tctx, ut, buckets, lams)
+
+
+def compact_lm_deltas(spark: SparkSession, model_dir: str) -> str | None:
+    """Fold every live delta partition (the committed epoch + all
+    batches since) into ONE new epoch partition per table — model-sized
+    work over the bounded hashed vocabulary, independent of corpus size.
+
+    Crash safety without a lock: the new epoch is written FIRST (an
+    uncommitted epoch- partition is invisible to loaders and to the
+    next compaction, so a crashed attempt is simply overwritten), then
+    the manifest rename is the atomic commit point (loaders switch to
+    the new epoch and exclude the folded batches in the same read),
+    then the folded directories are removed lazily — a crash
+    mid-cleanup leaves excluded-but-present dirs that the next
+    compaction's cleanup sweeps.  Returns the committed epoch name
+    (None = nothing to fold)."""
+    covered, epoch = _epoch_state(model_dir)
+    uni_dir = os.path.join(model_dir, "uni_delta")
+    if not os.path.isdir(uni_dir):
+        return epoch
+    vals = [
+        d.split("=", 1)[1]
+        for d in os.listdir(uni_dir)
+        if d.startswith("batch_pt=")
+    ]
+    live = [
+        v
+        for v in vals
+        if v not in covered and (not v.startswith("epoch-") or v == epoch)
+    ]
+    if len(live) <= 1:
+        return epoch  # nothing to fold
+    gen = int(epoch.split("-", 1)[1]) + 1 if epoch else 0
+    new_epoch = f"epoch-{gen}"
+
+    # 1) write the folded tables as the (still-uncommitted) new epoch:
+    # stage OUTSIDE the table dir (never write into a path being read),
+    # then one dir rename into place per table
+    stage = os.path.join(model_dir, f"_staging_{new_epoch}")
+    shutil.rmtree(stage, ignore_errors=True)
+    for name, keys, cnt in (
+        ("uni", ["w"], "ucnt"),
+        ("pair", ["c", "w"], "pcnt"),
+        ("tri", ["c1", "c2", "w"], "tcnt"),
+    ):
+        df = _live_partitions(
+            spark.read.parquet(f"{model_dir}/{name}_delta"), covered, epoch
+        )
+        (
+            df.groupBy(*keys)
+            .agg(F.sum(cnt).alias(cnt))
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, name))
+        )
+    for name in TABLES:
+        dst = os.path.join(model_dir, f"{name}_delta", f"batch_pt={new_epoch}")
+        shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
+        os.rename(os.path.join(stage, name), dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # 2) COMMIT: atomic manifest rename
+    new_covered = sorted(set(covered) | set(live))
+    man = os.path.join(model_dir, _EPOCH_MANIFEST)
+    tmp = man + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": new_epoch, "covered": new_covered}, f)
+    os.rename(tmp, man)
+
+    # 3) lazy cleanup of folded (now-excluded) partitions
+    for name in TABLES:
+        for v in new_covered:
+            shutil.rmtree(
+                os.path.join(model_dir, f"{name}_delta", f"batch_pt={v}"),
+                ignore_errors=True,
+            )
+    return new_epoch

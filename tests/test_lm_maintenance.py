@@ -121,3 +121,84 @@ class TestIncrementalLm:
         write_lm_delta_batch(docs.filter(F.col("doc_id") >= 100), 1, mdir)
         again = _table_rows(load_trigram_model_incremental(spark, mdir))
         assert once == again
+
+
+class TestCompaction:
+    """compact_lm_deltas folds the live deltas into one epoch partition:
+    the loaded model must be unchanged (bit-exact) through compaction,
+    post-compaction batches, and re-compaction; a compaction that
+    crashed before its manifest commit must be invisible."""
+
+    def _seed(self, spark, tmp_path, n_batches=4):
+        from classic_fcd_spark.streaming.lm_maintenance import (
+            write_lm_delta_batch,
+        )
+
+        docs = _docs(spark)
+        mdir = str(tmp_path / "model")
+        per = 500 // n_batches
+        for b in range(n_batches):
+            write_lm_delta_batch(
+                docs.filter(
+                    (F.col("doc_id") >= b * per) & (F.col("doc_id") < (b + 1) * per)
+                ),
+                b,
+                mdir,
+            )
+        return docs, mdir
+
+    def test_compaction_preserves_model_exactly(self, spark, tmp_path):
+        import os
+
+        from classic_fcd_spark.streaming.lm_maintenance import (
+            compact_lm_deltas,
+            load_trigram_model_incremental,
+            write_lm_delta_batch,
+        )
+
+        docs, mdir = self._seed(spark, tmp_path)
+        before = _table_rows(load_trigram_model_incremental(spark, mdir))
+        epoch = compact_lm_deltas(spark, mdir)
+        assert epoch == "epoch-0"
+        # folded: exactly one live partition per table remains
+        parts = [
+            d for d in os.listdir(f"{mdir}/uni_delta") if d.startswith("batch_pt=")
+        ]
+        assert parts == [f"batch_pt={epoch}"]
+        assert _table_rows(load_trigram_model_incremental(spark, mdir)) == before
+
+        # new batches land beside the epoch; re-compaction folds them in
+        write_lm_delta_batch(docs.filter(F.col("doc_id") % 7 == 0), 99, mdir)
+        grown = _table_rows(load_trigram_model_incremental(spark, mdir))
+        assert grown != before
+        assert compact_lm_deltas(spark, mdir) == "epoch-1"
+        assert _table_rows(load_trigram_model_incremental(spark, mdir)) == grown
+        # idempotent no-op when there is nothing to fold
+        assert compact_lm_deltas(spark, mdir) == "epoch-1"
+
+    def test_uncommitted_epoch_is_invisible(self, spark, tmp_path):
+        """A compaction that died after writing its epoch dirs but
+        BEFORE the manifest rename must not change what loaders see,
+        and a retry must succeed."""
+        import os
+        import shutil
+
+        from classic_fcd_spark.streaming.lm_maintenance import (
+            compact_lm_deltas,
+            load_trigram_model_incremental,
+        )
+
+        _, mdir = self._seed(spark, tmp_path)
+        before = _table_rows(load_trigram_model_incremental(spark, mdir))
+
+        # simulate the crash window: epoch dirs present, no manifest
+        # (copy batch 0's dirs as a bogus half-written epoch)
+        for t in ("uni", "pair", "tri"):
+            shutil.copytree(
+                f"{mdir}/{t}_delta/batch_pt=0",
+                f"{mdir}/{t}_delta/batch_pt=epoch-0",
+            )
+        assert _table_rows(load_trigram_model_incremental(spark, mdir)) == before
+        # retry overwrites the orphan and commits
+        assert compact_lm_deltas(spark, mdir) == "epoch-0"
+        assert _table_rows(load_trigram_model_incremental(spark, mdir)) == before
