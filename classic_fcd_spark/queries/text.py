@@ -300,6 +300,12 @@ def _trigram_model_for(spark: SparkSession, sf_dir: str, docs: DataFrame):
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)
+            # The only benign failure is losing the promotion race; on
+            # anything else (EXDEV, permissions) the staged model is
+            # gone AND nobody won — re-raise rather than let the load
+            # below fail with a confusing missing-path error (ADVICE r9)
+            if not os.path.exists(os.path.join(mdir, "tri", "_SUCCESS")):
+                raise
     # ALWAYS score from the loaded parquet model so cold and warm runs
     # execute the identical plan over identical bytes
     return load_trigram_prob_model(spark, mdir)

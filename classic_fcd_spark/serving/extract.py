@@ -133,22 +133,36 @@ def _merge_bucketed(
     dedup_keys: list[str],
     sort_cols: list,
     num_buckets: int,
+    version_order: list | None = None,
 ) -> list[int]:
     """MERGE `updates` into the kb-bucketed extract at `path`; returns
     the touched bucket ids.  Re-delivered rows replace by `dedup_keys`,
     so micro-batch replay after failure is idempotent (T1).  Within a
-    batch, later-is-arbitrary duplicates by `dedup_keys` are collapsed
-    to one row (the reference's ON CONFLICT upsert keeps one row per
-    key — src/collector/block/tx.ts:240-247) and NULL-keyed rows are
-    rejected (the reference column is a PRIMARY KEY; a NULL here is a
-    producer bug, and it would also break the bucket-id collect)."""
+    batch, duplicates by `dedup_keys` collapse to ONE row picked
+    DETERMINISTICALLY (the reference's ON CONFLICT upsert keeps the
+    last write — src/collector/block/tx.ts:240-247): rank by
+    `version_order` (e.g. height desc = newest version wins), then by
+    an md5 of the full row so the survivor is a pure function of the
+    batch CONTENT — identical across crash-replays even when versions
+    tie (ADVICE r9; dropDuplicates' pick was partition-order-dependent).
+    NULL-keyed rows are rejected (the reference column is a PRIMARY
+    KEY; a NULL here is a producer bug, and it would also break the
+    bucket-id collect)."""
+    from pyspark.sql import Window
+
     spark = updates.sparkSession
     key_ok = F.lit(True)
     for k in dedup_keys:
         key_ok = key_ok & F.col(k).isNotNull()
+    content_rank = F.md5(F.to_json(F.struct(*updates.columns)))
+    w = Window.partitionBy(*dedup_keys).orderBy(
+        *(version_order or []), content_rank
+    )
     up = (
         updates.filter(key_ok)
-        .dropDuplicates(dedup_keys)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
         .withColumn(KB, _bucket_expr(key_col, num_buckets))
         .cache()
     )
@@ -188,9 +202,18 @@ def _merge_bucketed(
 def merge_tx_lookup_extract(
     txs: DataFrame, out_dir: str, num_buckets: int = 16
 ) -> list[int]:
-    """Upsert a batch of txs into the tx-by-hash extract (key: hash)."""
+    """Upsert a batch of txs into the tx-by-hash extract (key: hash).
+    Intra-batch versions of one hash: highest height wins (last write,
+    as the reference's ON CONFLICT DO UPDATE)."""
+    ver = [F.col("height").desc()] if "height" in txs.columns else None
     touched = _merge_bucketed(
-        txs, f"{out_dir}/tx_by_hash", "hash", ["hash"], [F.col("hash")], num_buckets
+        txs,
+        f"{out_dir}/tx_by_hash",
+        "hash",
+        ["hash"],
+        [F.col("hash")],
+        num_buckets,
+        version_order=ver,
     )
     _invalidate_open(out_dir)
     return touched
@@ -209,6 +232,7 @@ def merge_account_page_extract(
         ["account", "hash"],
         [F.col("account"), F.col("height").desc(), F.col("hash").desc()],
         num_buckets,
+        version_order=[F.col("height").desc()],
     )
     _invalidate_open(out_dir)
     return touched

@@ -31,12 +31,23 @@ manifest rename and the replay boundary is the streaming checkpoint.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 
 MANIFEST = "_promote_manifest.json"
 OLD_SUFFIX = "__old"
+
+# Concurrency contract: ONE writer per table (the streaming checkpoint
+# serializes merges).  Readers may call heal_table concurrently with a
+# writer's promote_partitions — both then race the same convergent
+# per-partition swaps (each individually idempotent) and the same
+# manifest/tmp cleanup, so the loser of a cleanup race sees the file
+# already gone: tolerated below (suppress FileNotFoundError) rather
+# than failing the streaming batch (ADVICE r9).  True multi-writer
+# needs an exclusive lock file — out of scope for the single-stream
+# design this serves.
 
 
 def _promote_one(tmp: str, table_dir: str, part_col: str, value) -> None:
@@ -71,7 +82,8 @@ def promote_partitions(
     for v in values:
         _promote_one(tmp, table_dir, part_col, v)
     shutil.rmtree(tmp, ignore_errors=True)
-    os.remove(man)
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(man)
 
 
 def heal_table(table_dir: str) -> list:
@@ -82,8 +94,11 @@ def heal_table(table_dir: str) -> list:
     man = os.path.join(table_dir, MANIFEST)
     if not os.path.exists(man):
         return []
-    with open(man) as f:
-        meta = json.load(f)
+    try:
+        with open(man) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        return []  # a concurrent heal consumed it between the stat/open
     tmp, part_col, values = meta["tmp"], meta["part_col"], meta["values"]
     healed = []
     for v in values:
@@ -93,5 +108,6 @@ def heal_table(table_dir: str) -> list:
             healed.append(v)
         _promote_one(tmp, table_dir, part_col, v)
     shutil.rmtree(tmp, ignore_errors=True)
-    os.remove(man)
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(man)
     return healed

@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,17 +81,50 @@ def _live_partitions(df: DataFrame, covered: list[str], epoch: str | None) -> Da
     return df.filter(keep)
 
 
+def _run_token(checkpoint_dir: str) -> str:
+    """A token identifying THIS checkpoint instance, stored inside the
+    checkpoint dir itself so its lifetime matches the stream's batch-id
+    sequence.  Delta partitions are namespaced by it: if the checkpoint
+    is deleted (or a different checkpoint reuses model_dir), batch ids
+    restart at 0 but under a FRESH token, so the new batch 0 can never
+    collide with a compacted partition from the old run and be silently
+    dropped by the covered list."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, "_lm_run.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)["run"]
+    run = uuid.uuid4().hex[:8]
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"run": run}, f)
+    os.rename(tmp, p)
+    return run
+
+
 def write_lm_delta_batch(
     batch_docs: DataFrame,
     batch_id: int,
     model_dir: str,
     text_col: str = "text",
     buckets: int = 256,
+    run: str | None = None,
 ) -> None:
     """Count THIS batch's uni/pair/tri n-grams (same pipeline as
     fit_trigram_prob_model, restricted to the batch) and write each
-    table into its `batch_pt=<batch_id>` partition — overwrite, so
-    micro-batch replay after failure is idempotent."""
+    table into its `batch_pt=[<run>-]<batch_id>` partition — overwrite,
+    so micro-batch replay after failure is idempotent.
+
+    If the partition is already in the compaction manifest's covered
+    set, the write is a NO-OP: within a run (checkpoint instance) that
+    can only be a crash-replay of a batch whose counts were already
+    folded into the epoch — rewriting it would resurrect the partition
+    as live and double-count the batch.  Cross-run id collisions are
+    prevented by the run namespace (see _run_token)."""
+    pt = f"{run}-{batch_id}" if run else str(batch_id)
+    covered, _ = _epoch_state(model_dir)
+    if pt in covered:
+        return
     toks = batch_docs.select(
         ngram_buckets(text_col, 1, buckets).alias("bs")
     ).cache()
@@ -113,10 +147,27 @@ def write_lm_delta_batch(
         )
         for name, df in (("uni", uni), ("pair", pair), ("tri", tri)):
             df.write.mode("overwrite").parquet(
-                f"{model_dir}/{name}_delta/batch_pt={batch_id}"
+                f"{model_dir}/{name}_delta/batch_pt={pt}"
             )
     finally:
         toks.unpersist()
+
+
+def _live_batch_count(model_dir: str) -> int:
+    """How many UNFOLDED batch partitions exist right now (the epoch
+    partition doesn't count) — the auto-compaction trigger."""
+    covered, epoch = _epoch_state(model_dir)
+    uni_dir = os.path.join(model_dir, "uni_delta")
+    if not os.path.isdir(uni_dir):
+        return 0
+    vals = [
+        d.split("=", 1)[1]
+        for d in os.listdir(uni_dir)
+        if d.startswith("batch_pt=")
+    ]
+    return sum(
+        1 for v in vals if v not in covered and not v.startswith("epoch-")
+    )
 
 
 def run_lm_maintenance_available_now(
@@ -127,20 +178,34 @@ def run_lm_maintenance_available_now(
     text_col: str = "text",
     buckets: int = 256,
     on_batch=None,
+    compact_every: int | None = None,
 ) -> None:
     """Drain all available document files (one per micro-batch),
     maintaining the delta-partitioned count tables under one
     checkpoint (S2 catch-up semantics: a restart counts only files not
-    yet merged)."""
+    yet merged).
+
+    compact_every=N folds the deltas into an epoch partition whenever
+    the live (unfolded) batch-partition count reaches N, INSIDE the
+    maintenance loop — so delta partitions and load-side fan-in stay
+    bounded by N without an external compaction scheduler.  Crash
+    anywhere in the write→compact→checkpoint-commit sequence converges:
+    a replayed batch whose partition was already folded is a no-op (see
+    write_lm_delta_batch), an unfolded one overwrites idempotently."""
     batch = spark.read.parquet(docs_dir)
     src = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_dir)
     )
+    run = _run_token(checkpoint_dir)
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
-        write_lm_delta_batch(bdf, batch_id, model_dir, text_col, buckets)
+        write_lm_delta_batch(
+            bdf, batch_id, model_dir, text_col, buckets, run=run
+        )
+        if compact_every and _live_batch_count(model_dir) >= compact_every:
+            compact_lm_deltas(spark, model_dir)
         if on_batch is not None:
             on_batch(batch_id)
 
@@ -218,7 +283,13 @@ def compact_lm_deltas(spark: SparkSession, model_dir: str) -> str | None:
 
     # 1) write the folded tables as the (still-uncommitted) new epoch:
     # stage OUTSIDE the table dir (never write into a path being read),
-    # then one dir rename into place per table
+    # then one dir rename into place per table.  Each read is pinned to
+    # the `live` SNAPSHOT taken above (batch_pt.isin), never the
+    # exclusion filter — a delta batch landing between the listdir and
+    # a table read would otherwise be folded into the epoch yet omitted
+    # from new_covered (double-counted), and the three tables could
+    # fold inconsistent batch sets.  The folded set always equals the
+    # set recorded in the manifest.
     stage = os.path.join(model_dir, f"_staging_{new_epoch}")
     shutil.rmtree(stage, ignore_errors=True)
     for name, keys, cnt in (
@@ -226,8 +297,8 @@ def compact_lm_deltas(spark: SparkSession, model_dir: str) -> str | None:
         ("pair", ["c", "w"], "pcnt"),
         ("tri", ["c1", "c2", "w"], "tcnt"),
     ):
-        df = _live_partitions(
-            spark.read.parquet(f"{model_dir}/{name}_delta"), covered, epoch
+        df = spark.read.parquet(f"{model_dir}/{name}_delta").filter(
+            F.col("batch_pt").cast("string").isin(live)
         )
         (
             df.groupBy(*keys)

@@ -39,7 +39,8 @@ Result: each copy contributes exactly its own within-copy pairs, so for
 the TEXT pair queries output grows EXACTLY linearly in copies (disjoint
 vocabularies have Jaccard 0 — zero background) and the wall-time ratio
 becomes a meaningful plan-scaling signal (SWEEP_VARIETY=1
-SWEEP_COPIES=100 gives the x100 rows in BENCH_NOTES).
+SWEEP_COPIES=100 produced the recorded x100 rows in BENCH_NOTES'
+"r10: x100 variety-mode sweep" table).
 
 Measured limit (r9): embedding_similar_pairs' deliberately weak 0.45
 threshold sits INSIDE the random-cosine tail of 64-dim geometry (its

@@ -176,6 +176,136 @@ class TestCompaction:
         # idempotent no-op when there is nothing to fold
         assert compact_lm_deltas(spark, mdir) == "epoch-1"
 
+    def test_fold_is_pinned_to_the_listdir_snapshot(self, spark, tmp_path):
+        """A delta batch landing AFTER the snapshot but BEFORE the table
+        reads must be left live (not folded yet not covered → it would
+        be double-counted).  Simulated by writing the late batch between
+        the manifest read and the fold — the isin(live) pin keeps the
+        folded set equal to the manifest's covered set."""
+        from unittest import mock
+
+        from classic_fcd_spark.streaming import lm_maintenance as lmm
+
+        docs, mdir = self._seed(spark, tmp_path)
+        before = _table_rows(lmm.load_trigram_model_incremental(spark, mdir))
+        late = docs.filter(F.col("doc_id") % 5 == 0)
+
+        real_listdir = lmm.os.listdir
+        fired = {"done": False}
+
+        def listdir_then_land(path):
+            out = real_listdir(path)
+            if not fired["done"]:
+                fired["done"] = True
+                lmm.write_lm_delta_batch(late, 777, mdir)
+            return out
+
+        with mock.patch.object(lmm.os, "listdir", side_effect=listdir_then_land):
+            epoch = lmm.compact_lm_deltas(spark, mdir)
+        assert epoch == "epoch-0"
+        covered, _ = lmm._epoch_state(mdir)
+        assert "777" not in covered  # late batch NOT claimed by the manifest
+        import os
+
+        live = [
+            d for d in os.listdir(f"{mdir}/uni_delta")
+            if d.startswith("batch_pt=") and "epoch" not in d
+        ]
+        assert live == ["batch_pt=777"]  # ...and still live on disk
+        # model == epoch + the late batch, counted exactly once
+        expect = _table_rows(
+            lmm.load_trigram_model_incremental(spark, mdir)
+        )
+        lmm.compact_lm_deltas(spark, mdir)  # fold it in; model unchanged
+        assert _table_rows(
+            lmm.load_trigram_model_incremental(spark, mdir)
+        ) == expect
+        assert expect != before
+
+    def test_covered_replay_is_a_noop(self, spark, tmp_path):
+        """Replaying a batch whose partition was already folded into the
+        epoch must not resurrect it as a live partition (that would
+        double-count it)."""
+        import os
+
+        from classic_fcd_spark.streaming.lm_maintenance import (
+            compact_lm_deltas,
+            load_trigram_model_incremental,
+            write_lm_delta_batch,
+        )
+
+        docs, mdir = self._seed(spark, tmp_path)
+        compact_lm_deltas(spark, mdir)
+        before = _table_rows(load_trigram_model_incremental(spark, mdir))
+        write_lm_delta_batch(docs.filter(F.col("doc_id") < 125), 0, mdir)
+        live = [
+            d for d in os.listdir(f"{mdir}/uni_delta")
+            if d.startswith("batch_pt=") and "epoch" not in d
+        ]
+        assert live == []
+        assert _table_rows(load_trigram_model_incremental(spark, mdir)) == before
+
+    def test_new_checkpoint_same_model_dir_is_not_dropped(self, spark, tmp_path):
+        """The ADVICE r9 hazard: after compaction, a NEW checkpoint
+        reusing model_dir restarts batch ids at 0 — the run namespace
+        keeps the new batch 0 out of the covered set, so its counts
+        land instead of being silently excluded."""
+        from classic_fcd_spark.operators.lm import fit_trigram_prob_model
+        from classic_fcd_spark.streaming.lm_maintenance import (
+            compact_lm_deltas,
+            load_trigram_model_incremental,
+            run_lm_maintenance_available_now,
+        )
+
+        docs = _docs(spark)
+        half1 = docs.filter(F.col("doc_id") < 250)
+        half2 = docs.filter(F.col("doc_id") >= 250)
+        mdir = str(tmp_path / "model")
+
+        feed1 = str(tmp_path / "feed1")
+        half1.coalesce(1).write.parquet(feed1)
+        run_lm_maintenance_available_now(spark, feed1, mdir, str(tmp_path / "c1"))
+        compact_lm_deltas(spark, mdir)
+
+        # a brand-new checkpoint over a new feed, same model_dir:
+        # its batch ids restart at 0
+        feed2 = str(tmp_path / "feed2")
+        half2.coalesce(1).write.parquet(feed2)
+        run_lm_maintenance_available_now(spark, feed2, mdir, str(tmp_path / "c2"))
+
+        inc = load_trigram_model_incremental(spark, mdir)
+        full = fit_trigram_prob_model(docs)
+        assert _table_rows(inc) == _table_rows(full)
+
+    def test_auto_compaction_bounds_partitions_bit_exactly(self, spark, tmp_path):
+        """compact_every=N inside the maintenance loop: live partition
+        count stays < N after the drain, and the maintained model is
+        still EXACTLY the from-scratch fit."""
+        import os
+
+        from classic_fcd_spark.operators.lm import fit_trigram_prob_model
+        from classic_fcd_spark.streaming.lm_maintenance import (
+            load_trigram_model_incremental,
+            run_lm_maintenance_available_now,
+        )
+
+        docs = _docs(spark)
+        feed = str(tmp_path / "feed")
+        docs.repartitionByRange(6, "doc_id").write.parquet(feed)
+        mdir = str(tmp_path / "model")
+        run_lm_maintenance_available_now(
+            spark, feed, mdir, str(tmp_path / "ckpt"), compact_every=3
+        )
+        live = [
+            d for d in os.listdir(f"{mdir}/uni_delta")
+            if d.startswith("batch_pt=") and "epoch" not in d
+        ]
+        assert len(live) < 3
+        inc = load_trigram_model_incremental(spark, mdir)
+        full = fit_trigram_prob_model(docs)
+        assert _table_rows(inc) == _table_rows(full)
+        assert inc.ut == full.ut
+
     def test_uncommitted_epoch_is_invisible(self, spark, tmp_path):
         """A compaction that died after writing its epoch dirs but
         BEFORE the manifest rename must not change what loaders see,

@@ -241,6 +241,36 @@ class TestIncrementalMaintenance:
         h = tx_hash_str(4 * 3 + 0)
         assert lookup_tx(spark, out, h).count() == 1
 
+    def test_intra_batch_version_pick_is_deterministic(self, spark, tmp_path):
+        """Two DIFFERENT versions of one key inside a micro-batch: the
+        survivor is the highest height (the reference's last-write-wins
+        ON CONFLICT DO UPDATE), and re-merging the same batch content —
+        shuffled into a different partition order — keeps the identical
+        survivor (ADVICE r9: dropDuplicates' pick was order-dependent)."""
+        from classic_fcd_spark.serving.extract import (
+            lookup_tx,
+            merge_tx_lookup_extract,
+        )
+
+        txs = gen_txs(spark)
+        base = txs.filter(F.col("height") <= 10)
+        h = tx_hash_str(4 * 3 + 0)
+        newer = base.filter(F.col("hash") == h).withColumn(
+            "height", F.col("height") + 1000
+        )
+        out1 = str(tmp_path / "e1")
+        merge_tx_lookup_extract(base.unionByName(newer), out1)
+        got1 = lookup_tx(spark, out1, h).collect()
+        assert len(got1) == 1 and got1[0]["height"] >= 1000
+
+        # same content, reversed union order + different partitioning
+        out2 = str(tmp_path / "e2")
+        merge_tx_lookup_extract(
+            newer.unionByName(base).repartition(7), out2
+        )
+        got2 = lookup_tx(spark, out2, h).collect()
+        assert [tuple(r) for r in got2] == [tuple(r) for r in got1]
+
     def test_merge_is_idempotent_by_key(self, spark, tmp_path):
         from classic_fcd_spark.serving.extract import (
             lookup_tx,
