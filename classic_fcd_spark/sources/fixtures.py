@@ -240,9 +240,24 @@ def gen_txs(spark: SparkSession, n: int = FIXTURE_N_BLOCKS) -> DataFrame:
     # logs mirror the LCD tx shape (src/types/tx.d.ts): one log per msg,
     # swap msgs carry the 'swap' event with swap_coin/swap_fee "123denom"
     # attribute values (F19 input — src/collector/block/swap.ts:42-70);
-    # failed txs have no logs at all (isSuccessfulTx gate).
+    # failed txs have no logs at all (isSuccessfulTx gate).  Governance
+    # activity (r10): successful non-swap txs with i % 11 == 3 carry a
+    # proposal_deposit event whose proposal_id attribute (value i % 4)
+    # is what detectAndUpdateProposal scans for
+    # (src/collector/gov/collectProposal.ts:11-41 — ANY log attribute
+    # with key 'proposal_id'); i % 11 == 7 carries a NON-numeric
+    # proposal_id ("pid-…") that the reference's Number.isNaN(parseInt)
+    # guard skips — the detection pipeline must too.
     swap_out_amt = (i * 23 % 800 + 1).cast("string")
     swap_fee_amt = (i * 3 % 50 + 1).cast("string")
+    gov_event = F.concat(
+        F.lit('[{"events":[{"type":"proposal_deposit","attributes":['),
+        F.lit('{"key":"proposal_id","value":"'),
+        F.when(i % 11 == 3, (i % 4).cast("string")).otherwise(
+            F.concat(F.lit("pid-"), (i % 4).cast("string"))
+        ),
+        F.lit('"}]}]}]'),
+    )
     logs_json = (
         F.when(i % 10 == 0, F.lit(None).cast("string"))
         .when(
@@ -254,6 +269,7 @@ def gen_txs(spark: SparkSession, n: int = FIXTURE_N_BLOCKS) -> DataFrame:
                 F.lit('"}]}]}]'),
             ),
         )
+        .when((i % 11 == 3) | (i % 11 == 7), gov_event)
         .otherwise(F.lit('[{"events":[]}]'))
     )
     return df.select(

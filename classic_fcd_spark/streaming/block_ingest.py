@@ -12,25 +12,37 @@ its OWN checkpoint: a crash between streams could leave bronze ahead
 of the extracts with no shared replay boundary (VERDICT r8, missing
 item 1).
 
-This module composes them: one tx-feed stream, one checkpoint, one
-foreachBatch that per micro-batch writes ALL SIX sinks —
+This module composes them: one feed stream, one checkpoint, one
+foreachBatch that per micro-batch writes ALL the reference
+transaction's sinks —
 
-1. bronze txs            (append, exactly-once via batch-keyed overwrite)
-2. blocks entity         (per-height row: timestamp + tx count — the
-   generateBlockEntity write, block.ts:155-157; same discipline)
-3. account_tx silver     (same discipline, derived from the batch)
-4. tx-by-hash extract    (partition-scoped MERGE, idempotent by key)
-5. account-page extract  (partition-scoped MERGE, idempotent by key)
-6. minute tx-volume rollup (recomputed FROM BRONZE for the touched
+1. blockreward bronze    (the getBlockReward write, block.ts:152-154 —
+   bundle feed only; append, exactly-once via batch-keyed overwrite)
+2. blocks entity         (per-height row: timestamp + proposer + tx
+   count — the generateBlockEntity write, block.ts:155-157)
+3. bronze txs            (append, exactly-once via batch-keyed overwrite)
+4. account_tx silver     (same discipline, derived from the batch)
+5. tx-by-hash extract    (partition-scoped MERGE, idempotent by key)
+6. account-page extract  (partition-scoped MERGE, idempotent by key)
+7. proposals             (detectAndUpdateProposal, block.ts:165 +
+   collectProposal.ts:11-41: scan the batch txs' log attributes for
+   numeric proposal_id values, refresh those proposals from the dim —
+   the LCD stand-in — and MERGE by proposal_id)
+8. minute tx-volume rollup (recomputed FROM BRONZE for the touched
    minutes, then MERGE by (minute, denom))
+9. minute reward rollup  (collectReward's getRewards recompute,
+   reward.ts:88-121, with the reference's one-block-shift attribution
+   — bundle feed only; recomputed from blockreward bronze for the
+   touched minutes, then MERGE by (minute, denom, rtype))
 
-Not composed here: detectAndUpdateProposal (block.ts:165) — the tx
-fixture carries no governance msgs, so a proposal sink would be
-untestable dead code; the proposal pipeline itself is gated separately
-(pipeline/governance.py, fcd_proposals / fcd_vote_tally driver rows).
-blockreward is likewise a separate feed in this engine (the blocks
-fixture carries the reward CSVs; pipeline/medallion.py rollups), with
-the same batch-keyed-overwrite recipe available when it streams.
+Feed shapes: a plain TX feed (r9 — sinks 2-8; block entities derive
+from tx heights) or the full BLOCK-BUNDLE feed (r10 —
+build_block_bundle_feed: kind='block' rows carrying proposer +
+reward_events beside kind='tx' rows, the flattened parquet analogue of
+the lcdBlock+blockResults bundle saveBlockInformation receives).  The
+bundle feed covers empty blocks (a block with zero txs still writes
+its entity and rewards) and makes the transaction the reference's full
+seven-sink write set.
 
 Exactly-once argument, sink by sink, under foreachBatch's contract
 (a failed batch is replayed with the SAME batch_id and rows):
@@ -67,8 +79,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from classic_fcd_spark.pipeline.medallion import (
+    LOGS_SCHEMA,
     _minute,
     account_tx_silver,
+    minute_rewards_silver,
     tx_volume_minute_silver,
 )
 from classic_fcd_spark.serving.extract import (
@@ -82,7 +96,11 @@ BLOCKS = "blocks"
 SILVER = "account_tx"
 EXTRACT = "extract"
 ROLLUP = "tx_volume_minute"
+REWARDS = "blockreward"
+REWARD_ROLLUP = "minute_rewards"
+PROPOSALS = "proposals"
 BATCH_COL = "ingest_batch"
+KIND_COL = "kind"
 
 
 DAY_COL = "day_pt"
@@ -113,46 +131,155 @@ def _append_batch(
         )
 
 
+def build_block_bundle_feed(txs: DataFrame, blocks: DataFrame) -> DataFrame:
+    """Flatten a (txs, blocks) pair into the unified bundle feed: one
+    schema, kind='tx' rows beside kind='block' rows (proposer +
+    reward_events; tx columns null), the parquet analogue of the
+    lcdBlock+blockResults bundle saveBlockInformation receives.  Write
+    the result partitioned/split by height range so each feed file is
+    one contiguous block bundle."""
+    t = txs.withColumn(KIND_COL, F.lit("tx"))
+    b = blocks.select(
+        "chain_id", "height", "timestamp", "proposer", "reward_events"
+    ).withColumn(KIND_COL, F.lit("block"))
+    return t.unionByName(b, allowMissingColumns=True)
+
+
+def detect_proposal_ids(txs: DataFrame) -> DataFrame:
+    """detectAndUpdateProposal's scan (collectProposal.ts:11-41): walk
+    every log → event → attribute of the batch's txs, keep attributes
+    with key='proposal_id' whose value parseInt()s to a number (the
+    reference's Number.isNaN guard — 'pid-3' is skipped, '12' kept),
+    one row per (proposal_id, height).  Batch-sized work: explode over
+    the batch only."""
+    logs = txs.select(
+        "height", F.from_json("logs_json", LOGS_SCHEMA).alias("logs")
+    ).filter(F.col("logs").isNotNull())
+    attr = (
+        logs.select("height", F.explode("logs").alias("log"))
+        .select("height", F.explode("log.events").alias("ev"))
+        .select("height", F.explode("ev.attributes").alias("a"))
+        .filter(F.col("a.key") == "proposal_id")
+        # parseInt(v, 10): optional sign + leading digits; NaN otherwise
+        .select(
+            "height",
+            F.regexp_extract(F.trim(F.col("a.value")), r"^([+-]?[0-9]+)", 1).alias(
+                "pid_str"
+            ),
+        )
+        .filter(F.col("pid_str") != "")
+    )
+    return attr.select(
+        F.col("pid_str").cast("long").alias("proposal_id"), "height"
+    )
+
+
 def ingest_block_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     batch_id: int,
     out_dir: str,
     num_buckets: int = 16,
+    proposals_dim: DataFrame | None = None,
 ) -> None:
-    """The per-batch transaction body: all six sinks, in the
-    reference's write order (bronze rows first, serving indexes next,
-    minute rollups last — block.ts:152-176)."""
-    batch_df = batch_df.cache()
+    """The per-batch transaction body: every sink, in the reference's
+    write order (blockreward first, block entity, tx rows, serving
+    indexes, proposal refresh, minute rollups last — block.ts:152-176)."""
+    bundled = KIND_COL in batch_df.columns
+    if bundled:
+        txs = batch_df.filter(F.col(KIND_COL) == "tx").drop(
+            KIND_COL, "proposer", "reward_events"
+        )
+        blks = batch_df.filter(F.col(KIND_COL) == "block").select(
+            "chain_id", "height", "timestamp", "proposer", "reward_events"
+        )
+    else:
+        txs, blks = batch_df, None
+    txs = txs.cache()
     try:
-        # 1) bronze txs (day-partitioned inside the batch dir so the
+        # 1) blockreward bronze (bundle feed): the getBlockReward write
+        # (block.ts:152-154), day-partitioned for the rollup prune
+        if blks is not None:
+            blks = blks.cache()
+            _append_batch(
+                blks, os.path.join(out_dir, REWARDS), batch_id, day_partition=True
+            )
+        # 2) block entities (generateBlockEntity): from the bundle's
+        # block rows when present (covers zero-tx blocks), else derived
+        # from tx heights (a block's txs arrive in one feed file)
+        tx_counts = txs.groupBy("height").agg(F.count("*").alias("n_txs"))
+        if blks is not None:
+            blocks = (
+                blks.select("height", "timestamp", "proposer")
+                .join(tx_counts, "height", "left")
+                .na.fill({"n_txs": 0})
+            )
+        else:
+            blocks = txs.groupBy("height").agg(
+                F.min("timestamp").alias("timestamp"),
+                F.count("*").alias("n_txs"),
+            )
+        _append_batch(blocks, os.path.join(out_dir, BLOCKS), batch_id)
+        # 3) bronze txs (day-partitioned inside the batch dir so the
         # rollup recompute and every time-ranged silver job prune)
         _append_batch(
-            batch_df, os.path.join(out_dir, BRONZE), batch_id, day_partition=True
+            txs, os.path.join(out_dir, BRONZE), batch_id, day_partition=True
         )
-        # 2) block entities: one row per height in the batch (the
-        # generateBlockEntity write) — a block's txs always arrive in
-        # one feed file, so its row is complete within its batch
-        blocks = batch_df.groupBy("height").agg(
-            F.min("timestamp").alias("timestamp"),
-            F.count("*").alias("n_txs"),
-        )
-        _append_batch(blocks, os.path.join(out_dir, BLOCKS), batch_id)
-        # 3) account_tx silver (F4 address explode, per batch)
-        at = account_tx_silver(batch_df).cache()
+        # 4) account_tx silver (F4 address explode, per batch)
+        at = account_tx_silver(txs).cache()
         try:
             _append_batch(at, os.path.join(out_dir, SILVER), batch_id)
-            # 4) + 5) both serving extracts (idempotent keyed MERGE)
+            # 5) + 6) both serving extracts (idempotent keyed MERGE)
             ext = os.path.join(out_dir, EXTRACT)
-            merge_tx_lookup_extract(batch_df, ext, num_buckets)
+            merge_tx_lookup_extract(txs, ext, num_buckets)
             merge_account_page_extract(at, ext, num_buckets)
         finally:
             at.unpersist()
-        # 6) minute rollup: recompute the touched minutes FROM BRONZE
-        # (deterministic + convergent under replay), merge by key
+        # 7) proposals touched by this batch's tx logs
+        # (detectAndUpdateProposal): refresh from the dim — the LCD
+        # stand-in, as lcd.getProposal(id) is in the reference — and
+        # MERGE by proposal_id.  Work ∝ batch logs + |touched ids|.
+        # last_seen_height merges by MAX against the stored row: the
+        # file stream orders batches by mtime, not height, so a
+        # replace-by-key write would let an early-height batch that
+        # happens to process last clobber a higher watermark (max is
+        # monotone + idempotent — order- and replay-independent).
+        if proposals_dim is not None:
+            touched_p = detect_proposal_ids(txs).groupBy("proposal_id").agg(
+                F.max("height").alias("last_seen_height")
+            )
+            ppath = os.path.join(out_dir, PROPOSALS)
+            if os.path.isdir(ppath):
+                prev = read_proposals(spark, out_dir).select(
+                    "proposal_id",
+                    F.col("last_seen_height").alias("stored_height"),
+                )
+                touched_p = (
+                    touched_p.join(F.broadcast(prev), "proposal_id", "left")
+                    .select(
+                        "proposal_id",
+                        F.greatest(
+                            "last_seen_height",
+                            F.coalesce("stored_height", F.lit(0)),
+                        ).alias("last_seen_height"),
+                    )
+                )
+            refreshed = proposals_dim.join(
+                F.broadcast(touched_p), "proposal_id"
+            )
+            merge_upsert(
+                spark,
+                refreshed,
+                os.path.join(out_dir, PROPOSALS),
+                ["proposal_id"],
+                partition_expr=F.col("proposal_id").cast("string"),
+            )
+        # 8) minute tx-volume rollup: recompute the touched minutes
+        # FROM BRONZE (deterministic + convergent under replay), merge
+        # by key
         minutes = [
             r[0]
-            for r in batch_df.select(_minute("timestamp").alias("m"))
+            for r in txs.select(_minute("timestamp").alias("m"))
             .distinct()
             .collect()
         ]
@@ -161,8 +288,87 @@ def ingest_block_batch(
                 rollup_scoped_bronze(spark, out_dir, minutes)
             )
             merge_upsert(spark, roll, os.path.join(out_dir, ROLLUP), ["minute", "denom"])
+        # 9) minute reward rollup (bundle feed): collectReward's
+        # recompute with the one-block-shift attribution
+        if blks is not None:
+            _merge_reward_rollup(spark, blks, out_dir)
+            blks.unpersist()
     finally:
-        batch_df.unpersist()
+        txs.unpersist()
+
+
+def _merge_reward_rollup(
+    spark: SparkSession, batch_blocks: DataFrame, out_dir: str
+) -> None:
+    """Recompute and MERGE the reward-minute rows this batch of blocks
+    changes, under the reference's one-block-shift attribution
+    (reward.ts:88-121: block h's rewards count toward the minute of
+    block h-1 — getRewards drops each window's first block and appends
+    the block right after it).
+
+    The touched minutes M = {minute(ts(h-1)) : h in batch} — the
+    minutes this batch's rewards land in — UNION {minute(ts(h)) : h in
+    batch}: the file stream orders batches by mtime, not height, so a
+    block's successor h+1 may already sit in bronze when h arrives
+    late; recomputing the batch's OWN minutes re-attributes those
+    successors (exact and idempotent — a minute recompute is a pure
+    function of bronze, and totals only grow as blocks land).
+    1. look up ts(h-1) for the batch heights in blockreward bronze
+       (height isin-list — parquet row-group stats prune; batch-sized);
+    2. re-read the rows of M's minutes (day_pt partition prune + minute
+       row-group prune) — these are the h-1 side of every pair in M;
+    3. fetch their successors by height (isin-list, row-group prune),
+       join successor rewards onto predecessor timestamps, aggregate
+       with minute_rewards_silver, MERGE by (minute, denom, rtype).
+    Every read is bounded by the batch or the touched minutes — never
+    O(bronze) — and the result is exact even across batch/day/stall
+    boundaries because step 3 keys on height, not time proximity."""
+    bronze = read_rewards_bronze(spark, out_dir, raw=True)
+    heights = [r[0] for r in batch_blocks.select("height").distinct().collect()]
+    if not heights:
+        return
+    prev_h = [h - 1 for h in heights]
+    # 1) minutes whose totals change
+    prev_minutes = [
+        r[0]
+        for r in bronze.filter(F.col("height").isin(prev_h))
+        .select(_minute("timestamp").alias("m"))
+        .distinct()
+        .collect()
+    ]
+    own_minutes = [
+        r[0]
+        for r in batch_blocks.select(_minute("timestamp").alias("m"))
+        .distinct()
+        .collect()
+    ]
+    minutes = sorted(set(prev_minutes) | set(own_minutes))
+    if not minutes:
+        return
+    days = sorted({m[:10] for m in minutes})
+    # 2) the predecessor side: all rows whose OWN minute is in M
+    prev_rows = bronze.filter(
+        F.col(DAY_COL).isin(days) & _minute("timestamp").isin(minutes)
+    ).select("height", "timestamp")
+    succ_h = [r[0] + 1 for r in prev_rows.select("height").distinct().collect()]
+    # 3) successors carry the rewards; predecessors the attribution ts
+    succ = bronze.filter(F.col("height").isin(succ_h)).select(
+        "height", "reward_events"
+    )
+    shifted = succ.join(
+        prev_rows.select(
+            (F.col("height") + 1).alias("height"),
+            F.col("timestamp").alias("prev_ts"),
+        ),
+        "height",
+    ).select(F.col("prev_ts").alias("timestamp"), "reward_events")
+    roll = minute_rewards_silver(shifted)
+    merge_upsert(
+        spark,
+        roll,
+        os.path.join(out_dir, REWARD_ROLLUP),
+        ["minute", "denom", "rtype"],
+    )
 
 
 def run_block_ingest_available_now(
@@ -173,12 +379,16 @@ def run_block_ingest_available_now(
     num_buckets: int = 16,
     max_files_per_trigger: int | None = 1,
     on_batch=None,
+    proposals_dim: DataFrame | None = None,
 ) -> None:
-    """Drain the tx feed through the unified transaction.  ONE
-    checkpoint covers all six sinks — the composed replay boundary the
-    reference gets from its per-block DB transaction.  availableNow +
-    maxFilesPerTrigger=1 gives per-block micro-batches on catch-up (S2)
-    and is what the crash tests and the sustained bench drive."""
+    """Drain the feed (tx or block-bundle) through the unified
+    transaction.  ONE checkpoint covers every sink — the composed
+    replay boundary the reference gets from its per-block DB
+    transaction.  availableNow + maxFilesPerTrigger=1 gives per-block
+    micro-batches on catch-up (S2) and is what the crash tests and the
+    sustained bench drive.  proposals_dim is the LCD stand-in the
+    proposal sink refreshes from (None disables sink 7, e.g. for feeds
+    with no governance surface)."""
     schema = spark.read.parquet(txs_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -186,7 +396,10 @@ def run_block_ingest_available_now(
     stream = reader.parquet(txs_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_block_batch(spark, batch_df, batch_id, out_dir, num_buckets)
+        ingest_block_batch(
+            spark, batch_df, batch_id, out_dir, num_buckets,
+            proposals_dim=proposals_dim,
+        )
         if on_batch is not None:  # bench/test observation hook
             on_batch(batch_id)
 
@@ -245,3 +458,39 @@ def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, BLOCKS)).drop(BATCH_COL)
+
+
+def read_rewards_bronze(
+    spark: SparkSession, out_dir: str, raw: bool = False
+) -> DataFrame:
+    """The blockreward bronze table; raw=True keeps the day_pt column
+    (the rollup recompute filters on it for the partition prune)."""
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    df = spark.read.parquet(os.path.join(out_dir, REWARDS))
+    return df.drop(BATCH_COL) if raw else df.drop(BATCH_COL, DAY_COL)
+
+
+def read_reward_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    from classic_fcd_spark.sources.promote import heal_table
+    from classic_fcd_spark.streaming.minute_pipeline import PARTITION_COL
+
+    path = os.path.join(out_dir, REWARD_ROLLUP)
+    heal_table(path)
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    return spark.read.parquet(path).drop(PARTITION_COL)
+
+
+def read_proposals(spark: SparkSession, out_dir: str) -> DataFrame:
+    from classic_fcd_spark.sources.promote import heal_table
+    from classic_fcd_spark.streaming.minute_pipeline import PARTITION_COL
+
+    path = os.path.join(out_dir, PROPOSALS)
+    heal_table(path)
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    return spark.read.parquet(path).drop(PARTITION_COL)

@@ -35,6 +35,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_ROLLUP_BATCHES = 200
 N_MEMPOOL_CHUNKS = 100
 N_DEDUP_DROPS = 40
+# Fixture-feed scale for the extract/unified-ingest stages: 1 = the
+# r8/r9 3,000-block feed (sf0.1-equivalent), 10 = the sf1-equivalent
+# 30,000-block feed at the same 30 drops (10x blocks per batch) — the
+# r9 brief item 7's "does the per-block envelope hold a decade up".
+FEED_SCALE = int(os.environ.get("SPARK_GRAFT_SUSTAINED_SCALE", "1"))
 
 
 def du_bytes(path: str) -> int:
@@ -217,7 +222,9 @@ def main() -> None:
     from classic_fcd_spark.sources.fixtures import gen_txs, tx_hash_str
 
     n_drops = 30
-    txs = gen_txs(spark, n=3000)
+    txs = gen_txs(spark, n=3000 * FEED_SCALE)
+    out["feed_scale"] = FEED_SCALE
+    out["feed_blocks"] = 3000 * FEED_SCALE
     tx_dir = os.path.join(work, "tx_feed")
     txs.repartitionByRange(n_drops, "height").write.parquet(tx_dir)
     ext_dir = os.path.join(work, "extract")
@@ -261,24 +268,35 @@ def main() -> None:
     assert statistics.mean(esteady[ehalf:]) <= 1.5 * statistics.mean(
         esteady[:ehalf]
     ), out["extract_maintenance"]
-    # and the freshly-merged index must actually serve (last block's tx)
-    assert lookup_tx(spark, ext_dir, tx_hash_str(2999 * 3 + 0)).count() == 1
+    # and the freshly-merged index must actually serve (last block's tx;
+    # h = 3000*scale - 1 has h % 3 = 2, so tx index h*3 exists)
+    last_h = 3000 * FEED_SCALE - 1
+    assert lookup_tx(spark, ext_dir, tx_hash_str(last_h * 3)).count() == 1
 
-    # --- 6) UNIFIED per-block ingest (r9): all five sinks, ONE checkpoint ----
-    # The composed transaction (streaming/block_ingest.py) must cost
-    # roughly the sum of its stages per batch — bronze + silver appends
-    # + both extract merges + the minute-rollup merge — and stay FLAT
-    # as all sinks accumulate (same asserts as the per-stage loops).
-    # The reference's envelope is 1 block / 6 s INCLUDING rollups
-    # (src/collector/watcher.ts:73-82); the combined p50 is the number
-    # to hold against it.
+    # --- 6) UNIFIED per-block ingest: ALL NINE sinks, ONE checkpoint ---------
+    # r9 composed six sinks; r10 drives the BUNDLE feed, adding
+    # blockreward bronze, the proposal refresh, and the shifted reward
+    # rollup (block.ts:152-176's full write set).  The composed
+    # transaction must cost roughly the sum of its stages per batch and
+    # stay FLAT as all sinks accumulate (same asserts as the per-stage
+    # loops).  The reference's envelope is 1 block / 6 s INCLUDING
+    # rollups (src/collector/watcher.ts:73-82); the combined p50 is the
+    # number to hold against it (a batch carries 100*FEED_SCALE blocks,
+    # so p50 < 6 s clears the per-block envelope by orders).
+    from classic_fcd_spark.sources.fixtures import gen_blocks, gen_proposals
     from classic_fcd_spark.streaming.block_ingest import (
+        build_block_bundle_feed,
         read_bronze,
+        read_proposals,
+        read_reward_rollup,
         run_block_ingest_available_now,
     )
 
     uni_feed = os.path.join(work, "uni_feed")
-    txs.repartitionByRange(n_drops, "height").write.parquet(uni_feed)
+    blks = gen_blocks(spark, n=3000 * FEED_SCALE)
+    build_block_bundle_feed(txs, blks).repartitionByRange(
+        n_drops, "height"
+    ).write.parquet(uni_feed)
     uni_out = os.path.join(work, "uni_out")
     uni_times: list[float] = []
     ulast = {"t": time.perf_counter()}
@@ -295,6 +313,7 @@ def main() -> None:
         os.path.join(work, "ckpt_unified"),
         uni_out,
         on_batch=utick,
+        proposals_dim=gen_proposals(spark),
     )
     usteady = uni_times[1:]
     uhalf = len(usteady) // 2
@@ -312,26 +331,39 @@ def main() -> None:
     ), out["unified_ingest"]
     # the reference's per-block envelope, with margin for the shared host
     assert statistics.median(usteady) < 6.0, out["unified_ingest"]
-    # the composed run actually wrote everything once
+    # the composed run actually wrote everything once — tx sinks, the
+    # extract, AND the r10 bundle sinks (proposals + shifted rewards)
     assert read_bronze(spark, uni_out).count() == txs.count()
     assert (
         lookup_tx(
-            spark, os.path.join(uni_out, "extract"), tx_hash_str(2999 * 3 + 0)
+            spark, os.path.join(uni_out, "extract"), tx_hash_str(last_h * 3)
         ).count()
         == 1
     )
+    n_props = read_proposals(spark, uni_out).count()
+    n_reward_minutes = read_reward_rollup(spark, uni_out).count()
+    out["unified_ingest"]["proposal_rows"] = n_props
+    out["unified_ingest"]["reward_rollup_rows"] = n_reward_minutes
+    assert n_props == 4 and n_reward_minutes > 0, out["unified_ingest"]
 
-    # --- 7) incremental LM maintenance (r9): refit cost ∝ batch -------------
+    # --- 7) incremental LM maintenance (r9) + auto-compaction (r10) ---------
     # Counts are additive, so each batch writes only ITS delta tables;
     # per-batch cost must stay flat as the accumulated model grows (the
     # r8 verdict's x100 cold-fit item), and the merged model is
     # bit-identical to a from-scratch fit (tests/test_lm_maintenance.py).
+    # r10: compact_every=6 runs epoch compaction INSIDE the loop, so the
+    # drain crosses the compaction horizon 3x — per-batch cost must stay
+    # flat THROUGH compactions, the surviving delta-partition count must
+    # be bounded by the horizon, and the merged-model load must stay
+    # cheap (it sums O(live partitions), not O(batches ever drained)).
     from classic_fcd_spark.streaming.lm_maintenance import (
+        _live_batch_count,
         load_trigram_model_incremental,
         run_lm_maintenance_available_now,
     )
 
     n_lm_batches = 20
+    lm_compact_every = 6
     lm_feed = os.path.join(work, "lm_feed")
     docs.select("doc_id", "text").repartitionByRange(
         n_lm_batches, "doc_id"
@@ -347,8 +379,14 @@ def main() -> None:
 
     llast["t"] = time.perf_counter()
     run_lm_maintenance_available_now(
-        spark, lm_feed, lm_model, os.path.join(work, "ckpt_lm"), on_batch=ltick
+        spark,
+        lm_feed,
+        lm_model,
+        os.path.join(work, "ckpt_lm"),
+        on_batch=ltick,
+        compact_every=lm_compact_every,
     )
+    lm_live = _live_batch_count(lm_model)
     t0 = time.perf_counter()
     n_tri = load_trigram_model_incremental(spark, lm_model).tri_model.count()
     lm_load_s = time.perf_counter() - t0
@@ -356,6 +394,8 @@ def main() -> None:
     lhalf = len(lsteady) // 2
     out["lm_maintenance"] = {
         "batches": len(lm_times),
+        "compact_every": lm_compact_every,
+        "live_partitions_after": lm_live,
         "p50_s": round(statistics.median(lsteady), 3),
         "first_half_mean_s": round(statistics.mean(lsteady[:lhalf]), 3),
         "second_half_mean_s": round(statistics.mean(lsteady[lhalf:]), 3),
@@ -363,10 +403,13 @@ def main() -> None:
         "merged_load_s": round(lm_load_s, 2),
     }
     # refit ∝ batch: per-batch delta cost must not trend up as the
-    # model accumulates prior batches
+    # model accumulates prior batches — INCLUDING the batches that paid
+    # for an in-loop compaction
     assert statistics.mean(lsteady[lhalf:]) <= 1.5 * statistics.mean(
         lsteady[:lhalf]
     ), out["lm_maintenance"]
+    # compaction keeps the live fan-in bounded by the horizon
+    assert lm_live < lm_compact_every, out["lm_maintenance"]
 
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))

@@ -17,7 +17,12 @@ import pytest
 from pyspark.sql import functions as F
 
 import classic_fcd_spark.streaming.block_ingest as bi
-from classic_fcd_spark.sources.fixtures import gen_txs, tx_hash_str
+from classic_fcd_spark.sources.fixtures import (
+    gen_blocks,
+    gen_proposals,
+    gen_txs,
+    tx_hash_str,
+)
 
 N_FILES = 6
 
@@ -162,6 +167,42 @@ class TestUnifiedIngest:
         bi.run_block_ingest_available_now(spark, feed, ckpt, out)
         assert _state(spark, out) == control["state"]
 
+    def test_proposal_detection_on_plain_tx_feed(self, spark, tmp_path, control):
+        """Sink 7 on the tx feed: detected ids + refresh rows match a
+        DuckDB oracle over the fixture index space (i % 11 == 3 txs
+        carry a numeric proposal_id = i % 4; i % 11 == 7 carry the
+        NON-numeric 'pid-…' value the parseInt guard must skip; failed
+        (i % 10 == 0) and swap (i % 5 == 4) txs carry no gov event)."""
+        import duckdb
+
+        from classic_fcd_spark.sources.fixtures import FIXTURE_N_BLOCKS
+
+        out = str(tmp_path / "out")
+        bi.run_block_ingest_available_now(
+            spark, control["feed"], str(tmp_path / "ckpt"), out,
+            proposals_dim=gen_proposals(spark),
+        )
+        got = sorted(
+            (r["proposal_id"], r["last_seen_height"], r["title"])
+            for r in bi.read_proposals(spark, out)
+            .select("proposal_id", "last_seen_height", "title")
+            .collect()
+        )
+        want = duckdb.sql(f"""
+            WITH txbase AS (
+                SELECT h, h * 3 + k AS i
+                FROM (SELECT unnest(range(1, {FIXTURE_N_BLOCKS} + 1)) AS h),
+                     (SELECT unnest(range(0, 3)) AS k)
+                WHERE k < h % 3
+            )
+            SELECT i % 4 AS proposal_id, MAX(h) AS last_seen_height,
+                   'proposal-' || CAST(i % 4 AS VARCHAR) AS title
+            FROM txbase
+            WHERE i % 11 = 3 AND i % 10 != 0 AND i % 5 != 4
+            GROUP BY 1, 3 ORDER BY 1
+        """).fetchall()
+        assert got == [tuple(r) for r in want]
+
     def test_catchup_processes_only_new_files(self, spark, tmp_path, control):
         """S2 under the unified checkpoint: a second availableNow drain
         after new feed files arrive ingests ONLY those files, and the
@@ -189,3 +230,120 @@ class TestUnifiedIngest:
         after = _state(spark, out)
         assert len(after["bronze"]) == len(before["bronze"]) + late.count()
         assert after["ext_tx"] == after["bronze"]
+
+
+def _bundle_state(spark, out: str) -> dict:
+    """Observable state of the full nine-sink bundle run: the six tx
+    sinks plus blockreward bronze, proposals, and the reward rollup."""
+    st = _state(spark, out)
+    st["rewards_bronze"] = sorted(
+        (r["height"],)
+        for r in bi.read_rewards_bronze(spark, out).select("height").collect()
+    )
+    st["reward_rollup"] = sorted(
+        tuple(r) for r in bi.read_reward_rollup(spark, out).collect()
+    )
+    st["proposals"] = sorted(
+        tuple(r)
+        for r in bi.read_proposals(spark, out)
+        .select("proposal_id", "last_seen_height", "status", "title")
+        .collect()
+    )
+    return st
+
+
+@pytest.fixture(scope="module")
+def bundle_control(spark, tmp_path_factory):
+    """Uninterrupted nine-sink run over the block-bundle feed."""
+    base = tmp_path_factory.mktemp("ingest_bundle")
+    feed = str(base / "feed")
+    out = str(base / "out")
+    bi.build_block_bundle_feed(
+        gen_txs(spark), gen_blocks(spark)
+    ).repartitionByRange(N_FILES, "height").write.parquet(feed)
+    bi.run_block_ingest_available_now(
+        spark, feed, str(base / "ckpt"), out,
+        proposals_dim=gen_proposals(spark),
+    )
+    return {"feed": feed, "out": out, "state": _bundle_state(spark, out)}
+
+
+class TestBundleIngest:
+    """r10: the composed transaction extended to the reference's FULL
+    per-block write set — blockreward (block.ts:152-154) and proposal
+    detection (block.ts:165) inside the same checkpoint."""
+
+    def test_reward_rollup_equals_batch_twin(self, spark, bundle_control):
+        """Sink 9 streamed per-block == the one-shot shifted silver over
+        all blocks (T4's fcd_minute_rewards_shifted semantics)."""
+        from classic_fcd_spark.pipeline.medallion import (
+            minute_rewards_shifted_silver,
+        )
+
+        want = sorted(
+            tuple(r)
+            for r in minute_rewards_shifted_silver(gen_blocks(spark)).collect()
+        )
+        assert bundle_control["state"]["reward_rollup"] == want
+
+    def test_zero_tx_blocks_have_entities_and_rewards(self, spark, bundle_control):
+        """Heights with h % 3 == 0 carry no txs; the bundle feed still
+        writes their block entity (n_txs = 0) and reward rows — the
+        pure-tx feed cannot see them at all."""
+        st = bundle_control["state"]
+        by_height = dict(st["blocks"])
+        assert by_height[3] == 0 and by_height[6] == 0
+        assert (3,) in st["rewards_bronze"]
+        # and tx-carrying heights kept their counts
+        assert by_height[4] == 1 and by_height[5] == 2
+
+    def test_tx_sinks_identical_to_plain_feed(self, spark, control, bundle_control):
+        """The bundle feed's six tx sinks produce byte-identical state
+        to the plain tx feed's (block rows ride beside, not through,
+        the tx pipeline)."""
+        st_b = bundle_control["state"]
+        st_t = control["state"]
+        for k in ("bronze", "silver", "ext_tx", "ext_at", "rollup"):
+            assert st_b[k] == st_t[k], k
+
+    @pytest.mark.parametrize("stage", ["_merge_reward_rollup", "detect_proposal_ids"])
+    def test_crash_at_new_sinks_converges_on_restart(
+        self, spark, tmp_path, bundle_control, stage
+    ):
+        """Kill the transaction at the two r10 sinks (proposal
+        detection; the reward-rollup merge) mid-batch-3, restart from
+        the same checkpoint, and require byte-equal convergence with
+        the uninterrupted run across ALL NINE sinks."""
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        feed = bundle_control["feed"]
+
+        orig = getattr(bi, stage)
+        calls = {"n": 0}
+
+        def bomb(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 4:
+                raise RuntimeError("injected crash")
+            return orig(*a, **k)
+
+        setattr(bi, stage, bomb)
+        try:
+            with pytest.raises(StreamingQueryException):
+                bi.run_block_ingest_available_now(
+                    spark, feed, ckpt, out, proposals_dim=gen_proposals(spark)
+                )
+        finally:
+            setattr(bi, stage, orig)
+        assert calls["n"] == 4, "crash point never reached"
+
+        # wounded state diverges (bronze is ahead of the crashed sink)
+        mid = _bundle_state(spark, out)
+        assert mid != bundle_control["state"]
+
+        bi.run_block_ingest_available_now(
+            spark, feed, ckpt, out, proposals_dim=gen_proposals(spark)
+        )
+        assert _bundle_state(spark, out) == bundle_control["state"]
