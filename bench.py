@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_pq_search",
     "embedding_similar_pairs",
     # fcd domain pipeline (fixture-driven, scale-independent)
+    "fcd_undelegation_schedule",
     "fcd_tx_volume_minute",
     "fcd_account_tx_counts",
     "fcd_dashboard",
@@ -110,19 +111,24 @@ def _extra_workloads():
     # quality_logit_scores) but keep their bench timings here so the
     # per-round workload set stays comparable
     from classic_fcd_spark.queries.similarity import embedding_similar_pairs
-    from classic_fcd_spark.queries.text import token_stats_by_source
+    from classic_fcd_spark.queries.text import (
+        text_features,
+        token_stats_by_source,
+    )
 
     # r5 slot rotation: incremental_dedup / interval_joined_events /
     # sessionized_events are now REGISTERED (driver-gated) queries —
-    # resolved via query_fn_map like the rest.  simhash_near_dups and the
-    # individual ann_lsh_search / ann_ivf_search rotated the other way
-    # (driver slots -> in-test oracles / merged `ann_search` row) but
-    # keep their per-workload bench timings here.
+    # resolved via query_fn_map like the rest.  The individual
+    # ann_lsh_search / ann_ivf_search rotated the other way (driver
+    # slots -> in-test oracles / merged `ann_search` row) but keep
+    # their per-workload bench timings here.  r10: simhash_near_dups
+    # was re-promoted to the driver window (resolved via query_fn_map
+    # now); text_features and fcd_staking_view took the in-test path.
     from classic_fcd_spark.queries.dedup import (
         ngram_jaccard_pairs,
         simhash_docs,
-        simhash_near_dups,
     )
+    from classic_fcd_spark.queries.fcd import fcd_staking_view
     from classic_fcd_spark.queries.similarity import (
         ann_ivf_search,
         ann_ivf_search_trained,
@@ -186,7 +192,12 @@ def _extra_workloads():
     return {
         "revenue_by_nation": revenue_by_nation,
         "simhash_docs": simhash_docs,
-        "simhash_near_dups": simhash_near_dups,
+        # r10 rotation: slots went to simhash_near_dups /
+        # fcd_undelegation_schedule; these two keep their bench slots
+        # (text_features stays in HEADLINE) + in-test oracle gates +
+        # plan audits here
+        "text_features": text_features,
+        "fcd_staking_view": fcd_staking_view,
         # r6 rotation: driver slot went to duplicated_spans; the PPJoin
         # plan keeps its bench timing + in-test oracle here
         "ngram_jaccard_pairs": ngram_jaccard_pairs,

@@ -121,6 +121,43 @@ def ccnet_buckets(
     return scored.select(id_col, "n_tokens", "mean_nll_e6", bucket.alias("bucket"))
 
 
+def unigram_model_e6_from_parquet(
+    docs_parquet: str,
+    model_filter: str = "source = 'src0'",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> list[int]:
+    """unigram_model_e6's oracle-side twin: bucket counts via DuckDB
+    (identical tokenization + md5 bucketing — integers, engine-exact),
+    then the SAME driver-python floor(-math.log((c+1)/(total+B))*1e6).
+    Because the log runs ONCE in this process's libm and both engines
+    consume the resulting integer literals, a DuckDB-ln vs python-log
+    last-ulp divergence at an e6 floor boundary is impossible — the
+    ADVICE r8 ccnet flake risk, closed at the oracle layer."""
+    import duckdb
+
+    toks = f"regexp_split_to_array(trim({text_col}), ' +')"
+    bucket = (
+        "CAST(CAST(('0x' || substr(md5(t[i]), 1, 15)) AS UBIGINT) "
+        f"% {buckets} AS BIGINT)"
+    )
+    rows = duckdb.sql(f"""
+        WITH toks AS (SELECT {toks} AS t
+                      FROM read_parquet('{docs_parquet}')
+                      WHERE {model_filter}),
+        ex AS (SELECT unnest([{bucket} for i in range(1, len(t) + 1)]) AS b
+               FROM toks)
+        SELECT b, COUNT(*) AS c FROM ex GROUP BY 1
+    """).fetchall()
+    by_bucket = {int(b): int(c) for b, c in rows}
+    total = sum(by_bucket.values())
+    denom = float(total + buckets)
+    return [
+        math.floor(-math.log((by_bucket.get(b, 0) + 1) / denom) * 1e6)
+        for b in range(buckets)
+    ]
+
+
 def duck_unigram_nll_sql(
     table: str = "documents",
     model_filter: str = "source = 'src0'",

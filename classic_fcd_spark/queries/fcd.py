@@ -1024,9 +1024,12 @@ def fcd_last_hour_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fcd_staking_view",
-    f"""
+# r10 rotation: fcd_staking_view left the driver window (slot ->
+# fcd_undelegation_schedule, the W10 query it shares the
+# broadcast-dim-join shape with); this oracle — green in every driver
+# round r2-r9 — now holds the in-test gate
+# (tests/test_fcd_pipeline.py::TestStakingViewOracle).
+STAKING_VIEW_ORACLE_SQL = f"""
     WITH {DUCK_DELEGATIONS},
     vals AS (
         SELECT {duck_valaddr("v")} AS operator_address,
@@ -1042,14 +1045,17 @@ def fcd_last_hour_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(voting_power AS BIGINT) AS voting_power,
            COALESCE(my_shares, 0) AS my_shares
     FROM vals LEFT JOIN mine ON vals.operator_address = mine.operator_address
-    """.replace("{acct3}", addr_str(3)),
-    doc="J7 validators ⟕ myDelegations (src/service/staking/"
-    "getStaking.ts:74-90): the reference's in-memory keyBy+map join is a "
-    "left join of the validator dim with the caller's delegations "
-    "grouped by validator; undelegation entries follow the same shape "
-    "(W10 explode+orderBy).",
-)
+    """.replace("{acct3}", addr_str(3))
+
+
 def fcd_staking_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 validators ⟕ myDelegations (src/service/staking/
+    getStaking.ts:74-90): the reference's in-memory keyBy+map join is a
+    left join of the validator dim with the caller's delegations
+    grouped by validator.  Driver-gated r2-r9; since the r10 rotation
+    gated by STAKING_VIEW_ORACLE_SQL in-test and benched via extras
+    (the shape stays driver-gated via fcd_undelegation_schedule's
+    broadcast dim join and fcd_vote_tally's delegation aggregate)."""
     mine = (
         gen_delegations(spark)
         .filter(F.col("delegator_address") == addr_str(3))

@@ -355,9 +355,9 @@ def fcd_bank_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # W10 — undelegation schedule (src/service/staking/helper.ts:115-140
 # getUndelegateSchedule): flatten every unbonding's entries, graft the
-# validator dim, order by releaseTime asc.  In-test DuckDB-oracle gated
-# (the 50-row driver registry is full; the explode + broadcast-dim-join
-# + orderBy pattern is driver-gated via fcd_block_txs / fcd_staking_view).
+# validator dim, order by releaseTime asc.  DRIVER-gated since the r10
+# rotation (slot vacated by fcd_staking_view, whose oracle moved to the
+# in-test gate).
 # r9: carries validatorStatus per entry exactly as the reference does
 # (helper.ts:124 reads validatorObj[addr].status into every entry).
 # ---------------------------------------------------------------------------
@@ -393,6 +393,16 @@ def _undelegation_oracle_sql() -> str:
     )
 
 
+@register(
+    "fcd_undelegation_schedule",
+    _undelegation_oracle_sql(),
+    doc="W10 undelegation schedule (src/service/staking/helper.ts:115-140 "
+    "getUndelegateSchedule): flatten every unbonding's entries, graft "
+    "the validator dim incl. the r9 validatorStatus derivation "
+    "(validatorDetails.ts:23-44), order by releaseTime.  In-test-gated "
+    "r8/r9, driver-gated since the r10 rotation (displaced slot: "
+    "fcd_staking_view -> in-test oracle).",
+)
 def fcd_undelegation_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flattened, validator-joined, releaseTime-ordered undelegation
     schedule over every in-flight unbonding (W10).  Explode is linear in

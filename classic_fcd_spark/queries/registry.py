@@ -17,14 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    # str: a fixed SQL text.  Callable[[sf_dir], str]: resolved at
+    # oracle_sql_map() time against the compare corpus — for oracles
+    # that embed corpus-derived literals (ccnet_perplexity's
+    # driver-computed model_e6 integers), making them libm-independent
+    # at every scale.
+    oracle: str | Callable[[str], str] | None
     doc: str  # which SURVEY §2 operators this exercises
 
 
 QUERIES: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None, doc: str):
+def register(name: str, oracle: str | Callable[[str], str] | None, doc: str):
     def deco(fn):
         QUERIES[name] = QueryDef(fn=fn, oracle=oracle, doc=doc)
         return fn
@@ -67,6 +72,19 @@ def query_fn_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in QUERIES.items()}
 
 
-def oracle_sql_map() -> dict[str, str]:
+def oracle_sql_map(sf_dir: str | None = None) -> dict[str, str]:
+    """Callable oracles are resolved here against the compare corpus:
+    explicit `sf_dir` wins, then $SF_DIR (what scripts/
+    check_correctness.py exports), then the driver's fixed sf0.01 —
+    the scale the external driver always compares at, since its
+    oracle_sql() call carries no corpus argument."""
+    import os
+
     _load_all()
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    if sf_dir is None:
+        sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    return {
+        name: (q.oracle(sf_dir) if callable(q.oracle) else q.oracle)
+        for name, q in QUERIES.items()
+        if q.oracle is not None
+    }

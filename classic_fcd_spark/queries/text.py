@@ -41,9 +41,12 @@ _D_PRED = "CASE {} END".format(
 # ---------------------------------------------------------------------------
 # Per-document text features: quality scoring + language-ID + fingerprint.
 # ---------------------------------------------------------------------------
-@register(
-    "text_features",
-    f"""
+# r10 rotation: text_features left the driver window (slot ->
+# simhash_near_dups); the scan-speed projection pattern stays
+# driver-gated via quality_logit_scores, and this oracle — green in
+# every driver round r2-r9 — now holds the in-test gate
+# (tests/test_text_queries.py::TestTextFeaturesOracle).
+TEXT_FEATURES_ORACLE_SQL = f"""
     WITH scored AS (
         SELECT doc_id, lang, text, n_chars,
                {", ".join(
@@ -67,17 +70,19 @@ _D_PRED = "CASE {} END".format(
            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
            (length(text) = n_chars) AS meta_consistent
     FROM scored
-    """,
-    doc="LLM-pipeline per-document text features in ONE projection pass "
-    "(no shuffle, trivially per-partition at 100 TB): quality scoring "
-    "(length saturation, lexical diversity, stopword density — split/"
-    "filter HOFs), stopword-profile language-ID with deterministic "
-    "alphabetical tiebreak, and the md5 fingerprint over normalized text "
-    "(the exact-dedup key).  Merges the r2 text_quality / lang_id / "
-    "doc_fingerprints inventory entries so the whole family fits the "
-    "driver gate with one row per doc.",
-)
+    """
+
+
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline per-document text features in ONE projection pass
+    (no shuffle, trivially per-partition at 100 TB): quality scoring
+    (length saturation, lexical diversity, stopword density — split/
+    filter HOFs), stopword-profile language-ID with deterministic
+    alphabetical tiebreak, and the md5 fingerprint over normalized text
+    (the exact-dedup key).  Merges the r2 text_quality / lang_id /
+    doc_fingerprints inventory entries.  Driver-gated r2-r9; since the
+    r10 rotation gated by TEXT_FEATURES_ORACLE_SQL in-test and benched
+    via bench.py's extras."""
     docs = load_tables(spark, sf_dir)["documents"]
     scored = docs.select(
         "doc_id",
@@ -368,11 +373,13 @@ def quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fcd_avg_staking_daily slot, per the r7 brief; A10's daily-floor-average
 # pattern stays gated via pricing_summary / fcd_dashboard).
 #
-# Oracle design: the score side reuses duck_unigram_nll_sql's model
-# RECOMPUTE path (DuckDB ln vs the driver's math.log — an e6-floor
-# boundary would have to land within ~1 ulp to split them; the in-test
-# gate has run this equivalence green since r2).  The BUCKET side pins
-# Spark's approxQuantile exact-mode convention: with rel_err small
+# Oracle design (r10): the oracle is a CALLABLE resolved against the
+# compare corpus — it embeds the driver-computed e6 model literals
+# (unigram_model_e6_from_parquet: DuckDB integer counts + ONE python
+# math.log), so both engines consume identical integers and the
+# DuckDB-ln recompute's last-ulp flake risk at e6 floor boundaries
+# (ADVICE r8, accepted through r9) is gone at every scale.  The BUCKET
+# side pins Spark's approxQuantile exact-mode convention: with rel_err small
 # enough that the GK summary keeps every sample (eps * n < 1), the
 # returned threshold is the element at 1-indexed rank ceil(p * n) of
 # the sorted scores — verified empirically across n in {7..5000}
@@ -382,10 +389,22 @@ def quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/lm.ccnet_buckets default rel_err = 0.001) keeps the
 # bounded-memory sketch and stays unit-gated.
 # ---------------------------------------------------------------------------
-from classic_fcd_spark.operators.lm import duck_unigram_nll_sql  # noqa: E402
+import os as _os  # noqa: E402
 
-CCNET_PERPLEXITY_ORACLE_SQL = f"""
-    WITH scores AS ({duck_unigram_nll_sql()}),
+from classic_fcd_spark.operators.lm import (  # noqa: E402
+    duck_unigram_nll_sql,
+    unigram_model_e6_from_parquet,
+)
+
+
+def ccnet_perplexity_oracle_sql(sf_dir: str) -> str:
+    """Callable oracle (registry resolves with the compare corpus):
+    driver-computed model literals + the rank-probe threshold SQL."""
+    model_e6 = unigram_model_e6_from_parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    )
+    return f"""
+    WITH scores AS ({duck_unigram_nll_sql(model_e6=model_e6)}),
     nn AS (SELECT COUNT(*) AS cnt FROM scores),
     ranked AS (
         SELECT mean_nll_e6 AS v,
@@ -406,7 +425,7 @@ CCNET_PERPLEXITY_ORACLE_SQL = f"""
 
 @register(
     "ccnet_perplexity",
-    CCNET_PERPLEXITY_ORACLE_SQL,
+    ccnet_perplexity_oracle_sql,
     doc="CCNet head/middle/tail perplexity bucketing (Wenzek 2019): "
     "score every doc's mean NLL under the hashed-unigram LM fit on the "
     "src0 reference corpus (model = 4096 e6-integer literals computed "

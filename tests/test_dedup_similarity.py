@@ -444,9 +444,9 @@ class TestParagraphBoilerplate:
 
 
 class TestSimhashNearDupsOracle:
-    """simhash_near_dups left the driver window in r5 (slot rotated to
-    incremental_dedup); this is its oracle gate now — the same DuckDB SQL
-    that drove its green r3/r4 driver rows, run over sf0.01."""
+    """simhash_near_dups was in-test-gated r5-r9 and re-promoted to the
+    driver window in r10; this gate stays as the sf0.01 regression twin
+    of the driver row (same DuckDB SQL on both)."""
 
     def test_matches_duckdb_oracle(self, spark):
         import duckdb

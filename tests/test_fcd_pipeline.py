@@ -207,6 +207,31 @@ class TestFcdReadSurfaces:
         assert rows[("terra1grad1", "uluna")]["freed_vesting"] == 50.0
 
 
+class TestStakingViewOracle:
+    """fcd_staking_view left the driver window in r10 (slot rotated to
+    fcd_undelegation_schedule); this is its oracle gate now — the same
+    fixture-CTE DuckDB SQL that drove its green r2-r9 driver rows."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.fcd import (
+            STAKING_VIEW_ORACLE_SQL,
+            fcd_staking_view,
+        )
+
+        got = {
+            r["operator_address"]: (r["moniker"], r["voting_power"], r["my_shares"])
+            for r in fcd_staking_view(spark, "").collect()
+        }
+        expected = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duckdb.sql(STAKING_VIEW_ORACLE_SQL).fetchall()
+        }
+        assert got == expected
+        assert len(got) == 20
+
+
 class TestMarketCapOracle:
     """fcd_market_cap left the driver window in r5 (slot rotated to
     interval_joined_events); this is its oracle gate now — the same

@@ -466,7 +466,8 @@ class TestTxAndDashboardShapePins:
 class TestUndelegationSchedule:
     """W10 (helper.ts:115-140 getUndelegateSchedule): DuckDB-oracle
     equivalence for the flattened schedule, the releaseTime ordering
-    contract, and the serving grafts added in r8."""
+    contract, and the serving grafts added in r8.  Driver-gated since
+    the r10 rotation; this gate stays as the ordering/graft twin."""
 
     def test_matches_duckdb_oracle_and_order(self, spark):
         import duckdb

@@ -27,11 +27,43 @@ def _con(sf_dir: str, *tables: str):
     return con
 
 
+class TestTextFeaturesOracle:
+    """text_features left the driver window in r10 (slot rotated to
+    simhash_near_dups); same oracle SQL that drove its green r2-r9
+    driver rows.  The scan-speed projection pattern stays driver-gated
+    via quality_logit_scores."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        from classic_fcd_spark.queries.text import (
+            TEXT_FEATURES_ORACLE_SQL,
+            text_features,
+        )
+
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["uniq_ratio"],
+                r["stop_ratio"],
+                r["mean_token_len"],
+                r["quality"],
+                r["pred_lang"],
+                r["is_correct"],
+                r["fingerprint"],
+                r["meta_consistent"],
+            )
+            for r in text_features(spark, SF_SMALL).collect()
+        }
+        con = _con(SF_SMALL, "documents")
+        want = {r[0]: tuple(r[1:]) for r in con.sql(TEXT_FEATURES_ORACLE_SQL).fetchall()}
+        assert got == want
+        assert len(got) == 500
+
+
 class TestTokenStatsOracle:
     """token_stats_by_source left the driver window in r7 (slot rotated
     to trigram_lm_scores); same oracle SQL that drove its green r2-r6
     driver rows.  The tokenize+groupBy pattern stays driver-gated via
-    text_features."""
+    quality_logit_scores (text_features itself rotated out in r10)."""
 
     def test_matches_duckdb_oracle(self, spark):
         from classic_fcd_spark.queries.text import (
