@@ -324,7 +324,11 @@ def _merge_reward_rollup(
     O(bronze) — and the result is exact even across batch/day/stall
     boundaries because step 3 keys on height, not time proximity."""
     bronze = read_rewards_bronze(spark, out_dir, raw=True)
-    heights = [r[0] for r in batch_blocks.select("height").distinct().collect()]
+    # one collect serves both the batch heights and its own minutes
+    own = batch_blocks.select(
+        "height", _minute("timestamp").alias("m")
+    ).distinct().collect()
+    heights = sorted({r["height"] for r in own})
     if not heights:
         return
     prev_h = [h - 1 for h in heights]
@@ -336,32 +340,29 @@ def _merge_reward_rollup(
         .distinct()
         .collect()
     ]
-    own_minutes = [
-        r[0]
-        for r in batch_blocks.select(_minute("timestamp").alias("m"))
-        .distinct()
-        .collect()
-    ]
-    minutes = sorted(set(prev_minutes) | set(own_minutes))
+    minutes = sorted(set(prev_minutes) | {r["m"] for r in own})
     if not minutes:
         return
     days = sorted({m[:10] for m in minutes})
-    # 2) the predecessor side: all rows whose OWN minute is in M
+    # 2) the predecessor side: all rows whose OWN minute is in M —
+    # collected once (bounded by |M| x blocks-per-minute) so the
+    # successor list and the attribution timestamps come from the SAME
+    # read instead of two more jobs
     prev_rows = bronze.filter(
         F.col(DAY_COL).isin(days) & _minute("timestamp").isin(minutes)
-    ).select("height", "timestamp")
-    succ_h = [r[0] + 1 for r in prev_rows.select("height").distinct().collect()]
+    ).select("height", "timestamp").collect()
+    succ_h = [r["height"] + 1 for r in prev_rows]
     # 3) successors carry the rewards; predecessors the attribution ts
     succ = bronze.filter(F.col("height").isin(succ_h)).select(
         "height", "reward_events"
     )
-    shifted = succ.join(
-        prev_rows.select(
-            (F.col("height") + 1).alias("height"),
-            F.col("timestamp").alias("prev_ts"),
-        ),
-        "height",
-    ).select(F.col("prev_ts").alias("timestamp"), "reward_events")
+    prev_ts = spark.createDataFrame(
+        [(r["height"] + 1, r["timestamp"]) for r in prev_rows],
+        "height bigint, prev_ts timestamp",
+    )
+    shifted = succ.join(F.broadcast(prev_ts), "height").select(
+        F.col("prev_ts").alias("timestamp"), "reward_events"
+    )
     roll = minute_rewards_silver(shifted)
     merge_upsert(
         spark,
