@@ -26,8 +26,10 @@ transaction's sinks —
 6. account-page extract  (partition-scoped MERGE, idempotent by key)
 7. proposals             (detectAndUpdateProposal, block.ts:165 +
    collectProposal.ts:11-41: scan the batch txs' log attributes for
-   numeric proposal_id values, refresh those proposals from the dim —
-   the LCD stand-in — and MERGE by proposal_id)
+   numeric proposal_id values, refresh those proposals from the dims —
+   the LCD stand-in — and MERGE by proposal_id.  With the full GovDims
+   bundle the stored row carries the RECOMPUTED voteSummary + uluna
+   deposit total, as saveProposalDetails stores — saveProposal.ts:58-81)
 8. minute tx-volume rollup (recomputed FROM BRONZE for the touched
    minutes, then MERGE by (minute, denom))
 9. minute reward rollup  (collectReward's getRewards recompute,
@@ -145,6 +147,88 @@ def build_block_bundle_feed(txs: DataFrame, blocks: DataFrame) -> DataFrame:
     return t.unionByName(b, allowMissingColumns=True)
 
 
+class GovDims:
+    """The LCD-stand-in tables the proposal refresh reads, mirroring
+    what saveProposalDetails fetches per touched id
+    (src/collector/gov/saveProposal.ts:31-41: deposits, votes, and the
+    validator voting-power map behind getVoteSummary).  Only
+    `proposals` is required; with the optional dims present the
+    refreshed row carries the recomputed voteSummary and deposit
+    totals (saveProposal.ts:58-81 stores totalVote/voteCount/deposits,
+    not a raw proposal copy)."""
+
+    def __init__(
+        self,
+        proposals: DataFrame,
+        votes: DataFrame | None = None,
+        delegations: DataFrame | None = None,
+        validators: DataFrame | None = None,
+        deposits: DataFrame | None = None,
+    ) -> None:
+        self.proposals = proposals
+        self.votes = votes
+        self.delegations = delegations
+        self.validators = validators
+        self.deposits = deposits
+
+
+def refresh_proposal_payload(gov: GovDims, touched: DataFrame) -> DataFrame:
+    """The stored proposal shape for the touched ids: dim row +
+    last_seen_height + (when the gov dims are present) the voteSummary
+    recompute — total voting power and vote count from the gated
+    vote_tally pipeline (J8/A20, pipeline/governance.py), voters'
+    delegations and the validator dim broadcast exactly as the serving
+    tally does — and the uluna deposit total (ProposalEntity.deposits).
+    Deterministic in (dims, touched): replay and batch order cannot
+    change the payload bytes, which is what makes the MERGE convergent.
+    The reference additionally SKIPS refreshing proposals whose stored
+    status is final (saveProposal.ts:8-29 shouldUpdateProposal) — an
+    optimization against LCD refetch; here the payload is a pure
+    function of the dims, so re-writing is idempotent and the gate is
+    unnecessary (and would make last_seen_height order-dependent)."""
+    out = gov.proposals.join(F.broadcast(touched), "proposal_id")
+    if (
+        gov.votes is not None
+        and gov.delegations is not None
+        and gov.validators is not None
+    ):
+        from classic_fcd_spark.pipeline.governance import vote_tally
+
+        votes = gov.votes.join(
+            F.broadcast(touched.select("proposal_id")),
+            "proposal_id",
+            "left_semi",
+        )
+        tally = vote_tally(votes, gov.delegations, gov.validators)
+        summary = tally.groupBy("proposal_id").agg(
+            F.sum("power_sum").alias("total_vote_power"),
+            F.sum("n_votes").cast("long").alias("vote_count"),
+        )
+        out = out.join(F.broadcast(summary), "proposal_id", "left").na.fill(
+            {"total_vote_power": 0, "vote_count": 0}
+        )
+    if gov.deposits is not None:
+        dep = (
+            gov.deposits.join(
+                F.broadcast(touched.select("proposal_id")),
+                "proposal_id",
+                "left_semi",
+            )
+            .select("proposal_id", F.explode("amount").alias("coin"))
+            .filter(F.col("coin.denom") == "uluna")
+            .groupBy("proposal_id")
+            .agg(
+                F.sum(F.col("coin.amount").cast("long")).alias(
+                    "deposit_uluna"
+                )
+            )
+        )
+        out = out.join(F.broadcast(dep), "proposal_id", "left").na.fill(
+            {"deposit_uluna": 0}
+        )
+    return out
+
+
 def detect_proposal_ids(txs: DataFrame) -> DataFrame:
     """detectAndUpdateProposal's scan (collectProposal.ts:11-41): walk
     every log → event → attribute of the batch's txs, keep attributes
@@ -180,11 +264,14 @@ def ingest_block_batch(
     batch_id: int,
     out_dir: str,
     num_buckets: int = 16,
-    proposals_dim: DataFrame | None = None,
+    proposals_dim: "DataFrame | GovDims | None" = None,
 ) -> None:
     """The per-batch transaction body: every sink, in the reference's
     write order (blockreward first, block entity, tx rows, serving
-    indexes, proposal refresh, minute rollups last — block.ts:152-176)."""
+    indexes, proposal refresh, minute rollups last — block.ts:152-176).
+    proposals_dim: the proposal dim alone, or a GovDims bundle — with
+    the full bundle the refresh stores the recomputed voteSummary +
+    deposit totals, as saveProposalDetails does."""
     bundled = KIND_COL in batch_df.columns
     if bundled:
         txs = batch_df.filter(F.col(KIND_COL) == "tx").drop(
@@ -245,6 +332,11 @@ def ingest_block_batch(
         # happens to process last clobber a higher watermark (max is
         # monotone + idempotent — order- and replay-independent).
         if proposals_dim is not None:
+            gov = (
+                proposals_dim
+                if isinstance(proposals_dim, GovDims)
+                else GovDims(proposals_dim)
+            )
             touched_p = detect_proposal_ids(txs).groupBy("proposal_id").agg(
                 F.max("height").alias("last_seen_height")
             )
@@ -264,12 +356,9 @@ def ingest_block_batch(
                         ).alias("last_seen_height"),
                     )
                 )
-            refreshed = proposals_dim.join(
-                F.broadcast(touched_p), "proposal_id"
-            )
             merge_upsert(
                 spark,
-                refreshed,
+                refresh_proposal_payload(gov, touched_p),
                 os.path.join(out_dir, PROPOSALS),
                 ["proposal_id"],
                 partition_expr=F.col("proposal_id").cast("string"),

@@ -283,8 +283,16 @@ def main() -> None:
     # rollups (src/collector/watcher.ts:73-82); the combined p50 is the
     # number to hold against it (a batch carries 100*FEED_SCALE blocks,
     # so p50 < 6 s clears the per-block envelope by orders).
-    from classic_fcd_spark.sources.fixtures import gen_blocks, gen_proposals
+    from classic_fcd_spark.sources.fixtures import (
+        gen_blocks,
+        gen_delegations,
+        gen_deposits,
+        gen_proposals,
+        gen_validators,
+        gen_votes,
+    )
     from classic_fcd_spark.streaming.block_ingest import (
+        GovDims,
         build_block_bundle_feed,
         read_bronze,
         read_proposals,
@@ -313,7 +321,13 @@ def main() -> None:
         os.path.join(work, "ckpt_unified"),
         uni_out,
         on_batch=utick,
-        proposals_dim=gen_proposals(spark),
+        proposals_dim=GovDims(
+            proposals=gen_proposals(spark),
+            votes=gen_votes(spark),
+            delegations=gen_delegations(spark),
+            validators=gen_validators(spark),
+            deposits=gen_deposits(spark),
+        ),
     )
     usteady = uni_times[1:]
     uhalf = len(usteady) // 2

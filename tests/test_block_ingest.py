@@ -19,12 +19,26 @@ from pyspark.sql import functions as F
 import classic_fcd_spark.streaming.block_ingest as bi
 from classic_fcd_spark.sources.fixtures import (
     gen_blocks,
+    gen_delegations,
+    gen_deposits,
     gen_proposals,
     gen_txs,
+    gen_validators,
+    gen_votes,
     tx_hash_str,
 )
 
 N_FILES = 6
+
+
+def _gov_dims(spark):
+    return bi.GovDims(
+        proposals=gen_proposals(spark),
+        votes=gen_votes(spark),
+        delegations=gen_delegations(spark),
+        validators=gen_validators(spark),
+        deposits=gen_deposits(spark),
+    )
 
 
 def _write_feed(spark, path: str) -> None:
@@ -263,7 +277,7 @@ def bundle_control(spark, tmp_path_factory):
     ).repartitionByRange(N_FILES, "height").write.parquet(feed)
     bi.run_block_ingest_available_now(
         spark, feed, str(base / "ckpt"), out,
-        proposals_dim=gen_proposals(spark),
+        proposals_dim=_gov_dims(spark),
     )
     return {"feed": feed, "out": out, "state": _bundle_state(spark, out)}
 
@@ -306,6 +320,51 @@ class TestBundleIngest:
         for k in ("bronze", "silver", "ext_tx", "ext_at", "rollup"):
             assert st_b[k] == st_t[k], k
 
+    def test_proposal_refresh_stores_vote_summary_and_deposits(
+        self, spark, bundle_control
+    ):
+        """saveProposalDetails stores the RECOMPUTED voteSummary and
+        deposits, not a raw proposal copy (saveProposal.ts:58-81).
+        total_vote_power / vote_count must equal the per-proposal
+        aggregate of the driver-gated fcd_vote_tally oracle (DuckDB);
+        deposit_uluna must equal the fixture arithmetic (5 deposits per
+        proposal, uluna amount d*700%5000+100).  Proposal 3 has no
+        votes in the fixture (votes span ids 0-2) — its summary must be
+        the filled zeros, not a dropped row."""
+        import duckdb
+
+        from classic_fcd_spark.queries import oracle_sql_map
+        from classic_fcd_spark.sources.fixtures import (
+            FIXTURE_N_DEPOSITS,
+            FIXTURE_N_PROPOSALS,
+        )
+
+        rows = {
+            r["proposal_id"]: r
+            for r in bi.read_proposals(spark, bundle_control["out"]).collect()
+        }
+        assert set(rows) == {0, 1, 2, 3}
+
+        tally_sql = oracle_sql_map()["fcd_vote_tally"]
+        want_tally = {
+            r[0]: (r[1], r[2])
+            for r in duckdb.sql(
+                f"SELECT proposal_id, SUM(power_sum), SUM(n_votes) "
+                f"FROM ({tally_sql}) GROUP BY 1"
+            ).fetchall()
+        }
+        for pid, r in rows.items():
+            wp, wc = want_tally.get(pid, (0, 0))
+            assert r["total_vote_power"] == wp, (pid, r)
+            assert r["vote_count"] == wc, (pid, r)
+            want_dep = sum(
+                d * 700 % 5000 + 100
+                for d in range(FIXTURE_N_DEPOSITS)
+                if d % FIXTURE_N_PROPOSALS == pid
+            )
+            assert r["deposit_uluna"] == want_dep, (pid, r)
+        assert rows[3]["total_vote_power"] == 0 and rows[3]["vote_count"] == 0
+
     @pytest.mark.parametrize("stage", ["_merge_reward_rollup", "detect_proposal_ids"])
     def test_crash_at_new_sinks_converges_on_restart(
         self, spark, tmp_path, bundle_control, stage
@@ -333,7 +392,7 @@ class TestBundleIngest:
         try:
             with pytest.raises(StreamingQueryException):
                 bi.run_block_ingest_available_now(
-                    spark, feed, ckpt, out, proposals_dim=gen_proposals(spark)
+                    spark, feed, ckpt, out, proposals_dim=_gov_dims(spark)
                 )
         finally:
             setattr(bi, stage, orig)
@@ -344,6 +403,6 @@ class TestBundleIngest:
         assert mid != bundle_control["state"]
 
         bi.run_block_ingest_available_now(
-            spark, feed, ckpt, out, proposals_dim=gen_proposals(spark)
+            spark, feed, ckpt, out, proposals_dim=_gov_dims(spark)
         )
         assert _bundle_state(spark, out) == bundle_control["state"]
