@@ -170,63 +170,71 @@ class GovDims:
         self.delegations = delegations
         self.validators = validators
         self.deposits = deposits
+        self._base: DataFrame | None = None
+
+    def payload_base(self) -> DataFrame:
+        """The per-proposal enriched payload (dim row + voteSummary +
+        deposit totals), computed ONCE per run and persisted: the dims
+        are a per-run snapshot (fixed broadcast inputs to the stream),
+        so the payload bytes are identical every batch — recomputing
+        the tally per micro-batch would be pure fixed overhead
+        (~1.2 s/batch measured).  The reference refetches LCD per save
+        because chain state moves under it; the engine analogue of that
+        freshness is restarting the stream with new dims (or wiring a
+        throttled dim refresh — streaming/dim_refresh.py)."""
+        if self._base is None:
+            out = self.proposals
+            if (
+                self.votes is not None
+                and self.delegations is not None
+                and self.validators is not None
+            ):
+                from classic_fcd_spark.pipeline.governance import vote_tally
+
+                tally = vote_tally(
+                    self.votes, self.delegations, self.validators
+                )
+                summary = tally.groupBy("proposal_id").agg(
+                    F.sum("power_sum").alias("total_vote_power"),
+                    F.sum("n_votes").cast("long").alias("vote_count"),
+                )
+                out = out.join(
+                    F.broadcast(summary), "proposal_id", "left"
+                ).na.fill({"total_vote_power": 0, "vote_count": 0})
+            if self.deposits is not None:
+                dep = (
+                    self.deposits.select(
+                        "proposal_id", F.explode("amount").alias("coin")
+                    )
+                    .filter(F.col("coin.denom") == "uluna")
+                    .groupBy("proposal_id")
+                    .agg(
+                        F.sum(F.col("coin.amount").cast("long")).alias(
+                            "deposit_uluna"
+                        )
+                    )
+                )
+                out = out.join(
+                    F.broadcast(dep), "proposal_id", "left"
+                ).na.fill({"deposit_uluna": 0})
+            self._base = out.persist()
+        return self._base
 
 
 def refresh_proposal_payload(gov: GovDims, touched: DataFrame) -> DataFrame:
-    """The stored proposal shape for the touched ids: dim row +
-    last_seen_height + (when the gov dims are present) the voteSummary
-    recompute — total voting power and vote count from the gated
-    vote_tally pipeline (J8/A20, pipeline/governance.py), voters'
-    delegations and the validator dim broadcast exactly as the serving
-    tally does — and the uluna deposit total (ProposalEntity.deposits).
-    Deterministic in (dims, touched): replay and batch order cannot
-    change the payload bytes, which is what makes the MERGE convergent.
-    The reference additionally SKIPS refreshing proposals whose stored
-    status is final (saveProposal.ts:8-29 shouldUpdateProposal) — an
-    optimization against LCD refetch; here the payload is a pure
-    function of the dims, so re-writing is idempotent and the gate is
-    unnecessary (and would make last_seen_height order-dependent)."""
-    out = gov.proposals.join(F.broadcast(touched), "proposal_id")
-    if (
-        gov.votes is not None
-        and gov.delegations is not None
-        and gov.validators is not None
-    ):
-        from classic_fcd_spark.pipeline.governance import vote_tally
-
-        votes = gov.votes.join(
-            F.broadcast(touched.select("proposal_id")),
-            "proposal_id",
-            "left_semi",
-        )
-        tally = vote_tally(votes, gov.delegations, gov.validators)
-        summary = tally.groupBy("proposal_id").agg(
-            F.sum("power_sum").alias("total_vote_power"),
-            F.sum("n_votes").cast("long").alias("vote_count"),
-        )
-        out = out.join(F.broadcast(summary), "proposal_id", "left").na.fill(
-            {"total_vote_power": 0, "vote_count": 0}
-        )
-    if gov.deposits is not None:
-        dep = (
-            gov.deposits.join(
-                F.broadcast(touched.select("proposal_id")),
-                "proposal_id",
-                "left_semi",
-            )
-            .select("proposal_id", F.explode("amount").alias("coin"))
-            .filter(F.col("coin.denom") == "uluna")
-            .groupBy("proposal_id")
-            .agg(
-                F.sum(F.col("coin.amount").cast("long")).alias(
-                    "deposit_uluna"
-                )
-            )
-        )
-        out = out.join(F.broadcast(dep), "proposal_id", "left").na.fill(
-            {"deposit_uluna": 0}
-        )
-    return out
+    """The stored proposal shape for the touched ids: the memoized
+    per-proposal payload (GovDims.payload_base — dim row + voteSummary
+    recompute from the gated vote_tally pipeline, J8/A20, + the uluna
+    deposit total, ProposalEntity.deposits) joined with the batch's
+    touched watermarks.  Deterministic in (dims, touched): replay and
+    batch order cannot change the payload bytes, which is what makes
+    the MERGE convergent.  The reference additionally SKIPS refreshing
+    proposals whose stored status is final (saveProposal.ts:8-29
+    shouldUpdateProposal) — an optimization against LCD refetch; here
+    the payload is a pure function of the dims, so re-writing is
+    idempotent and the gate is unnecessary (and would make
+    last_seen_height order-dependent)."""
+    return gov.payload_base().join(F.broadcast(touched), "proposal_id")
 
 
 def detect_proposal_ids(txs: DataFrame) -> DataFrame:
