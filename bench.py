@@ -79,6 +79,7 @@ HEADLINE = [
     "approx_top_tokens",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
+    "repetition_signals",
     "simhash_docs",
     "ann_lsh_buckets",
     "approx_top_ngrams",
@@ -112,6 +113,7 @@ def _extra_workloads():
     # per-round workload set stays comparable
     from classic_fcd_spark.queries.similarity import embedding_similar_pairs
     from classic_fcd_spark.queries.text import (
+        repetition_signals_q,
         text_features,
         token_stats_by_source,
     )
@@ -198,6 +200,9 @@ def _extra_workloads():
         # plan audits here
         "text_features": text_features,
         "fcd_staking_view": fcd_staking_view,
+        # r10 addition: the full Gopher repetition signal table
+        # (in-test DuckDB oracle, tests/test_repetition.py)
+        "repetition_signals": repetition_signals_q,
         # r6 rotation: driver slot went to duplicated_spans; the PPJoin
         # plan keeps its bench timing + in-test oracle here
         "ngram_jaccard_pairs": ngram_jaccard_pairs,

@@ -1,0 +1,228 @@
+"""Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+Models: ... Gopher", Appendix A1.1; the same family NeMo-Curator and
+Dolma ship): per-document repetitiousness signals used to drop
+boilerplate/spam before LM training —
+
+- top n-gram character fraction (n = 2, 3, 4): characters covered by
+  the single most frequent word n-gram (its non-space character length
+  x its occurrence count) over the document's non-space characters;
+- duplicate n-gram character fraction (n = 5..10): characters covered
+  by every n-gram occurring more than once (sum of charlen x count over
+  duplicated grams — the Dolma/NeMo counting convention; the paper's
+  prose leaves overlap handling ambiguous, so the convention is pinned
+  here and mirrored exactly in the DuckDB oracle);
+- duplicate line fraction + duplicate line character fraction: lines
+  (split on newline, trimmed, empties dropped) that repeat an earlier
+  line, by line count and by character mass.
+
+Everything is integer/rational arithmetic floored to e6 fixed-point
+per document (the repo's oracle-exactness discipline), so Spark and
+DuckDB agree bit-for-bit.
+
+Relation to functions.text.passes_repetition_filter: that is the
+row-local KEEP/DROP rule (single top-2-gram + dup-line thresholds, one
+HOF pass, no shuffle) the curation funnel applies inline; this module
+is the full Gopher SIGNAL TABLE — all nine n's by character mass —
+for threshold tuning, corpus QA, and per-source reporting, where the
+extra explode is the right trade.
+
+Scale: ONE explode over (doc, n, gram) for all nine n-gram signals —
+the gram stream is ~9x the token count — then one (doc_id, n, gram)
+count and one per-(doc, n) aggregate: two shuffles total regardless of
+how many n's ride along, never a per-n pass.  The line signals are a
+pure per-row HOF pass (no shuffle).  Nothing is quadratic; nothing
+collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.operators.dedup import ws_tokens
+
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
+E6 = 1_000_000
+
+
+def _nonspace_len(col) -> Column:
+    return F.length(F.regexp_replace(col, " ", ""))
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per doc: top{2,3,4}_frac_e6, dup{5..10}_frac_e6,
+    dup_line_frac_e6, dup_line_char_frac_e6.  Docs shorter than an
+    n-gram width contribute 0 for that signal (nothing is repeated)."""
+    toks = ws_tokens(text_col)
+    # (n, gram) pairs for every n in one array -> ONE explode total.
+    # Non-distinct grams (unlike dedup.word_shingles): repetition IS
+    # the multiplicity.
+    per_n = F.transform(
+        F.array(*[F.lit(n) for n in (*TOP_NS, *DUP_NS)]),
+        lambda n: F.struct(
+            n.alias("n"),
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - F.lit(1))),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("grams"),
+        ),
+    )
+    grams = (
+        docs.select(
+            F.col(id_col),
+            _nonspace_len(text_col).alias("total_chars"),
+            F.explode(per_n).alias("ng"),
+        )
+        .select(id_col, "total_chars", F.col("ng.n").alias("n"),
+                F.explode("ng.grams").alias("g"))
+    )
+    counted = grams.groupBy(id_col, "total_chars", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    charlen = _nonspace_len(F.col("g"))
+    per_doc_n = counted.groupBy(id_col, "total_chars", "n").agg(
+        # most frequent gram's char mass: max by (count, gram) — the
+        # gram string as deterministic tiebreak — then charlen x count
+        # of the winner
+        F.max(F.struct(F.col("c"), F.col("g"))).alias("top"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * charlen).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    )
+    top_chars = _nonspace_len(F.col("top.g")) * F.col("top.c")
+    frac = lambda chars: F.floor(  # noqa: E731
+        F.lit(E6) * chars / F.greatest(F.col("total_chars"), F.lit(1))
+    ).cast("long")
+    sig = per_doc_n.select(
+        id_col,
+        "n",
+        frac(top_chars).alias("top_frac_e6"),
+        frac(F.col("dup_chars")).alias("dup_frac_e6"),
+    )
+    pivoted = (
+        sig.groupBy(id_col)
+        .pivot("n", [*TOP_NS, *DUP_NS])
+        .agg(F.first(F.when(F.col("n").isin(*TOP_NS), F.col("top_frac_e6"))
+                     .otherwise(F.col("dup_frac_e6"))))
+    )
+    cols = [F.col(id_col)]
+    for n in TOP_NS:
+        cols.append(F.coalesce(str(n), F.lit(0)).alias(f"top{n}_frac_e6"))
+    for n in DUP_NS:
+        cols.append(F.coalesce(str(n), F.lit(0)).alias(f"dup{n}_frac_e6"))
+    ngram_side = pivoted.select(*cols)
+
+    # line signals: per-row HOF pass, no shuffle
+    lines = F.filter(
+        F.transform(F.split(text_col, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    # a line is a duplicate iff an EARLIER identical line exists, i.e.
+    # occurrences beyond the first: dup_count(l) = count(l) - distinct
+    uniq = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(uniq)
+    all_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+    )
+    uniq_chars = F.aggregate(
+        uniq, F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+    )
+    line_side = docs.select(
+        F.col(id_col),
+        F.floor(
+            F.lit(E6) * n_dup_lines / F.greatest(n_lines, F.lit(1))
+        ).cast("long").alias("dup_line_frac_e6"),
+        F.floor(
+            F.lit(E6) * (all_chars - uniq_chars)
+            / F.greatest(all_chars, F.lit(1))
+        ).cast("long").alias("dup_line_char_frac_e6"),
+    )
+    # docs too short for any n-gram have no ngram_side row: left join
+    # from the full doc set and zero-fill
+    out = line_side.join(ngram_side, id_col, "left").na.fill(
+        {f"top{n}_frac_e6": 0 for n in TOP_NS}
+        | {f"dup{n}_frac_e6": 0 for n in DUP_NS}
+    )
+    return out
+
+
+def duck_repetition_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of repetition_signals — same tokenization, same
+    counting conventions, same e6 floors."""
+    toks = f"regexp_split_to_array(trim({text_col}), ' +')"
+    ns = ", ".join(str(n) for n in (*TOP_NS, *DUP_NS))
+    top_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN top_frac_e6 END), 0) AS top{n}_frac_e6"
+        for n in TOP_NS
+    )
+    dup_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN dup_frac_e6 END), 0) AS dup{n}_frac_e6"
+        for n in DUP_NS
+    )
+    return f"""
+    WITH base AS (
+        SELECT {id_col}, {toks} AS t,
+               length(replace({text_col}, ' ', '')) AS total_chars,
+               list_filter(list_transform(string_split({text_col}, chr(10)),
+                                          s -> trim(s)), s -> s <> '') AS lines
+        FROM {table}
+    ),
+    grams AS (
+        SELECT {id_col}, total_chars, n,
+               unnest([array_to_string(t[i:i+n-1], ' ')
+                       for i in range(1, len(t) - n + 2)]) AS g
+        FROM base, (SELECT unnest([{ns}]) AS n)
+        WHERE len(t) >= n
+    ),
+    counted AS (
+        SELECT {id_col}, total_chars, n, g, COUNT(*) AS c
+        FROM grams GROUP BY 1, 2, 3, 4
+    ),
+    per_doc_n AS (
+        SELECT {id_col}, total_chars, n,
+               MAX(struct_pack(c := c, g := g)) AS top,
+               SUM(CASE WHEN c >= 2
+                        THEN c * length(replace(g, ' ', '')) ELSE 0 END)
+                 AS dup_chars
+        FROM counted GROUP BY 1, 2, 3
+    ),
+    sig AS (
+        SELECT {id_col}, n,
+               CAST(floor(1000000.0 * length(replace(top.g, ' ', '')) * top.c
+                          / greatest(total_chars, 1)) AS BIGINT) AS top_frac_e6,
+               CAST(floor(1000000.0 * dup_chars
+                          / greatest(total_chars, 1)) AS BIGINT) AS dup_frac_e6
+        FROM per_doc_n
+    ),
+    ngram_side AS (
+        SELECT {id_col}, {top_cols}, {dup_cols} FROM sig GROUP BY 1
+    ),
+    line_side AS (
+        SELECT {id_col},
+               CAST(floor(1000000.0 * (len(lines) - len(list_distinct(lines)))
+                          / greatest(len(lines), 1)) AS BIGINT)
+                 AS dup_line_frac_e6,
+               CAST(floor(1000000.0 *
+                     (list_sum([length(s) for s in lines])
+                      - list_sum([length(s) for s in list_distinct(lines)]))
+                     / greatest(list_sum([length(s) for s in lines]), 1))
+                    AS BIGINT) AS dup_line_char_frac_e6
+        FROM base
+    )
+    SELECT l.{id_col}, COALESCE(l.dup_line_frac_e6, 0) AS dup_line_frac_e6,
+           COALESCE(l.dup_line_char_frac_e6, 0) AS dup_line_char_frac_e6,
+           {", ".join(f"COALESCE(n.top{n}_frac_e6, 0) AS top{n}_frac_e6" for n in TOP_NS)},
+           {", ".join(f"COALESCE(n.dup{n}_frac_e6, 0) AS dup{n}_frac_e6" for n in DUP_NS)}
+    FROM line_side l LEFT JOIN ngram_side n USING ({id_col})
+    """

@@ -146,6 +146,23 @@ TOKEN_STATS_ORACLE_SQL = f"""
     """
 
 
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters over the documents table (Rae 2021
+    Appendix A1.1; operators/repetition.py): top{2,3,4}-gram and
+    duplicate-{5..10}-gram character fractions plus duplicate-line
+    fractions, e6-floored.  Unregistered (the driver window is full) —
+    gated by the in-test DuckDB oracle
+    (tests/test_repetition.py) and benched via bench.py extras; the
+    curation drop rule rides pipeline/curation.py like the other
+    quality signals.  One explode for all nine n's, two shuffles
+    total — see the operator docstring for the 100 TB shape."""
+    from classic_fcd_spark.operators.repetition import repetition_signals
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    par = spark.sparkContext.defaultParallelism
+    return repetition_signals(docs.repartition(par, "doc_id"))
+
+
 def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline token counting: whitespace + BPE-ish regex counts
     per source, plus vocabulary size via explode → distinct (the explode

@@ -440,14 +440,13 @@ def _merge_reward_rollup(
     minutes = sorted(set(prev_minutes) | {r["m"] for r in own})
     if not minutes:
         return
-    days = sorted({m[:10] for m in minutes})
     # 2) the predecessor side: all rows whose OWN minute is in M —
     # collected once (bounded by |M| x blocks-per-minute) so the
     # successor list and the attribution timestamps come from the SAME
     # read instead of two more jobs
-    prev_rows = bronze.filter(
-        F.col(DAY_COL).isin(days) & _minute("timestamp").isin(minutes)
-    ).select("height", "timestamp").collect()
+    prev_rows = reward_scoped_bronze(spark, out_dir, minutes).select(
+        "height", "timestamp"
+    ).collect()
     succ_h = [r["height"] + 1 for r in prev_rows]
     # 3) successors carry the rewards; predecessors the attribution ts
     succ = bronze.filter(F.col("height").isin(succ_h)).select(
@@ -508,6 +507,20 @@ def run_block_ingest_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def reward_scoped_bronze(
+    spark: SparkSession, out_dir: str, minutes: list[str]
+) -> DataFrame:
+    """Blockreward bronze restricted to the touched minutes — the same
+    PartitionFilters day prune as rollup_scoped_bronze (plan-asserted
+    in tests), so the reward recompute reads O(touched days) however
+    large the reward history grows."""
+    bronze = read_rewards_bronze(spark, out_dir, raw=True)
+    days = sorted({m[:10] for m in minutes})
+    return bronze.filter(
+        F.col(DAY_COL).isin(days) & _minute("timestamp").isin(minutes)
+    )
 
 
 def rollup_scoped_bronze(

@@ -365,6 +365,70 @@ class TestBundleIngest:
             assert r["deposit_uluna"] == want_dep, (pid, r)
         assert rows[3]["total_vote_power"] == 0 and rows[3]["vote_count"] == 0
 
+    def test_reward_recompute_prunes_day_partitions(self, spark, bundle_control):
+        """The reward recompute's predecessor read must prune to the
+        touched days of blockreward bronze (PartitionFilters on
+        day_pt) — O(touched days) however large the reward history
+        grows, same contract as the tx rollup's recompute."""
+        minutes = [
+            r[0]
+            for r in bi.read_reward_rollup(spark, bundle_control["out"])
+            .select("minute")
+            .limit(2)
+            .collect()
+        ]
+        scoped = bi.reward_scoped_bronze(spark, bundle_control["out"], minutes)
+        plan = scoped._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2 and bi.DAY_COL in pf[1].split("]", 1)[0], plan[:1500]
+
+    def test_bundle_catchup_advances_all_nine_sinks(self, spark, tmp_path, bundle_control):
+        """S2 on the bundle feed: a second availableNow drain after new
+        block bundles arrive ingests ONLY the new blocks — bronze,
+        blockreward, and the reward rollup all advance together, and
+        the previously-final reward minute gains its late successor's
+        attribution."""
+        import shutil
+
+        from classic_fcd_spark.sources.fixtures import FIXTURE_N_BLOCKS
+
+        feed = str(tmp_path / "feed")
+        shutil.copytree(bundle_control["feed"], feed)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        bi.run_block_ingest_available_now(
+            spark, feed, ckpt, out, proposals_dim=_gov_dims(spark)
+        )
+        before = _bundle_state(spark, out)
+        assert before == bundle_control["state"]
+
+        n2 = FIXTURE_N_BLOCKS + 20
+        late_t = gen_txs(spark, n=n2).filter(F.col("height") > FIXTURE_N_BLOCKS)
+        late_b = gen_blocks(spark, n=n2).filter(F.col("height") > FIXTURE_N_BLOCKS)
+        bi.build_block_bundle_feed(late_t, late_b).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        bi.run_block_ingest_available_now(
+            spark, feed, ckpt, out, proposals_dim=_gov_dims(spark)
+        )
+        after = _bundle_state(spark, out)
+        assert len(after["bronze"]) == len(before["bronze"]) + late_t.count()
+        assert len(after["rewards_bronze"]) == len(before["rewards_bronze"]) + 20
+        # the catch-up's rewards landed: the rollup equals the batch
+        # twin over ALL blocks — including the attribution of block
+        # 601, whose predecessor (600) was the PREVIOUS drain's last
+        # block (the cross-drain boundary case)
+        from classic_fcd_spark.pipeline.medallion import (
+            minute_rewards_shifted_silver,
+        )
+
+        want = sorted(
+            tuple(r)
+            for r in minute_rewards_shifted_silver(gen_blocks(spark, n=n2)).collect()
+        )
+        assert after["reward_rollup"] == want
+        assert after["reward_rollup"] != before["reward_rollup"]
+
     @pytest.mark.parametrize("stage", ["_merge_reward_rollup", "detect_proposal_ids"])
     def test_crash_at_new_sinks_converges_on_restart(
         self, spark, tmp_path, bundle_control, stage
