@@ -66,7 +66,6 @@ HEADLINE = [
     "sessionized_events",
     "semantic_dedup",
     "dsir_select",
-    "duplicated_spans",
     "bm25_search",
     # registered in r7 (driver-gated slot rotation)
     "trigram_lm_scores",
@@ -77,9 +76,12 @@ HEADLINE = [
     # fcd_validator_annual_return rotated to extras)
     "scd2_order_history",
     "approx_top_tokens",
+    # registered in r11 (driver-gated slot rotation: duplicated_spans
+    # rotated to extras, same workload shapes either way)
+    "repetition_signals",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
-    "repetition_signals",
+    "duplicated_spans",
     "simhash_docs",
     "ann_lsh_buckets",
     "approx_top_ngrams",
@@ -113,7 +115,6 @@ def _extra_workloads():
     # per-round workload set stays comparable
     from classic_fcd_spark.queries.similarity import embedding_similar_pairs
     from classic_fcd_spark.queries.text import (
-        repetition_signals_q,
         text_features,
         token_stats_by_source,
     )
@@ -127,6 +128,7 @@ def _extra_workloads():
     # was re-promoted to the driver window (resolved via query_fn_map
     # now); text_features and fcd_staking_view took the in-test path.
     from classic_fcd_spark.queries.dedup import (
+        duplicated_spans_q,
         ngram_jaccard_pairs,
         simhash_docs,
     )
@@ -200,9 +202,11 @@ def _extra_workloads():
         # plan audits here
         "text_features": text_features,
         "fcd_staking_view": fcd_staking_view,
-        # r10 addition: the full Gopher repetition signal table
-        # (in-test DuckDB oracle, tests/test_repetition.py)
-        "repetition_signals": repetition_signals_q,
+        # r11 rotation: repetition_signals is now a REGISTERED
+        # driver-gated query (resolved via query_fn_map); the slot it
+        # took — duplicated_spans — keeps its bench timing + in-test
+        # oracle (tests/test_spans.py) here
+        "duplicated_spans": duplicated_spans_q,
         # r6 rotation: driver slot went to duplicated_spans; the PPJoin
         # plan keeps its bench timing + in-test oracle here
         "ngram_jaccard_pairs": ngram_jaccard_pairs,

@@ -400,26 +400,28 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Span-level ExactSubstr dedup — promoted to the driver gate in r6 (the
-# ngram_jaccard_pairs slot, per the r5 brief).
+# Span-level ExactSubstr dedup — driver-gated r6–r10 (the
+# ngram_jaccard_pairs slot, per the r5 brief); rotated OUT in r11
+# (slot -> repetition_signals, its windowed-count pattern kin).  The
+# same DuckDB oracle that drove its green r6-r10 driver rows is now the
+# in-test gate (tests/test_spans.py TestDuplicatedSpansOracle), and the
+# workload keeps its bench slot via bench._extra_workloads.
 # ---------------------------------------------------------------------------
 from classic_fcd_spark.operators.spans import duck_duplicated_spans_sql  # noqa: E402
 
+DUPLICATED_SPANS_ORACLE_SQL = duck_duplicated_spans_sql(k=8, min_count=2)
 
-@register(
-    "duplicated_spans",
-    duck_duplicated_spans_sql(k=8, min_count=2),
-    doc="Span-level exact-substring dedup (ExactSubstr, Lee et al. 2021 "
-    "arXiv:2107.06499): maximal duplicated regions INSIDE documents at "
-    "8-token resolution.  Linear (doc, pos, md5-window) explode shuffled "
-    "once on the hash; the duplicate test is a map-side-combined groupBy "
-    "+ semi-join (never count-over-window on the hash — a 10^8-occurrence "
-    "boilerplate gram must not land on one task); span merge is a lag + "
-    "running-sum window over (doc, pos), the gap-sessionization shape.  "
-    "The oracle recomputes the same spans with DuckDB windows — an "
-    "independent engine arriving at the same integer answer.",
-)
+
 def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (ExactSubstr, Lee et al. 2021
+    arXiv:2107.06499): maximal duplicated regions INSIDE documents at
+    8-token resolution.  Linear (doc, pos, md5-window) explode shuffled
+    once on the hash; the duplicate test is a map-side-combined groupBy
+    + semi-join (never count-over-window on the hash — a 10^8-occurrence
+    boilerplate gram must not land on one task); span merge is a lag +
+    running-sum window over (doc, pos), the gap-sessionization shape.
+    The oracle recomputes the same spans with DuckDB windows — an
+    independent engine arriving at the same integer answer."""
     from classic_fcd_spark.operators.spans import duplicated_spans
 
     docs = load_tables(spark, sf_dir)["documents"]

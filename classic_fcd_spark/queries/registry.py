@@ -83,6 +83,20 @@ def oracle_sql_map(sf_dir: str | None = None) -> dict[str, str]:
     _load_all()
     if sf_dir is None:
         sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    if any(callable(q.oracle) for q in QUERIES.values()) and not os.path.isdir(
+        sf_dir
+    ):
+        # A callable oracle embeds corpus-derived literals; resolving
+        # it against a corpus that isn't there would surface as an
+        # opaque DuckDB read error (or, worse, a silent wrong-corpus
+        # model if a stale default existed).  Fail loud, naming the
+        # knob (ADVICE r10).
+        raise FileNotFoundError(
+            f"oracle_sql_map: compare corpus {sf_dir!r} does not exist; "
+            "set SF_DIR (or pass sf_dir) to the parquet directory the "
+            "driver compares at — callable oracles embed literals "
+            "computed from that corpus"
+        )
     return {
         name: (q.oracle(sf_dir) if callable(q.oracle) else q.oracle)
         for name, q in QUERIES.items()

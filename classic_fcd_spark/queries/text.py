@@ -146,16 +146,29 @@ TOKEN_STATS_ORACLE_SQL = f"""
     """
 
 
+def _repetition_oracle() -> str:
+    from classic_fcd_spark.operators.repetition import duck_repetition_sql
+
+    return duck_repetition_sql()
+
+
+@register(
+    "repetition_signals",
+    _repetition_oracle(),
+    doc="Gopher repetition filters (Rae 2021 arXiv:2112.11446 Appendix "
+    "A1.1; operators/repetition.py): top{2,3,4}-gram and "
+    "duplicate-{5..10}-gram character fractions plus duplicate-line "
+    "fractions, e6-floored per row so the cross-engine hash is exact.  "
+    "ONE explode materializes the (n, gram) pairs for all nine n's, two "
+    "shuffles total (gram count + per-doc pivot); the line signals are "
+    "HOF-only, shuffle-free.  Driver-gated since r11 (slot rotated from "
+    "duplicated_spans — its windowed-count pattern kin, which keeps the "
+    "same DuckDB oracle as an in-test gate, tests/test_spans.py)."
+    ,
+)
 def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher repetition filters over the documents table (Rae 2021
-    Appendix A1.1; operators/repetition.py): top{2,3,4}-gram and
-    duplicate-{5..10}-gram character fractions plus duplicate-line
-    fractions, e6-floored.  Unregistered (the driver window is full) —
-    gated by the in-test DuckDB oracle
-    (tests/test_repetition.py) and benched via bench.py extras; the
-    curation drop rule rides pipeline/curation.py like the other
-    quality signals.  One explode for all nine n's, two shuffles
-    total — see the operator docstring for the 100 TB shape."""
+    """The curation drop rule rides pipeline/curation.py like the other
+    quality signals.  See the operator docstring for the 100 TB shape."""
     from classic_fcd_spark.operators.repetition import repetition_signals
 
     docs = load_tables(spark, sf_dir)["documents"]

@@ -43,9 +43,12 @@ OLD_SUFFIX = "__old"
 # serializes merges).  Readers may call heal_table concurrently with a
 # writer's promote_partitions — both then race the same convergent
 # per-partition swaps (each individually idempotent) and the same
-# manifest/tmp cleanup, so the loser of a cleanup race sees the file
-# already gone: tolerated below (suppress FileNotFoundError) rather
-# than failing the streaming batch (ADVICE r9).  True multi-writer
+# manifest/tmp cleanup.  A cleanup-race loser sees the file already
+# gone (suppressed FileNotFoundError); a swap-race loser sees its
+# rename pair fail AFTER the exists(src) check — _promote_one re-checks
+# the end-state (src consumed, dst present) and returns instead of
+# failing the streaming batch or the read (ADVICE r9/r10).  True
+# multi-writer
 # needs an exclusive lock file — out of scope for the single-stream
 # design this serves.
 
@@ -60,9 +63,28 @@ def _promote_one(tmp: str, table_dir: str, part_col: str, value) -> None:
         shutil.rmtree(old, ignore_errors=True)
         return
     shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(dst):
-        os.rename(dst, old)
-    os.rename(src, dst)
+    try:
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+    except OSError:
+        # Lost a heal-vs-promote race (ADVICE r10): both processes
+        # passed the exists(src) check; the loser's rename then sees
+        # ENOENT/ENOTEMPTY.  Re-check the convergent end-state:
+        if not os.path.exists(src):
+            if os.path.exists(dst):
+                # winner consumed src and put dst in place — this
+                # partition is promoted; treat as done instead of
+                # failing the streaming batch or the read.
+                shutil.rmtree(old, ignore_errors=True)
+                return
+            if os.path.exists(old):
+                # we shoved the winner's COMPLETED dst aside (our
+                # dst→old ran after the winner finished) and then our
+                # own src→dst failed — restore the winner's result.
+                os.rename(old, dst)
+                return
+        raise
     shutil.rmtree(old, ignore_errors=True)
 
 

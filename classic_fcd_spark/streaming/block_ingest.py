@@ -240,10 +240,11 @@ def refresh_proposal_payload(gov: GovDims, touched: DataFrame) -> DataFrame:
 def detect_proposal_ids(txs: DataFrame) -> DataFrame:
     """detectAndUpdateProposal's scan (collectProposal.ts:11-41): walk
     every log → event → attribute of the batch's txs, keep attributes
-    with key='proposal_id' whose value parseInt()s to a number (the
-    reference's Number.isNaN guard — 'pid-3' is skipped, '12' kept),
-    one row per (proposal_id, height).  Batch-sized work: explode over
-    the batch only."""
+    with key='proposal_id' whose whitespace-trimmed value is all
+    digits ('pid-3' and '12abc' are skipped, '12' kept — see the
+    parseInt-vs-raw-fetch note below), one row per
+    (proposal_id, height).  Batch-sized work: explode over the batch
+    only."""
     logs = txs.select(
         "height", F.from_json("logs_json", LOGS_SCHEMA).alias("logs")
     ).filter(F.col("logs").isNotNull())
@@ -252,14 +253,18 @@ def detect_proposal_ids(txs: DataFrame) -> DataFrame:
         .select("height", F.explode("log.events").alias("ev"))
         .select("height", F.explode("ev.attributes").alias("a"))
         .filter(F.col("a.key") == "proposal_id")
-        # parseInt(v, 10): optional sign + leading digits; NaN otherwise
+        # The reference gates on parseInt(v, 10) !== NaN but then
+        # REFRESHES by the raw attr string via lcd.getProposal, so a
+        # value like '12abc' or '0x1A' passes the gate yet fails the
+        # fetch and is effectively skipped (ADVICE r10).  Match that
+        # end-to-end behavior: trim ALL whitespace (parseInt trims
+        # \t/\n too, not just spaces) and require the WHOLE remainder
+        # to be digits — never truncate '12abc' to proposal 12.
         .select(
             "height",
-            F.regexp_extract(F.trim(F.col("a.value")), r"^([+-]?[0-9]+)", 1).alias(
-                "pid_str"
-            ),
+            F.regexp_replace(F.col("a.value"), r"^\s+|\s+$", "").alias("pid_str"),
         )
-        .filter(F.col("pid_str") != "")
+        .filter(F.col("pid_str").rlike(r"^[0-9]+$"))
     )
     return attr.select(
         F.col("pid_str").cast("long").alias("proposal_id"), "height"
@@ -389,9 +394,13 @@ def ingest_block_batch(
         # recompute with the one-block-shift attribution
         if blks is not None:
             _merge_reward_rollup(spark, blks, out_dir)
-            blks.unpersist()
     finally:
+        # unpersist BOTH caches on every exit path — a sink raising
+        # after blks.cache() must not leak cached blocks across
+        # crash/replay cycles (ADVICE r10)
         txs.unpersist()
+        if blks is not None:
+            blks.unpersist()
 
 
 def _merge_reward_rollup(

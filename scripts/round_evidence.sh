@@ -23,34 +23,55 @@ R="${1:?usage: round_evidence.sh <round-number>}"
 RR=$(printf "r%02d" "$R")
 strip_cr() { sed -e 's/\r[^\n]*\r//g' -e 's/\r//g'; }
 
+# Atomic artifact write (VERDICT r10 item 1): every step writes to
+# <artifact>.tmp and only a SUCCESSFUL, NON-EMPTY run is renamed into
+# place — an interrupted re-run can no longer truncate a good artifact
+# to 0 bytes (the BENCH_sf1_r10.json defect).
+finish() {
+  local art="$1"
+  if [ ! -s "${art}.tmp" ]; then
+    echo "FATAL: ${art}.tmp is empty or missing — keeping prior ${art}" >&2
+    rm -f "${art}.tmp"
+    exit 1
+  fi
+  mv "${art}.tmp" "${art}"
+}
+
 echo "== [1/6] pytest (one run) -> PYTEST_${RR}.txt"
-python -m pytest tests/ -q 2>&1 | strip_cr > "PYTEST_${RR}.txt"
+python -m pytest tests/ -q 2>&1 | strip_cr > "PYTEST_${RR}.txt.tmp"
+finish "PYTEST_${RR}.txt"
 tail -2 "PYTEST_${RR}.txt"
 
 echo "== [2/6] strict check sf0.01 -> CHECK_${RR}_strict.txt"
-python scripts/check_correctness.py 2>&1 | strip_cr > "CHECK_${RR}_strict.txt"
+python scripts/check_correctness.py 2>&1 | strip_cr \
+  > "CHECK_${RR}_strict.txt.tmp"
+finish "CHECK_${RR}_strict.txt"
 tail -2 "CHECK_${RR}_strict.txt"
 
 echo "== [3/6] strict check sf0.1 -> CHECK_${RR}_strict_sf01.txt"
 SF_DIR=/root/testdata/sf0.1 python scripts/check_correctness.py 2>&1 \
-  | strip_cr > "CHECK_${RR}_strict_sf01.txt"
+  | strip_cr > "CHECK_${RR}_strict_sf01.txt.tmp"
+finish "CHECK_${RR}_strict_sf01.txt"
 tail -2 "CHECK_${RR}_strict_sf01.txt"
 
 echo "== [4/6] rebuild /tmp/sf1 (10x) + strict check -> CHECK_${RR}_strict_sf1.txt"
 rm -rf /tmp/sf1
 python scripts/make_sf_scale.py /tmp/sf1 10
 SF_DIR=/tmp/sf1 python scripts/check_correctness.py 2>&1 \
-  | strip_cr > "CHECK_${RR}_strict_sf1.txt"
+  | strip_cr > "CHECK_${RR}_strict_sf1.txt.tmp"
+finish "CHECK_${RR}_strict_sf1.txt"
 tail -2 "CHECK_${RR}_strict_sf1.txt"
 
 echo "== [5/6] sustained streaming bench -> SUSTAINED_${RR}.json"
 python scripts/sustained_stream_bench.py 2>/dev/null | tail -1 \
-  > "SUSTAINED_${RR}.json"
+  > "SUSTAINED_${RR}.json.tmp"
+finish "SUSTAINED_${RR}.json"
 head -c 300 "SUSTAINED_${RR}.json"; echo
 
 echo "== [6/6] bench at sf1 -> BENCH_sf1_${RR}.json"
 SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py 2>/dev/null | tail -1 \
-  > "BENCH_sf1_${RR}.json"
+  > "BENCH_sf1_${RR}.json.tmp"
+finish "BENCH_sf1_${RR}.json"
 head -c 300 "BENCH_sf1_${RR}.json"; echo
 
 echo "== all evidence written for ${RR}"

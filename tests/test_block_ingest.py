@@ -181,6 +181,45 @@ class TestUnifiedIngest:
         bi.run_block_ingest_available_now(spark, feed, ckpt, out)
         assert _state(spark, out) == control["state"]
 
+    def test_proposal_id_whitespace_and_malformed_values(self, spark):
+        """detect_proposal_ids end-to-end parity (ADVICE r10): the
+        reference's parseInt gate would truncate '12abc'→12 and
+        '0x1A'→0, but it then REFRESHES by the raw attr string, so the
+        LCD fetch fails and those proposals are never stored — our gate
+        must therefore skip them outright.  parseInt trims ALL
+        whitespace, so '\\t12\\n' IS proposal 12."""
+        import json
+
+        def tx(h, value):
+            logs = [
+                {
+                    "events": [
+                        {
+                            "type": "submit_proposal",
+                            "attributes": [{"key": "proposal_id", "value": value}],
+                        }
+                    ]
+                }
+            ]
+            return (h, json.dumps(logs))
+
+        txs = spark.createDataFrame(
+            [
+                tx(1, "12"),  # kept
+                tx(2, "\t12\n"),  # kept: parseInt trims \t and \n
+                tx(3, " 7 "),  # kept: plain spaces
+                tx(4, "12abc"),  # skipped: raw-string LCD fetch fails
+                tx(5, "0x1A"),  # skipped (parseInt(v,10) → 0, fetch '0x1A' fails)
+                tx(6, "pid-3"),  # skipped: NaN
+                tx(7, ""),  # skipped: NaN
+            ],
+            "height long, logs_json string",
+        )
+        got = sorted(
+            tuple(r) for r in bi.detect_proposal_ids(txs).collect()
+        )
+        assert got == [(7, 3), (12, 1), (12, 2)]
+
     def test_proposal_detection_on_plain_tx_feed(self, spark, tmp_path, control):
         """Sink 7 on the tx feed: detected ids + refresh rows match a
         DuckDB oracle over the fixture index space (i % 11 == 3 txs

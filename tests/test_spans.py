@@ -105,6 +105,34 @@ class TestSpansOracle:
         assert len(got) > 0  # the synthetic corpus plants dup groups
 
 
+class TestDuplicatedSpansOracle:
+    """duplicated_spans left the driver window in r11 (slot rotated to
+    repetition_signals); this is its oracle gate now — the SAME DuckDB
+    SQL that drove its green r6-r10 driver rows, at the driver's compare
+    corpus (sf0.01), full query wrapper included (casts and all)."""
+
+    def test_query_matches_driver_oracle_at_sf001(self, spark):
+        from classic_fcd_spark.queries.dedup import (
+            DUPLICATED_SPANS_ORACLE_SQL,
+            duplicated_spans_q,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        got = sorted(
+            tuple(r) for r in duplicated_spans_q(spark, sf).collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(DUPLICATED_SPANS_ORACLE_SQL).fetchall()
+        )
+        assert got == want
+        assert len(got) > 0
+
+
 class TestRemoveSpans:
     def test_cut_matches_duckdb_on_documents(self, spark, tables):
         from classic_fcd_spark.operators.spans import (
