@@ -128,7 +128,18 @@ def get_staking_return(spark: SparkSession) -> list[dict]:
     30-day moving average with the reference's exact early-window
     divisor (len+1 before the window fills).  Day-bounded driver math
     (Decimal, money strings)."""
-    rows = _daily_staking_inputs(spark)
+    return staking_return_series(_daily_staking_inputs(spark))
+
+
+def staking_return_series(
+    rows: list[tuple[str, int, int, int]]
+) -> list[dict]:
+    """The pure reduce of getStakingReturn.ts:18-38 over ascending
+    (day, reward, airdrop, avg_staking) rows — separated from the
+    fixture assembly so the cross-engine DuckDB oracle
+    (tests/test_serving_detail.py::TestStakingReturnOracle) can drive
+    it over a window-filling 40-day series as well as the endpoint's
+    own inputs."""
     out: list[dict] = []
     moving_sum = Decimal(0)
     daily_returns: list[Decimal] = []

@@ -43,6 +43,80 @@ class TestStakingReturnSeries:
         assert abs(got - want) < Decimal("0.000001")
 
 
+class TestStakingReturnOracle:
+    """Cross-engine gate for the 30-day staking-return MA (VERDICT r10
+    item 6; getStakingReturn.ts:15-44): a DuckDB window recomputes
+    {dailyReturn, annualizedReturn} with HUGEINT e24 fixed-point and the
+    reference's exact early-window divisor (LEAST(rn, 30) = len+1 before
+    the window fills), compared at the money scale (e10, trunc-toward-
+    zero — DuckDB's `//`, matching _money's ROUND_DOWN)."""
+
+    @staticmethod
+    def _oracle_sql(rows) -> str:
+        vals = ", ".join(f"('{d}', {r}, {a}, {s})" for d, r, a, s in rows)
+        e24 = "CAST('1000000000000000000000000' AS HUGEINT)"
+        e14 = "CAST('100000000000000' AS HUGEINT)"
+        return f"""
+        WITH inputs(day, reward, airdrop, staked) AS (VALUES {vals}),
+        base AS (
+            SELECT day,
+                   CASE WHEN staked > 0
+                        THEN CAST(reward + airdrop AS HUGEINT) * {e24}
+                             // CAST(staked AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END AS daily_e24,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM inputs
+        ), win AS (
+            SELECT day, daily_e24, rn,
+                   SUM(daily_e24) OVER (ORDER BY day
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS sum_e24
+            FROM base
+        )
+        SELECT day, daily_e24 // {e14} AS daily_e10,
+               CAST(sum_e24 AS HUGEINT) // LEAST(rn, 30) * 365
+                 // {e14} AS annual_e10
+        FROM win ORDER BY day
+        """
+
+    @staticmethod
+    def _money_e10(s: str) -> int:
+        from decimal import Decimal
+
+        return int(Decimal(s).scaleb(10))
+
+    def _compare(self, rows, series):
+        import duckdb
+
+        want = duckdb.sql(self._oracle_sql(rows)).fetchall()
+        assert len(series) == len(want)
+        for got, (_, daily_e10, annual_e10) in zip(series, want):
+            assert self._money_e10(got["dailyReturn"]) == int(daily_e10)
+            assert self._money_e10(got["annualizedReturn"]) == int(annual_e10)
+
+    def test_endpoint_inputs_match_oracle(self, spark):
+        rows = D._daily_staking_inputs(spark)
+        self._compare(rows, D.get_staking_return(spark))
+
+    def test_filled_window_matches_oracle(self):
+        """The fixture spans 4 days, so the endpoint never fills the
+        30-day window; a synthetic 40-day series (with a staked=0 day
+        pinning the '0' branch) exercises the subtract-oldest steady
+        state on both engines."""
+        import datetime
+
+        d0 = datetime.date(2021, 1, 1)
+        rows = [
+            (
+                (d0 + datetime.timedelta(days=i)).isoformat(),
+                (i * 7919) % 100000,
+                (i + 1) * 1000 + 500,
+                0 if i == 17 else 1000000 + (i * 31337) % 500000,
+            )
+            for i in range(40)
+        ]
+        self._compare(rows, D.staking_return_series(rows))
+
+
 class TestProposalDetail:
     def test_shape_and_golden(self, spark):
         pd = D.get_proposal_detail(spark, 1)

@@ -154,6 +154,55 @@ class TestMarketPrice:
         assert body["oneDayVariation"] == "0.6"
         assert body["oneDayVariationRate"] == "0.3278688524"
 
+    def test_variation_matches_duckdb_oracle(self, spark):
+        """Cross-engine gate for lastPrice / oneDayVariation / Rate
+        (VERDICT r10 item 6; getPrice.ts:92-116 + helper.ts:21-40
+        getOnedayBefore): DuckDB independently recomputes the fixture's
+        closed-form price walk, takes the newest price and the newest
+        at-or-before midnight-minus-one-minute, and derives the
+        variation and its rate in exact e2/e10 integer arithmetic
+        (`//` truncates toward zero, matching _money's ROUND_DOWN).
+        Every denom is compared."""
+        import duckdb
+        from decimal import Decimal
+
+        from classic_fcd_spark.sources.fixtures import (
+            EPOCH_START,
+            FIXTURE_N_PRICE_MINUTES,
+        )
+
+        n = FIXTURE_N_PRICE_MINUTES
+        now_s = EPOCH_START + (n - 1) * 60
+        day_cut = (now_s // 86400) * 86400 - 60
+        oracle = duckdb.sql(f"""
+            WITH p AS (
+                SELECT denom, m, 100 + (m * seed) % 100 AS price_e2,
+                       {EPOCH_START} + m * 60 AS epoch
+                FROM (SELECT unnest(range(0, {n})) AS m),
+                     (VALUES ('ukrw', 17), ('usdr', 29), ('uusd', 41))
+                       AS t(denom, seed)
+            ), last AS (
+                SELECT denom, price_e2 AS last_e2 FROM p WHERE m = {n - 1}
+            ), before AS (
+                SELECT denom, max_by(price_e2, m) AS before_e2
+                FROM p WHERE epoch <= {day_cut} GROUP BY denom
+            )
+            SELECT denom, last_e2, last_e2 - before_e2 AS var_e2,
+                   CAST(last_e2 - before_e2 AS HUGEINT) * 10000000000
+                     // last_e2 AS rate_e10
+            FROM last JOIN before USING (denom) ORDER BY denom
+        """).fetchall()
+        assert len(oracle) == 3
+        for denom, last_e2, var_e2, rate_e10 in oracle:
+            body = E.get_market_price(spark, denom)
+            assert round(body["lastPrice"] * 100) == int(last_e2)
+            assert int(Decimal(body["oneDayVariation"]).scaleb(10)) == int(
+                var_e2
+            ) * 10**8
+            assert int(
+                Decimal(body["oneDayVariationRate"]).scaleb(10)
+            ) == int(rate_e10)
+
     def test_interval_changes_bucketing(self, spark):
         m1 = E.get_market_price(spark, "ukrw", interval_minutes=1)
         m60 = E.get_market_price(spark, "ukrw", interval_minutes=60)
