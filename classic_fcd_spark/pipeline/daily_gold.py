@@ -1,0 +1,193 @@
+"""Composed daily gold runner — the reference's per-day cron layer as
+ONE idempotent MERGE pass (src/collector/collector.ts:50-67):
+
+  00:10  collectValidatorReturn  (staking/collectValidatorReturn.ts:
+         74-118): trailing-3-day window [asof-3, asof), one row per
+         (day, validator), an exists-guard per row unless
+         updateExisting (generateValidatorReturns:44-47)
+  00:20  collectDashboard        (dashboard/collectDashboard.ts:15-67,
+         PREVIOUS_DAYS_TO_CALCULATE=3): same trailing window, one row
+         per day, same exists-guard (":36-42)
+  13:00  collectRichList + collectUnvested (richlist.ts / unvested.ts):
+         full snapshot for asof_day, replaced wholesale (the reference
+         truncates and reloads from the day's tracking file)
+
+Each job computes its day-grain gold lazily (the same plans the gated
+fcd_dashboard / fcd_validator_returns / fcd_richlist / fcd_unvested
+queries run) and MERGEs through the crash-safe two-phase promotion
+(streaming/minute_pipeline.merge_upsert -> sources/promote.py), so a
+crash at any job boundary — or inside a promotion — converges on
+re-run: the batch twin of what streaming/block_ingest.py does for the
+per-block transaction (VERDICT r10 item 7).
+
+Scale: every MERGE touches only the window's day partitions (3-4 of
+them); the gold inputs are day-grain aggregates, so at 100 TB the read
+side is the pruned day partitions of bronze, never the table.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classic_fcd_spark.streaming.minute_pipeline import PARTITION_COL, merge_upsert
+
+DASHBOARD = "dashboard_gold"
+VALIDATOR_RETURNS = "validator_returns_gold"
+RICHLIST = "richlist_gold"
+UNVESTED = "unvested_gold"
+
+# dashboard/collectDashboard.ts:15 and collectValidatorReturn.ts:95 use
+# the same trailing recompute horizon
+PREVIOUS_DAYS_TO_CALCULATE = 3
+
+
+def _window_days(asof_day: str) -> list[str]:
+    """[asof-3, asof) — 'yesterday and the two days before', never
+    today (collectValidatorReturn.ts:107 'toTs -= 10 ... just to make
+    sure it doesn't calculate for today')."""
+    d = datetime.date.fromisoformat(asof_day)
+    return [
+        (d - datetime.timedelta(days=i)).isoformat()
+        for i in range(PREVIOUS_DAYS_TO_CALCULATE, 0, -1)
+    ]
+
+
+def _existing_days(spark: SparkSession, path: str) -> set[str]:
+    if not os.path.isdir(path) or not any(
+        f.startswith(f"{PARTITION_COL}=") for f in os.listdir(path)
+    ):
+        return set()
+    return {
+        r[0]
+        for r in spark.read.parquet(path).select(PARTITION_COL).distinct().collect()
+    }
+
+
+def _merge_window(
+    spark: SparkSession,
+    gold: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    days: list[str],
+    update_existing: bool,
+) -> None:
+    """The shared shape of the two trailing-window collectors: scope the
+    day-grain gold to the window, apply the reference's exists-guard
+    (skip days already stored unless updateExisting), MERGE by key."""
+    scoped = gold.filter(F.col("day").isin(days))
+    if not update_existing:
+        skip = _existing_days(spark, table_dir) & set(days)
+        if skip:
+            scoped = scoped.filter(~F.col("day").isin(sorted(skip)))
+    merge_upsert(spark, scoped, table_dir, keys, partition_expr=F.col("day"))
+
+
+def collect_dashboard(
+    spark: SparkSession, out_dir: str, asof_day: str, update_existing: bool = False
+) -> None:
+    """collectDashboard.ts:15-67 — the A24 assembly for the trailing
+    window, per-day MERGE."""
+    from classic_fcd_spark.queries.fcd import fcd_dashboard
+
+    gold = fcd_dashboard(spark, "").drop("max_block_ts", "max_price_ts")
+    _merge_window(
+        spark,
+        gold,
+        os.path.join(out_dir, DASHBOARD),
+        ["day"],
+        _window_days(asof_day),
+        update_existing,
+    )
+
+
+def collect_validator_returns(
+    spark: SparkSession, out_dir: str, asof_day: str, update_existing: bool = False
+) -> None:
+    """collectValidatorReturn.ts:74-118 — per-(day, validator) return
+    rows for the trailing window.  The reference's exists-guard is per
+    row within a day; rows within a day are all written in one save, so
+    the day-grain guard is equivalent for the deterministic gold."""
+    from classic_fcd_spark.queries.fcd import fcd_validator_returns
+
+    gold = fcd_validator_returns(spark, "")
+    _merge_window(
+        spark,
+        gold,
+        os.path.join(out_dir, VALIDATOR_RETURNS),
+        ["day", "operator_address"],
+        _window_days(asof_day),
+        update_existing,
+    )
+
+
+def collect_richlist(spark: SparkSession, out_dir: str, asof_day: str) -> None:
+    """richlist.ts — the day's tracking-file snapshot, stamped with the
+    collection day and replaced wholesale (MERGE by (day, denom,
+    account) over a single day partition ≡ the reference's
+    truncate-and-reload of that day)."""
+    from classic_fcd_spark.queries.fcd import fcd_richlist
+
+    snap = fcd_richlist(spark, "").select(
+        F.lit(asof_day).alias("day"),
+        F.lit("uluna").alias("denom"),
+        "account",
+        "amount",
+        "pct_e9",
+    )
+    merge_upsert(
+        spark,
+        snap,
+        os.path.join(out_dir, RICHLIST),
+        ["day", "denom", "account"],
+        partition_expr=F.col("day"),
+    )
+
+
+def collect_unvested(spark: SparkSession, out_dir: str, asof_day: str) -> None:
+    """unvested.ts — the day's vesting snapshot, per-denom totals."""
+    from classic_fcd_spark.queries.fcd import fcd_unvested
+
+    snap = fcd_unvested(spark, "").select(
+        F.lit(asof_day).alias("day"), "denom", "amount"
+    )
+    merge_upsert(
+        spark,
+        snap,
+        os.path.join(out_dir, UNVESTED),
+        ["day", "denom"],
+        partition_expr=F.col("day"),
+    )
+
+
+def run_daily_gold(
+    spark: SparkSession,
+    out_dir: str,
+    asof_day: str,
+    update_existing: bool = False,
+) -> None:
+    """One scheduled pass, in the reference's cron order (00:10 return
+    calculator, 00:20 dashboard, 13:00 richlist + vesting).  Idempotent
+    end-to-end: every sink is a keyed MERGE of deterministic day-grain
+    gold, so replaying the whole pass — or resuming after a crash at
+    any job boundary — converges to the same table bytes."""
+    collect_validator_returns(spark, out_dir, asof_day, update_existing)
+    collect_dashboard(spark, out_dir, asof_day, update_existing)
+    collect_richlist(spark, out_dir, asof_day)
+    collect_unvested(spark, out_dir, asof_day)
+
+
+def read_gold(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    """Reader with the same heal-on-open discipline as the streaming
+    tables (a crashed promotion is finished before the read)."""
+    from classic_fcd_spark.sources.promote import heal_table
+
+    path = os.path.join(out_dir, table)
+    heal_table(path)
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    return spark.read.parquet(path).drop(PARTITION_COL)
