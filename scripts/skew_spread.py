@@ -50,10 +50,11 @@ def _completed_stage_ids(spark) -> set[tuple[int, int]]:
     return {(s["stageId"], s["attemptId"]) for s in stages}
 
 
-def task_spread(spark, before: set[tuple[int, int]]) -> float | None:
-    """max/median task duration of the heaviest stage COMPLETED SINCE
-    `before` (so each variant measures only its own stages), via the UI
-    REST API (None when the UI is off or the query ran in one stage)."""
+def task_quantiles(spark, before: set[tuple[int, int]]) -> dict | None:
+    """Task-duration quantiles (p50/p99/max, ms) of the heaviest stage
+    COMPLETED SINCE `before` (so each variant measures only its own
+    stages), via the UI REST API (None when the UI is off or the query
+    ran in one stage)."""
     try:
         base = spark.sparkContext.uiWebUrl
         if not base:
@@ -69,18 +70,37 @@ def task_spread(spark, before: set[tuple[int, int]]) -> float | None:
         ]
         if not new:
             return None
-        heaviest = max(new, key=lambda s: s.get("executorRunTime", 0))
-        summ = json.load(
-            urllib.request.urlopen(
-                f"{base}/api/v1/applications/{app_id}/stages/"
-                f"{heaviest['stageId']}/{heaviest['attemptId']}/taskSummary"
-                "?quantiles=0.5,1.0"
+        # the straggler stage is the one whose WORST task is worst —
+        # total executorRunTime would pick a uniform wide scan over the
+        # skewed join stage
+        best = None
+        for s in new:
+            summ = json.load(
+                urllib.request.urlopen(
+                    f"{base}/api/v1/applications/{app_id}/stages/"
+                    f"{s['stageId']}/{s['attemptId']}/taskSummary"
+                    "?quantiles=0.5,0.99,1.0"
+                )
             )
-        )
-        med, mx = summ["duration"]
-        return round(mx / max(med, 1.0), 2)
+            p50, p99, mx = summ["duration"]
+            if best is None or mx > best[2]:
+                best = (p50, p99, mx)
+        p50, p99, mx = best
+        return {
+            "task_p50_ms": round(p50, 1),
+            "task_p99_ms": round(p99, 1),
+            "task_max_ms": round(mx, 1),
+            "spread": round(mx / max(p50, 1.0), 2),
+        }
     except Exception:  # noqa: BLE001 — measurement is best-effort
         return None
+
+
+def task_spread(spark, before: set[tuple[int, int]]) -> float | None:
+    """max/median task duration of the heaviest stage since `before`
+    (kept for the r6 events-mode output format)."""
+    q = task_quantiles(spark, before)
+    return q["spread"] if q else None
 
 
 def partition_spread(joined) -> float:
@@ -93,6 +113,103 @@ def partition_spread(joined) -> float:
         .collect()
     ]
     return round(max(counts) / (sum(counts) / len(counts)), 2)
+
+
+def account_mode() -> None:
+    """The exchange-wallet regime (VERDICT r10 item 2): ONE account on
+    ~20% of account_tx rows (src/service/transaction/getTxList.ts:
+    152-153's forced-bitmap-scan workload), zipf tail behind it.
+
+    Measured, AQE OFF unless stated (p50/p99/max task ms of the
+    heaviest stage + max/mean partition rows of the join output):
+
+      counts  — the fcd_account_tx_counts shape (groupBy account):
+                EXPECTED FLAT — partial aggregation combines the hot
+                key map-side, so the shuffle never sees its row mass
+      plain   — account page join (account_tx ⋈ account dim) with the
+                hot key on ONE task
+      salted  — detect_hot_keys (Misra-Gries) → salted_join repair
+      aqe     — the same plain join under AQE skew splitting
+
+    Usage: SKEW_MODE=account [SKEW_ROWS=2000000] python scripts/skew_spread.py
+    """
+    from pyspark.sql import functions as F
+
+    from classic_fcd_spark.operators.skewjoin import detect_hot_keys, salted_join
+    from classic_fcd_spark.session import get_spark
+    from classic_fcd_spark.sources.fixtures import gen_account_tx_skewed
+
+    spark = get_spark("account_skew", extra_conf={"spark.ui.enabled": "true"})
+    n_rows = int(os.environ.get("SKEW_ROWS", "2000000"))
+    fact = gen_account_tx_skewed(spark, n_rows).repartition(32).persist()
+    n = fact.count()
+    dim = (
+        fact.select("account")
+        .distinct()
+        .withColumn("segment", F.pmod(F.hash("account"), F.lit(11)))
+        .withColumn("label", F.concat(F.lit("acct-"), F.substring("account", 7, 8)))
+        .persist()
+    )
+    n_dim = dim.count()
+    hot_n = (
+        fact.groupBy("account").count().agg(F.max("count")).collect()[0][0]
+    )
+    print(f"fact rows = {n}, dim rows = {n_dim}, hot share = {hot_n / n:.3f}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    results: dict = {"n_rows": n, "hot_share": round(hot_n / n, 3)}
+
+    # 1) the aggregation shape: partial agg absorbs the hot key
+    before = _completed_stage_ids(spark)
+    t0 = time.perf_counter()
+    n_groups = fact.groupBy("account").agg(F.count("*").alias("c")).count()
+    results["counts"] = {
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "n_groups": n_groups,
+        **(task_quantiles(spark, before) or {}),
+    }
+    print("counts", results["counts"])
+
+    t0 = time.perf_counter()
+    hot = detect_hot_keys(fact, "account")
+    results["detect_s"] = round(time.perf_counter() - t0, 3)
+    print(f"detect_hot_keys -> {len(hot)} hot key(s) in {results['detect_s']}s")
+
+    def agg_of(joined):
+        return (
+            joined.groupBy("segment")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    for name, aqe, build in [
+        ("plain", "false", lambda: fact.join(dim, "account")),
+        (
+            "salted",
+            "false",
+            lambda: salted_join(fact, dim, "account", hot, salts=SALTS),
+        ),
+        ("aqe", "true", lambda: fact.join(dim, "account")),
+    ]:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+        before = _completed_stage_ids(spark)
+        t0 = time.perf_counter()
+        rows = agg_of(build())
+        wall = round(time.perf_counter() - t0, 3)
+        results[name] = {
+            "wall_s": wall,
+            **(task_quantiles(spark, before) or {}),
+            "partition_spread": partition_spread(build()),
+            "checksum": sum(r["n"] for r in rows),
+        }
+        print(name, results[name])
+
+    assert results["plain"]["checksum"] == results["salted"]["checksum"], (
+        "salted join changed the row multiset!"
+    )
+    print(json.dumps(results))
 
 
 def main() -> None:
@@ -185,4 +302,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SKEW_MODE") == "account":
+        account_mode()
+    else:
+        main()

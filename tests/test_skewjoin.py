@@ -123,3 +123,77 @@ class TestAutoSaltedJoin:
         # degenerate path: no __salt machinery in the plan
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "__salt" not in plan
+
+
+class TestExchangeAccountSkew:
+    """The realistic corpus (VERDICT r10 item 2): ONE exchange account
+    on ~20% of account_tx rows with a zipf tail behind it — the shape
+    that forced the reference's bitmap-scan hack at
+    src/service/transaction/getTxList.ts:152-153.  Asserts the
+    partition-spread repair ON that corpus; the measured task-time
+    table (p50/p99/max, 20M rows) is scripts/skew_spread.py
+    SKEW_MODE=account, recorded in BENCH_NOTES r11."""
+
+    @staticmethod
+    def _spread(df) -> float:
+        counts = [
+            r["c"]
+            for r in df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        return max(counts) / (sum(counts) / len(counts))
+
+    def test_partition_spread_repair_on_realistic_corpus(self, spark):
+        from classic_fcd_spark.operators.skewjoin import detect_hot_keys, salted_join
+        from classic_fcd_spark.sources.fixtures import (
+            EXCHANGE_ACCT_I,
+            addr_str,
+            gen_account_tx_skewed,
+        )
+
+        fact = gen_account_tx_skewed(spark, 200_000).persist()
+        dim = (
+            fact.select("account")
+            .distinct()
+            .withColumn("segment", F.pmod(F.hash("account"), F.lit(11)))
+            .persist()
+        )
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            hot = detect_hot_keys(fact, "account")
+            # MG detection surfaces the planted exchange wallet
+            assert addr_str(EXCHANGE_ACCT_I) in hot
+            plain = fact.join(dim, "account")
+            salted = salted_join(fact, dim, "account", hot, salts=16)
+            plain_spread = self._spread(plain)
+            salted_spread = self._spread(salted)
+            # hot key on one shuffle partition vs spread across salts
+            assert plain_spread > 4.0, plain_spread
+            assert salted_spread < 2.5, salted_spread
+            # exact parity: the repair changes layout, never rows
+            assert plain.count() == salted.count() == 200_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            fact.unpersist()
+            dim.unpersist()
+
+    def test_account_counts_shape_is_flat_under_skew(self, spark):
+        """fcd_account_tx_counts' groupBy(account) shape under the same
+        corpus: partial aggregation combines the hot key map-side, so
+        the shuffled rows per reduce partition stay balanced — the agg
+        path needs no salting (the join path is where the repair
+        matters)."""
+        from classic_fcd_spark.sources.fixtures import gen_account_tx_skewed
+
+        fact = gen_account_tx_skewed(spark, 200_000)
+        agg = fact.groupBy("account").agg(F.count("*").alias("n"))
+        # post-shuffle: one row per account regardless of row mass
+        spread = self._spread(agg)
+        assert spread < 2.0, spread
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "partial_count" in plan  # map-side combine is in the plan
