@@ -14,11 +14,13 @@ ONE idempotent MERGE pass (src/collector/collector.ts:50-67):
 
 Each job computes its day-grain gold lazily (the same plans the gated
 fcd_dashboard / fcd_validator_returns / fcd_richlist / fcd_unvested
-queries run) and MERGEs through the crash-safe two-phase promotion
-(streaming/minute_pipeline.merge_upsert -> sources/promote.py), so a
-crash at any job boundary — or inside a promotion — converges on
-re-run: the batch twin of what streaming/block_ingest.py does for the
-per-block transaction (VERDICT r10 item 7).
+queries run); the window collectors MERGE by key, the snapshot
+collectors REPLACE their day partition (truncate-and-reload parity),
+and both paths commit through the crash-safe two-phase promotion
+(sources/promote.py), so a crash at any job boundary — or inside a
+promotion — converges on re-run: the batch twin of what
+streaming/block_ingest.py does for the per-block transaction
+(VERDICT r10 item 7).
 
 Scale: every MERGE touches only the window's day partitions (3-4 of
 them); the gold inputs are day-grain aggregates, so at 100 TB the read
@@ -124,11 +126,39 @@ def collect_validator_returns(
     )
 
 
+def _replace_day_partition(
+    spark: SparkSession, snap: DataFrame, table_dir: str, asof_day: str
+) -> None:
+    """TRUNCATE-and-reload semantics for the snapshot tables, scoped to
+    one day partition: the reference deletes the day's rows and reloads
+    from the tracking file (richlist.ts / unvested.ts), so a row that
+    LEFT the file must not survive — an upsert-MERGE would keep it.
+    Implemented as a staged partitioned write + the crash-safe two-phase
+    partition swap (sources/promote.py): the whole day flips atomically,
+    a crash heals on the next open."""
+    import shutil
+
+    from classic_fcd_spark.sources.promote import heal_table, promote_partitions
+
+    heal_table(table_dir)
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    tmp = table_dir.rstrip("/") + "__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        snap.withColumn(PARTITION_COL, F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy(PARTITION_COL)
+        .parquet(tmp)
+    )
+    promote_partitions(tmp, table_dir, PARTITION_COL, [asof_day])
+
+
 def collect_richlist(spark: SparkSession, out_dir: str, asof_day: str) -> None:
     """richlist.ts — the day's tracking-file snapshot, stamped with the
-    collection day and replaced wholesale (MERGE by (day, denom,
-    account) over a single day partition ≡ the reference's
-    truncate-and-reload of that day)."""
+    collection day and replaced wholesale (the reference truncates the
+    day and reloads from the tracking file)."""
     from classic_fcd_spark.queries.fcd import fcd_richlist
 
     snap = fcd_richlist(spark, "").select(
@@ -138,29 +168,18 @@ def collect_richlist(spark: SparkSession, out_dir: str, asof_day: str) -> None:
         "amount",
         "pct_e9",
     )
-    merge_upsert(
-        spark,
-        snap,
-        os.path.join(out_dir, RICHLIST),
-        ["day", "denom", "account"],
-        partition_expr=F.col("day"),
-    )
+    _replace_day_partition(spark, snap, os.path.join(out_dir, RICHLIST), asof_day)
 
 
 def collect_unvested(spark: SparkSession, out_dir: str, asof_day: str) -> None:
-    """unvested.ts — the day's vesting snapshot, per-denom totals."""
+    """unvested.ts — the day's vesting snapshot, per-denom totals,
+    replaced wholesale like the richlist."""
     from classic_fcd_spark.queries.fcd import fcd_unvested
 
     snap = fcd_unvested(spark, "").select(
         F.lit(asof_day).alias("day"), "denom", "amount"
     )
-    merge_upsert(
-        spark,
-        snap,
-        os.path.join(out_dir, UNVESTED),
-        ["day", "denom"],
-        partition_expr=F.col("day"),
-    )
+    _replace_day_partition(spark, snap, os.path.join(out_dir, UNVESTED), asof_day)
 
 
 def run_daily_gold(
@@ -171,9 +190,10 @@ def run_daily_gold(
 ) -> None:
     """One scheduled pass, in the reference's cron order (00:10 return
     calculator, 00:20 dashboard, 13:00 richlist + vesting).  Idempotent
-    end-to-end: every sink is a keyed MERGE of deterministic day-grain
-    gold, so replaying the whole pass — or resuming after a crash at
-    any job boundary — converges to the same table bytes."""
+    end-to-end: every sink is a keyed MERGE or a day-partition replace
+    of deterministic day-grain gold, so replaying the whole pass — or
+    resuming after a crash at any job boundary — converges to the same
+    table bytes."""
     collect_validator_returns(spark, out_dir, asof_day, update_existing)
     collect_dashboard(spark, out_dir, asof_day, update_existing)
     collect_richlist(spark, out_dir, asof_day)

@@ -104,6 +104,37 @@ class TestDailyGold:
         dg.run_daily_gold(spark, out, ASOF)
         assert _state(spark, out) == control["state"]
 
+    def test_snapshot_replace_drops_departed_rows(self, spark, tmp_path):
+        """richlist.ts parity: the reference TRUNCATES the day and
+        reloads from the tracking file, so an account that left the
+        richlist must not survive a re-collection — replace semantics,
+        not upsert (a MERGE would keep the stale row)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from classic_fcd_spark.streaming.minute_pipeline import merge_upsert
+
+        out = str(tmp_path / "out")
+        dg.run_daily_gold(spark, out, ASOF)
+        table = os.path.join(out, dg.RICHLIST)
+        stale = spark.createDataFrame(
+            [(ASOF, "uluna", "terra1departedwhale", 999_999, 123)],
+            "day string, denom string, account string, amount long, pct_e9 long",
+        )
+        merge_upsert(
+            spark, stale, table, ["day", "denom", "account"],
+            partition_expr=F.col("day"),
+        )
+        assert any(
+            r["account"] == "terra1departedwhale"
+            for r in dg.read_gold(spark, out, dg.RICHLIST).collect()
+        )
+        dg.collect_richlist(spark, out, ASOF)  # the next day's 13:00 run
+        rows = dg.read_gold(spark, out, dg.RICHLIST).collect()
+        assert not any(r["account"] == "terra1departedwhale" for r in rows)
+        assert len(rows) > 0
+
     def test_exists_guard_skips_stored_days(self, spark, tmp_path):
         """collectDashboard.ts:36-42 parity: a stored day is left alone
         on re-run (even if its bytes diverge) unless updateExisting."""
