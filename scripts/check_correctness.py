@@ -26,6 +26,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def duck_connection() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Let a heavy oracle spill instead of dying: the checker shares its
+    # process with a local[32] Spark JVM, so DuckDB's default 80%-of-RAM
+    # budget is a fiction under load (r11: the repetition oracle OOM'd
+    # at sf0.1 mid-suite and poisoned the next four oracles' allocations)
+    con.sql("SET temp_directory = '/tmp/duckdb_spill'")
+    con.sql("SET memory_limit = '24GB'")
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(path):
