@@ -31,7 +31,10 @@ def duck_connection() -> duckdb.DuckDBPyConnection:
     # budget is a fiction under load (r11: the repetition oracle OOM'd
     # at sf0.1 mid-suite and poisoned the next four oracles' allocations)
     con.sql("SET temp_directory = '/tmp/duckdb_spill'")
-    con.sql("SET memory_limit = '24GB'")
+    # leave the JVM its share of the 128 GiB host but keep enough for
+    # the heaviest oracles (trigram/decontamination n-gram expansions
+    # need > 24 GB of unspillable hash state at sf0.1)
+    con.sql("SET memory_limit = '64GB'")
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(path):
