@@ -162,6 +162,7 @@ def duck_repetition_sql(
     counting conventions, same e6 floors."""
     toks = f"regexp_split_to_array(trim({text_col}), ' +')"
     ns = ", ".join(str(n) for n in (*TOP_NS, *DUP_NS))
+    max_n = max(*TOP_NS, *DUP_NS)
     top_cols = ", ".join(
         f"COALESCE(MAX(CASE WHEN n = {n} THEN top_frac_e6 END), 0) AS top{n}_frac_e6"
         for n in TOP_NS
@@ -178,17 +179,27 @@ def duck_repetition_sql(
                                           s -> trim(s)), s -> s <> '') AS lines
         FROM {table}
     ),
-    -- positions first via a LATERAL generate_series, then the gram per
-    -- (pos, n) row: the list-comprehension form materialized a
-    -- |grams|-element list per (doc, n) row and OOM'd DuckDB at sf0.1+
-    -- (r11); this shape streams (0.4 s / 2.2M grams at sf0.1)
+    -- Grams via a BOUNDED per-token window context (r11): both the
+    -- list-comprehension form and a LATERAL positions-slice form carry
+    -- the doc's FULL token array into every gram row, which multiplies
+    -- to tens of GB at sf0.1 and OOM'd DuckDB mid-suite.  Exploding
+    -- tokens once and windowing the next max(n) tokens bounds the
+    -- per-row payload to 10 tokens — 1.7 s / 2.2M grams at sf0.1.
+    tokens AS (
+        SELECT {id_col}, total_chars,
+               unnest(list_zip(t, range(1, len(t) + 1))) AS z
+        FROM base
+    ),
+    ctx AS (
+        SELECT {id_col}, total_chars,
+               list(z[1]) OVER (PARTITION BY {id_col} ORDER BY z[2]
+                    ROWS BETWEEN CURRENT ROW AND {max_n - 1} FOLLOWING) AS nxt
+        FROM tokens
+    ),
     grams AS (
-        SELECT {id_col}, total_chars, n,
-               array_to_string(t[i:i+n-1], ' ') AS g
-        FROM base,
-             LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) AS ii,
-             (SELECT unnest([{ns}]) AS n) AS nn
-        WHERE i + n - 1 <= len(t)
+        SELECT {id_col}, total_chars, n, array_to_string(nxt[1:n], ' ') AS g
+        FROM ctx, (SELECT unnest([{ns}]) AS n) AS nn
+        WHERE len(nxt) >= n
     ),
     counted AS (
         SELECT {id_col}, total_chars, n, g, COUNT(*) AS c
