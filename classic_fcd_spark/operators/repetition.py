@@ -161,8 +161,14 @@ def duck_repetition_sql(
     """DuckDB twin of repetition_signals — same tokenization, same
     counting conventions, same e6 floors."""
     toks = f"regexp_split_to_array(trim({text_col}), ' +')"
-    ns = ", ".join(str(n) for n in (*TOP_NS, *DUP_NS))
     max_n = max(*TOP_NS, *DUP_NS)
+    leads = ", ".join(f"lead(tok, {k}) OVER w AS t{k}" for k in range(1, max_n))
+    gram_branches = "\n        UNION ALL\n".join(
+        f"        SELECT {id_col}, total_chars, {n} AS n, tok || ' ' || "
+        + " || ' ' || ".join(f"t{k}" for k in range(1, n))
+        + f" AS g FROM led WHERE t{n - 1} IS NOT NULL"
+        for n in (*TOP_NS, *DUP_NS)
+    )
     top_cols = ", ".join(
         f"COALESCE(MAX(CASE WHEN n = {n} THEN top_frac_e6 END), 0) AS top{n}_frac_e6"
         for n in TOP_NS
@@ -179,47 +185,56 @@ def duck_repetition_sql(
                                           s -> trim(s)), s -> s <> '') AS lines
         FROM {table}
     ),
-    -- Grams via a BOUNDED per-token window context (r11): both the
-    -- list-comprehension form and a LATERAL positions-slice form carry
-    -- the doc's FULL token array into every gram row, which multiplies
-    -- to tens of GB at sf0.1 and OOM'd DuckDB mid-suite.  Exploding
-    -- tokens once and windowing the next max(n) tokens bounds the
-    -- per-row payload to 10 tokens — 1.7 s / 2.2M grams at sf0.1.
+    -- Grams via scalar lead() windows, NO list values anywhere (r11):
+    -- every list-carrying form (per-row gram-list comprehension,
+    -- LATERAL full-array slice, even a bounded 10-token list() window)
+    -- blew DuckDB past its memory limit at sf0.1/sf1 — list vectors
+    -- dodge its spill accounting.  lead(tok, k) columns are plain
+    -- strings, the materialized led table is columnar-compressed, and
+    -- the gram GROUP BY spills normally: 5 s / 22M grams at sf1.
     tokens AS (
-        SELECT {id_col}, total_chars,
-               unnest(list_zip(t, range(1, len(t) + 1))) AS z
+        SELECT {id_col}, total_chars, unnest(t) AS tok,
+               unnest(range(1, len(t) + 1)) AS i
         FROM base
     ),
-    ctx AS (
-        SELECT {id_col}, total_chars,
-               list(z[1]) OVER (PARTITION BY {id_col} ORDER BY z[2]
-                    ROWS BETWEEN CURRENT ROW AND {max_n - 1} FOLLOWING) AS nxt
-        FROM tokens
+    led AS MATERIALIZED (
+        SELECT {id_col}, total_chars, tok, {leads}
+        FROM tokens WINDOW w AS (PARTITION BY {id_col} ORDER BY i)
     ),
     grams AS (
-        SELECT {id_col}, total_chars, n, array_to_string(nxt[1:n], ' ') AS g
-        FROM ctx, (SELECT unnest([{ns}]) AS n) AS nn
-        WHERE len(nxt) >= n
+{gram_branches}
     ),
-    counted AS (
+    counted AS MATERIALIZED (
         SELECT {id_col}, total_chars, n, g, COUNT(*) AS c
         FROM grams GROUP BY 1, 2, 3, 4
     ),
+    -- Spark's max(struct(c, g)) winner is recomputed here TWO-PASS
+    -- (scalar MAX, then join back at c = max and break ties by MAX(g)):
+    -- DuckDB's MAX over a string-carrying struct holds per-group struct
+    -- state outside its spill accounting and OOM'd the host at sf1.
     per_doc_n AS (
         SELECT {id_col}, total_chars, n,
-               MAX(struct_pack(c := c, g := g)) AS top,
+               MAX(c) AS top_c,
                SUM(CASE WHEN c >= 2
                         THEN c * length(replace(g, ' ', '')) ELSE 0 END)
                  AS dup_chars
         FROM counted GROUP BY 1, 2, 3
     ),
+    top_g AS (
+        SELECT counted.{id_col}, counted.n, MAX(counted.g) AS g
+        FROM counted JOIN per_doc_n
+          ON counted.{id_col} = per_doc_n.{id_col}
+         AND counted.n = per_doc_n.n AND counted.c = per_doc_n.top_c
+        GROUP BY 1, 2
+    ),
     sig AS (
-        SELECT {id_col}, n,
-               CAST(floor(1000000.0 * length(replace(top.g, ' ', '')) * top.c
-                          / greatest(total_chars, 1)) AS BIGINT) AS top_frac_e6,
-               CAST(floor(1000000.0 * dup_chars
-                          / greatest(total_chars, 1)) AS BIGINT) AS dup_frac_e6
-        FROM per_doc_n
+        SELECT p.{id_col}, p.n,
+               CAST(floor(1000000.0 * length(replace(t.g, ' ', '')) * p.top_c
+                          / greatest(p.total_chars, 1)) AS BIGINT) AS top_frac_e6,
+               CAST(floor(1000000.0 * p.dup_chars
+                          / greatest(p.total_chars, 1)) AS BIGINT) AS dup_frac_e6
+        FROM per_doc_n p
+        JOIN top_g t ON p.{id_col} = t.{id_col} AND p.n = t.n
     ),
     ngram_side AS (
         SELECT {id_col}, {top_cols}, {dup_cols} FROM sig GROUP BY 1
