@@ -29,6 +29,7 @@ side is the pruned day partitions of bronze, never the table.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import os
 
@@ -36,6 +37,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from classic_fcd_spark.streaming.minute_pipeline import PARTITION_COL, merge_upsert
+
+_INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
+@contextlib.contextmanager
+def _string_partitions(spark: SparkSession):
+    """Read/write `day_pt=` dirs as strings without permanently
+    mutating the shared session (ADVICE r11: the per-call conf.set was
+    a session-wide side effect).  Partition discovery is eager at
+    spark.read.parquet, so restoring afterwards is safe."""
+    prev = spark.conf.get(_INFER_KEY, "true")
+    spark.conf.set(_INFER_KEY, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_INFER_KEY, prev)
 
 DASHBOARD = "dashboard_gold"
 VALIDATOR_RETURNS = "validator_returns_gold"
@@ -59,14 +76,26 @@ def _window_days(asof_day: str) -> list[str]:
 
 
 def _existing_days(spark: SparkSession, path: str) -> set[str]:
+    """Heal BEFORE reading (ADVICE r11): after a crashed promotion a
+    stored day parked as `day_pt=X__old` would be invisible to the
+    exists-guard and silently recomputed; finishing the swap first
+    keeps the guard's 'a stored day is left alone' contract across
+    crashes."""
+    from classic_fcd_spark.sources.promote import heal_table
+
+    heal_table(path)
     if not os.path.isdir(path) or not any(
         f.startswith(f"{PARTITION_COL}=") for f in os.listdir(path)
     ):
         return set()
-    return {
-        r[0]
-        for r in spark.read.parquet(path).select(PARTITION_COL).distinct().collect()
-    }
+    with _string_partitions(spark):
+        return {
+            r[0]
+            for r in spark.read.parquet(path)
+            .select(PARTITION_COL)
+            .distinct()
+            .collect()
+        }
 
 
 def _merge_window(
@@ -141,17 +170,15 @@ def _replace_day_partition(
     from classic_fcd_spark.sources.promote import heal_table, promote_partitions
 
     heal_table(table_dir)
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    )
     tmp = table_dir.rstrip("/") + "__tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        snap.withColumn(PARTITION_COL, F.col("day"))
-        .write.mode("overwrite")
-        .partitionBy(PARTITION_COL)
-        .parquet(tmp)
-    )
+    with _string_partitions(spark):
+        (
+            snap.withColumn(PARTITION_COL, F.col("day"))
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(tmp)
+        )
     promote_partitions(tmp, table_dir, PARTITION_COL, [asof_day])
 
 
@@ -207,7 +234,5 @@ def read_gold(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
 
     path = os.path.join(out_dir, table)
     heal_table(path)
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    )
-    return spark.read.parquet(path).drop(PARTITION_COL)
+    with _string_partitions(spark):
+        return spark.read.parquet(path).drop(PARTITION_COL)

@@ -82,8 +82,24 @@ def _promote_one(tmp: str, table_dir: str, part_col: str, value) -> None:
                 # we shoved the winner's COMPLETED dst aside (our
                 # dst→old ran after the winner finished) and then our
                 # own src→dst failed — restore the winner's result.
-                os.rename(old, dst)
+                # The restore itself can lose to a THIRD healer that
+                # re-creates dst first (ADVICE r11): re-check the end
+                # state instead of propagating — dst present means the
+                # partition is promoted, whoever put it there.
+                try:
+                    os.rename(old, dst)
+                except OSError:
+                    if not os.path.exists(dst):
+                        raise
+                    shutil.rmtree(old, ignore_errors=True)
                 return
+        # src is still staged: if we parked the live partition in
+        # __old and never filled dst, put it back before failing so
+        # the table stays readable and nothing sits in __old until
+        # the next heal (ADVICE r11).
+        if os.path.exists(old) and not os.path.exists(dst):
+            with contextlib.suppress(OSError):
+                os.rename(old, dst)
         raise
     shutil.rmtree(old, ignore_errors=True)
 

@@ -240,8 +240,8 @@ def refresh_proposal_payload(gov: GovDims, touched: DataFrame) -> DataFrame:
 def detect_proposal_ids(txs: DataFrame) -> DataFrame:
     """detectAndUpdateProposal's scan (collectProposal.ts:11-41): walk
     every log → event → attribute of the batch's txs, keep attributes
-    with key='proposal_id' whose whitespace-trimmed value is all
-    digits ('pid-3' and '12abc' are skipped, '12' kept — see the
+    with key='proposal_id' whose RAW value is a bare digit string
+    ('pid-3', '12abc', and ' 7 ' are all skipped, '12' kept — see the
     parseInt-vs-raw-fetch note below), one row per
     (proposal_id, height).  Batch-sized work: explode over the batch
     only."""
@@ -254,16 +254,14 @@ def detect_proposal_ids(txs: DataFrame) -> DataFrame:
         .select("height", F.explode("ev.attributes").alias("a"))
         .filter(F.col("a.key") == "proposal_id")
         # The reference gates on parseInt(v, 10) !== NaN but then
-        # REFRESHES by the raw attr string via lcd.getProposal, so a
-        # value like '12abc' or '0x1A' passes the gate yet fails the
-        # fetch and is effectively skipped (ADVICE r10).  Match that
-        # end-to-end behavior: trim ALL whitespace (parseInt trims
-        # \t/\n too, not just spaces) and require the WHOLE remainder
-        # to be digits — never truncate '12abc' to proposal 12.
-        .select(
-            "height",
-            F.regexp_replace(F.col("a.value"), r"^\s+|\s+$", "").alias("pid_str"),
-        )
+        # REFRESHES by the RAW attr string via lcd.getProposal, so any
+        # value that isn't already a bare digit string ('12abc',
+        # '0x1A', and whitespace-padded ' 7 ' alike) passes the gate
+        # yet fails the raw-URL fetch and is never stored (ADVICE
+        # r10/r11).  Match that end-to-end behavior by filtering the
+        # UNTRIMMED value: only /^[0-9]+$/ survives — parseInt's trim
+        # is irrelevant because the fetch doesn't trim.
+        .select("height", F.col("a.value").alias("pid_str"))
         .filter(F.col("pid_str").rlike(r"^[0-9]+$"))
     )
     return attr.select(

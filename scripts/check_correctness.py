@@ -24,17 +24,39 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _default_duckdb_mem() -> str:
+    """Half of detected host RAM, capped at 64GB (ADVICE r11: a
+    hardcoded 64GB on a smaller host RAISES the budget above DuckDB's
+    safe default and invites an OS OOM kill of the checker — derive it
+    instead, and let $DUCKDB_MEM override either way)."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(l for l in f if l.startswith("MemTotal")).split()[1])
+        return f"{max(2, min(64, kb // (2 * 1024 * 1024)))}GB"
+    except (OSError, StopIteration, ValueError):
+        return "8GB"
+
+
 def duck_connection() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     # Let a heavy oracle spill instead of dying: the checker shares its
     # process with a local[32] Spark JVM, so DuckDB's default 80%-of-RAM
     # budget is a fiction under load (r11: the repetition oracle OOM'd
     # at sf0.1 mid-suite and poisoned the next four oracles' allocations)
-    con.sql("SET temp_directory = '/tmp/duckdb_spill'")
-    # leave the JVM its share of the 128 GiB host but keep enough for
-    # the heaviest oracles (trigram/decontamination n-gram expansions
-    # need > 24 GB of unspillable hash state at sf0.1)
-    con.sql("SET memory_limit = '64GB'")
+    con.sql(
+        "SET temp_directory = '"
+        + os.environ.get("DUCKDB_SPILL", "/tmp/duckdb_spill")
+        + "'"
+    )
+    # leave the JVM its share of host RAM but keep enough for the
+    # heaviest oracles (trigram/decontamination n-gram expansions need
+    # > 24 GB of unspillable hash state at sf0.1 — on the 128 GiB
+    # bench host the derived default is the old 64GB)
+    con.sql(
+        "SET memory_limit = '"
+        + os.environ.get("DUCKDB_MEM", _default_duckdb_mem())
+        + "'"
+    )
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(path):

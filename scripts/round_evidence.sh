@@ -19,6 +19,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# An interrupted run must never leave a partial .tmp for a later
+# `git add -A` to commit (the r11 CHECK_r11_strict.txt.tmp defect) —
+# sweep every artifact tmp on ANY exit, and .gitignore *.tmp besides.
+trap 'rm -f PYTEST_*.tmp CHECK_*.tmp SUSTAINED_*.tmp BENCH_*.tmp' EXIT
+
 R="${1:?usage: round_evidence.sh <round-number>}"
 RR=$(printf "r%02d" "$R")
 strip_cr() { sed -e 's/\r[^\n]*\r//g' -e 's/\r//g'; }

@@ -182,12 +182,14 @@ class TestUnifiedIngest:
         assert _state(spark, out) == control["state"]
 
     def test_proposal_id_whitespace_and_malformed_values(self, spark):
-        """detect_proposal_ids end-to-end parity (ADVICE r10): the
+        """detect_proposal_ids end-to-end parity (ADVICE r10/r11): the
         reference's parseInt gate would truncate '12abc'→12 and
-        '0x1A'→0, but it then REFRESHES by the raw attr string, so the
-        LCD fetch fails and those proposals are never stored — our gate
-        must therefore skip them outright.  parseInt trims ALL
-        whitespace, so '\\t12\\n' IS proposal 12."""
+        '0x1A'→0 and trim ' 7 '→7, but it then REFRESHES by the RAW
+        attr string, so the LCD fetch fails for every value that isn't
+        already a bare digit string and those proposals are never
+        stored — our gate must therefore skip them all outright,
+        whitespace-padded values included (the raw-URL fetch doesn't
+        trim, so parseInt's trimming never matters end-to-end)."""
         import json
 
         def tx(h, value):
@@ -206,8 +208,8 @@ class TestUnifiedIngest:
         txs = spark.createDataFrame(
             [
                 tx(1, "12"),  # kept
-                tx(2, "\t12\n"),  # kept: parseInt trims \t and \n
-                tx(3, " 7 "),  # kept: plain spaces
+                tx(2, "\t12\n"),  # skipped: raw fetch of '\t12\n' fails
+                tx(3, " 7 "),  # skipped: raw fetch of ' 7 ' fails
                 tx(4, "12abc"),  # skipped: raw-string LCD fetch fails
                 tx(5, "0x1A"),  # skipped (parseInt(v,10) → 0, fetch '0x1A' fails)
                 tx(6, "pid-3"),  # skipped: NaN
@@ -218,7 +220,7 @@ class TestUnifiedIngest:
         got = sorted(
             tuple(r) for r in bi.detect_proposal_ids(txs).collect()
         )
-        assert got == [(7, 3), (12, 1), (12, 2)]
+        assert got == [(12, 1)]
 
     def test_proposal_detection_on_plain_tx_feed(self, spark, tmp_path, control):
         """Sink 7 on the tx feed: detected ids + refresh rows match a
