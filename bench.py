@@ -79,6 +79,9 @@ HEADLINE = [
     # registered in r11 (driver-gated slot rotation: duplicated_spans
     # rotated to extras, same workload shapes either way)
     "repetition_signals",
+    # registered in r12 (driver-gated slot rotation: bm25_search rotated
+    # to extras — the hybrid's lexical arm runs the identical bm25_topk)
+    "hybrid_rrf_search",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
     "duplicated_spans",
@@ -115,6 +118,7 @@ def _extra_workloads():
     # per-round workload set stays comparable
     from classic_fcd_spark.queries.similarity import embedding_similar_pairs
     from classic_fcd_spark.queries.text import (
+        bm25_search,
         text_features,
         token_stats_by_source,
     )
@@ -207,6 +211,11 @@ def _extra_workloads():
         # took — duplicated_spans — keeps its bench timing + in-test
         # oracle (tests/test_spans.py) here
         "duplicated_spans": duplicated_spans_q,
+        # r12 rotation: driver slot went to hybrid_rrf_search (whose
+        # lexical arm runs the identical bm25_topk plan); standalone
+        # bm25_search keeps its bench timing + in-test oracle
+        # (tests/test_bm25.py::TestBM25SearchOracle) here
+        "bm25_search": bm25_search,
         # r6 rotation: driver slot went to duplicated_spans; the PPJoin
         # plan keeps its bench timing + in-test oracle here
         "ngram_jaccard_pairs": ngram_jaccard_pairs,

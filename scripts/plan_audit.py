@@ -99,6 +99,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "approx_top_ngrams": {"global_window": "final top-20 over the bounded MG candidate set"},
     "duplicated_spans": {},
     "bm25_search": {},
+    # r12 review: the dense arm is corpus x broadcast 4-query cross
+    # (constant-bounded, the documented brute-force baseline shape —
+    # the scale path swaps in the LSH/IVF rankers, fusion unchanged)
+    "hybrid_rrf_search": {
+        "nested_loop": "corpus x broadcast 4-query dense-arm cross"
+    },
     "ccnet_perplexity": {},
     "ann_lsh_buckets": {},
     "bpe_train_50": {},

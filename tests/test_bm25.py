@@ -218,3 +218,30 @@ class TestBM25Edges:
             ).fetchall()
         }
         assert twice == want
+
+
+class TestBM25SearchOracle:
+    """bm25_search left the driver window in r12 (slot rotated to
+    hybrid_rrf_search, whose lexical arm runs the identical bm25_topk
+    plan); this is its oracle gate now — the SAME DuckDB SQL that drove
+    its green r6-r11 driver rows, at the driver's compare corpus
+    (sf0.01)."""
+
+    def test_query_matches_driver_oracle_at_sf001(self, spark):
+        from classic_fcd_spark.queries.text import (
+            BM25_SEARCH_ORACLE_SQL,
+            bm25_search,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        got = sorted(tuple(r) for r in bm25_search(spark, sf).collect())
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(BM25_SEARCH_ORACLE_SQL).fetchall()
+        )
+        assert got == want
+        assert len(got) == 40  # 4 queries x top-10
