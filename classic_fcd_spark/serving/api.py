@@ -86,6 +86,44 @@ def get_tx_list(
     }
 
 
+def enrich_account_txs(
+    account_tx: DataFrame,
+    accounts_dim: DataFrame,
+    min_share: float = 0.05,
+    salts: int = 16,
+) -> DataFrame:
+    """Account-dim enrichment of the account_tx fact — the batch join
+    behind the account tx page family (the workload of
+    src/service/transaction/getTxList.ts:152-153, where the reference
+    resorts to a bitmap-scan hint for exactly this hot-account shape):
+    every account_tx row gains its account's dim attributes
+    (labels/segments/lifetime stats) before the page extract is built.
+
+    THE exchange-regime join: one deposit-sweep account can hold ~20%
+    of all account_tx rows (measured at 20M rows — unsalted straggler
+    3.43 s, partition spread 7.15x; 16-salt repair → 1.90x, p99 −28%;
+    BENCH_NOTES r11), and a 1000-executor stage is bounded by that one
+    straggler task.  So the join runs through auto_salted_join
+    (operators/skewjoin.py): a Misra-Gries heavy-hitters pass detects
+    keys above `min_share` of the fact, and ONLY then engages the salt
+    — hot fact rows scatter over `salts` sub-keys, dim rows replicate
+    for hot keys only.  With no hot key the result IS the plain join
+    (no salt machinery in the plan; asserted in tests/test_skewjoin.py)
+    — salting is a hot-key tool, not a default, and detection costs one
+    bounded Arrow scan of the fact.  Left join: enrichment never drops
+    a fact row for a dim miss."""
+    from classic_fcd_spark.operators.skewjoin import auto_salted_join
+
+    return auto_salted_join(
+        account_tx,
+        accounts_dim,
+        "account",
+        salts=salts,
+        how="left",
+        min_share=min_share,
+    )
+
+
 def compact_msgs(txs: DataFrame, address: str) -> DataFrame:
     """P6 per-address response compaction (src/service/transaction/
     getTxList.ts:64-127 compactTransactionData): keep only the msgs that
