@@ -216,6 +216,18 @@ def get_staking_account_view(spark: SparkSession, address: str) -> dict:
         .filter(F.col("delegator_address") == address)
         .collect()
     ]
+    return _assemble_staking_view(rows, my_undelegations)
+
+
+def _assemble_staking_view(rows, my_undelegations: list[dict]) -> dict:
+    """getStaking.ts:74-90 response assembly from power-ordered
+    validator rows carrying (operator_address, moniker, voting_power,
+    my_shares-or-None): graft myDelegation/myUndelegation per
+    validator, order myDelegations by amount desc then address
+    (getMyDelegations' orderBy), delegationTotal = the reduce-plus.
+    Pure function of the collected, dim-bounded rows so the ordering
+    and total math is gated cross-engine directly
+    (tests/test_serving_e2e.py::TestStakingAccountViewOracle)."""
     validators = []
     my_delegations = []
     total = 0
@@ -708,7 +720,11 @@ def get_denom_swap_rate(spark: SparkSession, base: str) -> list[dict]:
 
     def swap_rates(prices: dict) -> dict:
         if base == "uluna":
-            return dict(prices)
+            # Decimal, not float: the reference's variation math runs in
+            # BigNumber decimal space even on this pass-through arm
+            # (minus(1.71, 1.51) is exactly 0.2; float subtraction says
+            # 0.19999999999999996 — caught by TestSwapRateOracle)
+            return {d: Decimal(str(v)) for d, v in prices.items()}
         if base not in prices:
             return {}
         pb = Decimal(str(prices[base]))

@@ -590,3 +590,250 @@ class TestUndelegationSchedule:
 
         # the synthetic balance accounts have no unbondings
         assert get_account_balance(spark, "terra1base")["unbondings"] == []
+
+
+class TestStakingAccountViewOracle:
+    """Cross-engine gate for the staking account view's delegationTotal
+    and ordering math (VERDICT r11 item 2; getStaking.ts:74-90): DuckDB
+    recomputes the per-validator share sums from the DUCK_DELEGATIONS
+    fixture twin, the power-desc validator ordering, the amount-desc
+    myDelegations ordering, and the reduce-plus total — compared against
+    the endpoint's money strings exactly."""
+
+    @staticmethod
+    def _oracle(address: str):
+        import duckdb
+
+        from classic_fcd_spark.sources.fixtures import (
+            DUCK_DELEGATIONS,
+            duck_valaddr,
+        )
+
+        sql = f"""
+        WITH {DUCK_DELEGATIONS},
+        vals AS (
+            SELECT {duck_valaddr("v")} AS op,
+                   'validator-' || v AS moniker,
+                   v * 1000 + 5000 AS power
+            FROM (SELECT unnest(range(0, 20)) AS v)
+        ),
+        mine AS (
+            SELECT validator AS op, CAST(SUM(shares) AS BIGINT) AS my_shares
+            FROM deleg WHERE delegator = '{address}' GROUP BY validator
+        )
+        SELECT v.op, v.moniker, v.power, m.my_shares
+        FROM vals v LEFT JOIN mine m USING (op)
+        ORDER BY v.power DESC, v.op
+        """
+        return duckdb.sql(sql).fetchall()
+
+    def _check(self, body: dict, want_rows: list):
+        from decimal import Decimal
+
+        # validator ordering + per-validator graft, power desc
+        assert [v["operatorAddress"] for v in body["validators"]] == [
+            r[0] for r in want_rows
+        ]
+        for got, (op, moniker, power, my_shares) in zip(
+            body["validators"], want_rows
+        ):
+            assert got["description"]["moniker"] == moniker
+            assert int(Decimal(got["votingPower"])) == power
+            if my_shares is None:
+                assert "myDelegation" not in got
+            else:
+                assert int(Decimal(got["myDelegation"])) == my_shares
+        # myDelegations: amount desc then address asc, exact amounts
+        mine = sorted(
+            ((r[3], r[0], r[1]) for r in want_rows if r[3] is not None),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [
+            (int(Decimal(d["amountDelegated"])), d["validatorAddress"],
+             d["validatorName"])
+            for d in body["myDelegations"]
+        ] == mine
+        # delegationTotal: the reduce-plus over my delegations
+        assert int(Decimal(body["delegationTotal"])) == sum(t[0] for t in mine)
+
+    def test_nonvalidator_delegator_matches_oracle(self, spark):
+        self._check(
+            E.get_staking_account_view(spark, addr_str(3)),
+            self._oracle(addr_str(3)),
+        )
+
+    def test_validator_account_delegator_matches_oracle(self, spark):
+        # the d%5==0 fixture branch: validator-account delegators sum
+        # MANY delegation rows into one validator's my_shares
+        self._check(
+            E.get_staking_account_view(spark, addr_str(1000)),
+            self._oracle(addr_str(1000)),
+        )
+
+    def test_multi_validator_ordering_matches_oracle(self):
+        """The fixture maps each delegator to ONE validator, so the
+        amount-desc ordering + total are exercised on a synthetic
+        multi-validator row set fed straight into the pure assembly —
+        DuckDB computes the expected order (shares ties break on
+        address) and total."""
+        import duckdb
+
+        from classic_fcd_spark.serving.endpoints import _assemble_staking_view
+
+        rows = [
+            {"operator_address": f"terravaloper1{i:038d}", "moniker": f"v{i}",
+             "voting_power": 9000 - i, "my_shares": s}
+            for i, s in enumerate([500, None, 700, 500, None, 12, 700])
+        ]
+        body = _assemble_staking_view(rows, [])
+        vals = ", ".join(
+            f"('{r['operator_address']}', '{r['moniker']}', {r['my_shares']})"
+            for r in rows
+            if r["my_shares"] is not None
+        )
+        want = duckdb.sql(
+            f"""
+            WITH mine(op, moniker, shares) AS (VALUES {vals})
+            SELECT op, moniker, shares FROM mine ORDER BY shares DESC, op
+            """
+        ).fetchall()
+        assert [
+            (d["validatorAddress"], d["validatorName"],
+             int(d["amountDelegated"]))
+            for d in body["myDelegations"]
+        ] == [tuple(r) for r in want]
+        total = duckdb.sql(
+            f"WITH mine(op, moniker, shares) AS (VALUES {vals}) "
+            "SELECT CAST(SUM(shares) AS BIGINT) FROM mine"
+        ).fetchone()[0]
+        assert int(body["delegationTotal"]) == total
+
+
+class TestSwapRateOracle:
+    """Cross-engine gate for the denom swap-rate probe (VERDICT r11
+    item 2; getSwapRate.ts:19-40 + helper.ts:42-60).  Two halves:
+
+    1. The SNAPSHOT derivation (latest price per denom now and at
+       midnight-minus-one-minute) is recomputed in DuckDB from the
+       minute-grid fixture arithmetic — the first-row-per-key window at
+       two cutoffs, cross-engine.
+    2. The MONEY math is an exact-rational integer oracle.  The fixture
+       price double is 1.0 + x/100.0 — TWO roundings, so it can sit one
+       ulp off the two-decimal value, and _money (like the reference's
+       BigNumber(number)) reads the double's shortest repr; the oracle
+       crosses that boundary explicitly (repr -> e17 scaled int) and
+       then truncates the exact rationals toward zero at the e10 money
+       scale with big-int arithmetic (the cross-base cross-products
+       exceed HUGEINT's 128 bits, so the trunc runs on Python ints —
+       still exact, engine-independent math).  The endpoint's 28-digit
+       Decimal divisions are correctly rounded, so trunc-of-rational
+       and trunc-of-quotient agree except within ~1e-28 of an e10 grid
+       point — unreachable for the fixture's denominators (see the
+       margin note inline)."""
+
+    @staticmethod
+    def _snapshots():
+        """(now, before) price_e2 per denom, via DuckDB windows over the
+        regenerated minute grid (the gen_prices arithmetic)."""
+        import duckdb
+
+        from classic_fcd_spark.sources.fixtures import (
+            EPOCH_START,
+            FIXTURE_N_PRICE_MINUTES,
+        )
+
+        n = FIXTURE_N_PRICE_MINUTES
+        now_s = EPOCH_START + (n - 1) * 60
+        day_cut = (now_s // 86400) * 86400 - 60
+        rows = duckdb.sql(
+            f"""
+            WITH grid AS (
+                SELECT denom, {EPOCH_START} + m * 60 AS ts,
+                       100 + (m * seed) % 100 AS p_e2
+                FROM (SELECT unnest(range(0, {n})) AS m),
+                     (SELECT * FROM (VALUES ('ukrw', 17), ('usdr', 29),
+                                            ('uusd', 41)) t(denom, seed))
+            ),
+            latest AS (
+                SELECT denom, p_e2, ROW_NUMBER() OVER (
+                    PARTITION BY denom ORDER BY ts DESC) AS rn
+                FROM grid
+            ),
+            before AS (
+                SELECT denom, p_e2, ROW_NUMBER() OVER (
+                    PARTITION BY denom ORDER BY ts DESC) AS rn
+                FROM grid WHERE ts <= {day_cut}
+            )
+            SELECT l.denom, l.p_e2 AS now_e2, b.p_e2 AS before_e2
+            FROM latest l JOIN before b USING (denom)
+            WHERE l.rn = 1 AND b.rn = 1
+            """
+        ).fetchall()
+        return {r[0]: (r[1], r[2]) for r in rows}
+
+    @staticmethod
+    def _e17(e2: int) -> int:
+        """The JS-Number/Spark-double boundary: the double the endpoint
+        sees, read back through its shortest repr (what Decimal(str(x))
+        and BigNumber(x) both consume), scaled to an exact e17 int
+        (doubles in [1, 2) have <= 16 fractional repr digits)."""
+        from decimal import Decimal
+
+        return int(Decimal(str(1.0 + (e2 - 100) / 100.0)).scaleb(17))
+
+    @staticmethod
+    def _trunc_e10(num: int, den: int) -> int:
+        """trunc-toward-zero of num/den at the e10 money scale (exact
+        big-int arithmetic; matches _money's ROUND_DOWN quantize).
+        Margin: a non-grid rational sits >= 1/(den*1e10) from any e10
+        grid point, far above the endpoint's 28-digit division error."""
+        s = -1 if (num < 0) != (den < 0) else 1
+        return s * (abs(num) * 10**10 // abs(den))
+
+    @staticmethod
+    def _money_e10(s: str) -> int:
+        from decimal import Decimal
+
+        return int(Decimal(s).scaleb(10))
+
+    def test_uluna_base_matches_oracle(self, spark):
+        snaps = self._snapshots()
+        got = {r["denom"]: r for r in E.get_denom_swap_rate(spark, "uluna")}
+        assert set(got) == set(snaps)
+        e17 = 10**17
+        for d, (now_e2, before_e2) in snaps.items():
+            nc, np_ = self._e17(now_e2), self._e17(before_e2)
+            r = got[d]
+            # identity on prices; variation = cur - prev (exact decimal
+            # subtraction in the endpoint -> exact rational here);
+            # rate = cur/prev - 1 = (cur - prev)/prev
+            assert self._money_e10(r["swaprate"]) == self._trunc_e10(nc, e17)
+            assert self._money_e10(r["oneDayVariation"]) == self._trunc_e10(
+                nc - np_, e17
+            )
+            assert self._money_e10(r["oneDayVariationRate"]) == self._trunc_e10(
+                nc - np_, np_
+            )
+
+    def test_cross_base_matches_oracle(self, spark):
+        snaps = self._snapshots()
+        base = "uusd"
+        nb, nb0 = self._e17(snaps[base][0]), self._e17(snaps[base][1])
+        got = {r["denom"]: r for r in E.get_denom_swap_rate(spark, base)}
+        assert set(got) == (set(snaps) - {base}) | {"uluna"}
+        for d, r in got.items():
+            if d == "uluna":
+                nd = nd0 = 10**17  # 1/p[base]: numerator is exactly 1
+            else:
+                nd, nd0 = self._e17(snaps[d][0]), self._e17(snaps[d][1])
+            # cur = nd/nb, prev = nd0/nb0:
+            #   variation = cur - prev = (nd*nb0 - nd0*nb) / (nb*nb0)
+            #   varrate   = cur/prev-1 = (nd*nb0 - nd0*nb) / (nd0*nb)
+            num = nd * nb0 - nd0 * nb
+            assert self._money_e10(r["swaprate"]) == self._trunc_e10(nd, nb)
+            assert self._money_e10(r["oneDayVariation"]) == self._trunc_e10(
+                num, nb * nb0
+            )
+            assert self._money_e10(r["oneDayVariationRate"]) == self._trunc_e10(
+                num, nd0 * nb
+            )
