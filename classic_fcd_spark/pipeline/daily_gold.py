@@ -118,13 +118,21 @@ def _merge_window(
 
 
 def collect_dashboard(
-    spark: SparkSession, out_dir: str, asof_day: str, update_existing: bool = False
+    spark: SparkSession,
+    out_dir: str,
+    asof_day: str,
+    update_existing: bool = False,
+    gold: DataFrame | None = None,
 ) -> None:
     """collectDashboard.ts:15-67 — the A24 assembly for the trailing
-    window, per-day MERGE."""
-    from classic_fcd_spark.queries.fcd import fcd_dashboard
+    window, per-day MERGE.  `gold` injects the day-grain dashboard gold
+    (the ingest-derived composition in tests/test_e2e_day.py feeds the
+    streamed bronze through pipeline.medallion.dashboard_gold); default
+    is the fixture-bronze plan the driver gates."""
+    if gold is None:
+        from classic_fcd_spark.queries.fcd import fcd_dashboard
 
-    gold = fcd_dashboard(spark, "").drop("max_block_ts", "max_price_ts")
+        gold = fcd_dashboard(spark, "").drop("max_block_ts", "max_price_ts")
     _merge_window(
         spark,
         gold,
@@ -136,15 +144,23 @@ def collect_dashboard(
 
 
 def collect_validator_returns(
-    spark: SparkSession, out_dir: str, asof_day: str, update_existing: bool = False
+    spark: SparkSession,
+    out_dir: str,
+    asof_day: str,
+    update_existing: bool = False,
+    gold: DataFrame | None = None,
 ) -> None:
     """collectValidatorReturn.ts:74-118 — per-(day, validator) return
     rows for the trailing window.  The reference's exists-guard is per
     row within a day; rows within a day are all written in one save, so
-    the day-grain guard is equivalent for the deterministic gold."""
-    from classic_fcd_spark.queries.fcd import fcd_validator_returns
+    the day-grain guard is equivalent for the deterministic gold.
+    `gold` injects the return rows (validator_returns_view over the
+    streamed blockreward bronze in the composed e2e day test); default
+    is the fixture-bronze driver plan."""
+    if gold is None:
+        from classic_fcd_spark.queries.fcd import fcd_validator_returns
 
-    gold = fcd_validator_returns(spark, "")
+        gold = fcd_validator_returns(spark, "")
     _merge_window(
         spark,
         gold,
@@ -214,15 +230,21 @@ def run_daily_gold(
     out_dir: str,
     asof_day: str,
     update_existing: bool = False,
+    dashboard_df: DataFrame | None = None,
+    validator_returns_df: DataFrame | None = None,
 ) -> None:
     """One scheduled pass, in the reference's cron order (00:10 return
     calculator, 00:20 dashboard, 13:00 richlist + vesting).  Idempotent
     end-to-end: every sink is a keyed MERGE or a day-partition replace
     of deterministic day-grain gold, so replaying the whole pass — or
     resuming after a crash at any job boundary — converges to the same
-    table bytes."""
-    collect_validator_returns(spark, out_dir, asof_day, update_existing)
-    collect_dashboard(spark, out_dir, asof_day, update_existing)
+    table bytes.  The two window collectors take optional gold
+    injections so the pass composes with the streamed ingest's bronze
+    (the ingest→gold seam, tests/test_e2e_day.py)."""
+    collect_validator_returns(
+        spark, out_dir, asof_day, update_existing, gold=validator_returns_df
+    )
+    collect_dashboard(spark, out_dir, asof_day, update_existing, gold=dashboard_df)
     collect_richlist(spark, out_dir, asof_day)
     collect_unvested(spark, out_dir, asof_day)
 

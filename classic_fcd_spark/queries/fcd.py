@@ -169,7 +169,15 @@ def fcd_account_tx_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(integer-µ encoding for exact cross-engine compare).",
 )
 def fcd_validator_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vr = validator_returns_gold(gen_blocks(spark), gen_validators(spark))
+    return validator_returns_view(gen_blocks(spark), gen_validators(spark))
+
+
+def validator_returns_view(blocks: DataFrame, validators: DataFrame) -> DataFrame:
+    """The gated A13/J5/A14 select over ANY reward-event block source —
+    shared by the fixture-bronze driver row above and the ingest-derived
+    daily-gold composition (tests/test_e2e_day.py runs it over the
+    streamed blockreward bronze)."""
+    vr = validator_returns_gold(blocks, validators)
     return vr.select(
         "day",
         "operator_address",
