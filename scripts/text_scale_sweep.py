@@ -80,7 +80,19 @@ PAIR_QUERIES = [
     "minhash_lsh_near_dups",
     "ngram_jaccard_pairs",
     "embedding_similar_pairs",
+    # r12 (VERDICT r11 item 4): the heaviest text workload on the board
+    # (15.1 s at sf1 = 6.9x on 10x rows, the suite's steepest ratio) —
+    # per-doc signals, so rows grow exactly linearly in copies; variety
+    # mode keeps the copies' gram vocabularies disjoint, so the
+    # two-pass top-gram join sees no cross-copy gram growing hot.  The
+    # LINEAR_BAND assert below turns the ratio into a gate.
+    "repetition_signals",
 ]
+
+# in-script linear-band gates (VERDICT r11 item 4): wall-time ratio on
+# a COPIES-x corpus must stay within BAND x COPIES — a miss means the
+# plan grew superlinear in rows (hidden quadratic / hot key), not noise
+LINEAR_BAND = {"repetition_signals": 1.5}
 QUERIES = [
     "duplicated_spans",
     "bm25_search",
@@ -228,6 +240,12 @@ def main() -> None:
             f"{big}_rows": times[big][1],
         }
         print(name, results[name])
+        if name in LINEAR_BAND:
+            cap = LINEAR_BAND[name] * COPIES
+            assert ratio <= cap, (
+                f"{name}: x{COPIES} ratio {ratio} exceeds the linear "
+                f"band {cap} — the plan is superlinear in rows"
+            )
 
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(results))
