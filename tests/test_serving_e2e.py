@@ -837,3 +837,122 @@ class TestSwapRateOracle:
             assert self._money_e10(r["oneDayVariationRate"]) == self._trunc_e10(
                 num, nd0 * nb
             )
+
+
+class TestVotesPageOracle:
+    """Cross-engine gate for the votes page's dedupe/filter/paging math
+    (getVotes.ts:41-79): DuckDB recomputes, from the DUCK_VOTES fixture
+    twin, (1) the LATEST vote per voter, (2) the option filter applied
+    AFTER the dedupe, (3) totalCnt of the filtered set, (4) the
+    newest-first drop/take page — compared against the endpoint's
+    response exactly, page by page."""
+
+    @staticmethod
+    def _oracle(proposal_id: int, option, page: int, limit: int):
+        import duckdb
+
+        from classic_fcd_spark.sources.fixtures import DUCK_VOTES
+
+        opt = f"WHERE option = '{option}'" if option else ""
+        sql = f"""
+        WITH {DUCK_VOTES},
+        latest AS (
+            SELECT vote_id, voter, option FROM (
+                SELECT vote_id, voter, option, ROW_NUMBER() OVER (
+                    PARTITION BY voter ORDER BY vote_id DESC) AS rn
+                FROM votes WHERE proposal_id = {proposal_id}
+            ) WHERE rn = 1
+        ),
+        filtered AS (SELECT * FROM latest {opt})
+        SELECT (SELECT COUNT(*) FROM filtered) AS total_cnt, voter, option
+        FROM filtered
+        ORDER BY vote_id DESC
+        LIMIT {limit} OFFSET {(page - 1) * limit}
+        """
+        rows = duckdb.sql(sql).fetchall()
+        total = rows[0][0] if rows else duckdb.sql(
+            f"WITH {DUCK_VOTES}, latest AS (SELECT voter, option FROM ("
+            f"SELECT voter, option, ROW_NUMBER() OVER (PARTITION BY voter "
+            f"ORDER BY vote_id DESC) AS rn FROM votes WHERE proposal_id = "
+            f"{proposal_id}) WHERE rn = 1) SELECT COUNT(*) FROM latest {opt}"
+        ).fetchone()[0]
+        return total, [(r[1], r[2]) for r in rows]
+
+    def _check_page(self, spark, pid, option, page, limit):
+        body = E.get_proposal_votes(spark, pid, page=page, limit=limit,
+                                    option=option)
+        total, want = self._oracle(pid, option, page, limit)
+        assert body["totalCnt"] == total
+        assert [
+            (v["voter"]["accountAddress"], v["answer"]) for v in body["votes"]
+        ] == want
+
+    def test_all_pages_match_oracle(self, spark):
+        # walk every page of proposal 1 (limit 7 -> uneven last page)
+        total, _ = self._oracle(1, None, 1, 7)
+        pages = (total + 6) // 7 + 1  # one past the end: empty page
+        for page in range(1, pages + 1):
+            self._check_page(spark, 1, None, page, 7)
+
+    def test_option_filter_after_dedupe_matches_oracle(self, spark):
+        for option in ("Yes", "No", "NoWithVeto", "Abstain"):
+            self._check_page(spark, 1, option, 1, 10)
+
+
+class TestDepositsPageOracle:
+    """Cross-engine gate for the deposits page (getDeposits.ts:30-57):
+    DuckDB regenerates the deposits fixture arithmetic (the same
+    expressions gen_deposits evaluates in Spark) and recomputes the
+    newest-first drop/take page with the Coin[] amounts — totalCnt,
+    page membership, order, and every coin amount compared exactly."""
+
+    @staticmethod
+    def _oracle(proposal_id: int, page: int, limit: int):
+        import duckdb
+
+        from classic_fcd_spark.sources.fixtures import (
+            FIXTURE_N_DEPOSITS,
+            FIXTURE_N_PROPOSALS,
+            duck_addr,
+        )
+
+        sql = f"""
+        WITH deps AS (
+            SELECT d AS deposit_id, d % {FIXTURE_N_PROPOSALS} AS proposal_id,
+                   CASE WHEN d % 4 = 0 THEN {duck_addr("(d % 20) + 1000")}
+                        ELSE {duck_addr("d % 30")} END AS depositor,
+                   CASE WHEN d % 3 = 0
+                        THEN [CAST(d * 700 % 5000 + 100 AS VARCHAR),
+                              CAST(d * 1300 % 9000 + 500 AS VARCHAR)]
+                        ELSE [CAST(d * 700 % 5000 + 100 AS VARCHAR)] END
+                       AS amounts
+            FROM (SELECT unnest(range(0, {FIXTURE_N_DEPOSITS})) AS d)
+        ),
+        scoped AS (SELECT * FROM deps WHERE proposal_id = {proposal_id})
+        SELECT (SELECT COUNT(*) FROM scoped) AS total_cnt, depositor, amounts
+        FROM scoped ORDER BY deposit_id DESC
+        LIMIT {limit} OFFSET {(page - 1) * limit}
+        """
+        rows = duckdb.sql(sql).fetchall()
+        import duckdb as _d
+
+        total = rows[0][0] if rows else _d.sql(
+            f"SELECT COUNT(*) FROM (SELECT unnest(range(0, "
+            f"{FIXTURE_N_DEPOSITS})) AS d) WHERE d % {FIXTURE_N_PROPOSALS} "
+            f"= {proposal_id}"
+        ).fetchone()[0]
+        return total, [(r[1], list(r[2])) for r in rows]
+
+    def test_pages_match_oracle(self, spark):
+        for page in (1, 2, 3):
+            body = E.get_proposal_deposits(spark, 2, page=page, limit=2)
+            total, want = self._oracle(2, page, 2)
+            assert body["totalCnt"] == total
+            got = [
+                (
+                    d["depositor"]["accountAddress"],
+                    [c["amount"] for c in d["deposit"]],
+                )
+                for d in body["deposits"]
+            ]
+            assert got == want
