@@ -91,7 +91,12 @@ PAIR_QUERIES = [
 
 # in-script linear-band gates (VERDICT r11 item 4): wall-time ratio on
 # a COPIES-x corpus must stay within BAND x COPIES — a miss means the
-# plan grew superlinear in rows (hidden quadratic / hot key), not noise
+# plan grew superlinear in rows (hidden quadratic / hot key), not noise.
+# Queries listed here are timed under FULL-COLUMN evaluation (a
+# sum-of-xxhash64 over every output column), not .count(): repetition's
+# output is one row per doc, so count() lets Catalyst PRUNE the nine
+# per-n fraction aggregates and times the groupBy skeleton only (a
+# measured 0.56 s at x100 vs 34x that with the payload computed).
 LINEAR_BAND = {"repetition_signals": 1.5}
 QUERIES = [
     "duplicated_spans",
@@ -226,7 +231,19 @@ def main() -> None:
             best = None
             for _ in range(2):  # min-of-2 (the bench's noise policy)
                 t0 = time.perf_counter()
-                n = fn(spark, d).count()
+                df = fn(spark, d)
+                if name in LINEAR_BAND:
+                    from pyspark.sql import functions as F
+
+                    row = df.agg(
+                        F.count("*").alias("n"),
+                        # bit_xor, not sum: 500k hash longs overflow an
+                        # ANSI-mode SUM
+                        F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+                    ).collect()[0]
+                    n = row["n"]
+                else:
+                    n = df.count()
                 t = time.perf_counter() - t0
                 best = t if best is None else min(best, t)
             times[label] = (round(best, 2), n)
