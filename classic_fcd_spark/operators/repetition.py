@@ -26,12 +26,16 @@ is the full Gopher SIGNAL TABLE — all nine n's by character mass —
 for threshold tuning, corpus QA, and per-source reporting, where the
 extra explode is the right trade.
 
-Scale: ONE explode over (doc, n, gram) for all nine n-gram signals —
-the gram stream is ~9x the token count — then one (doc_id, n, gram)
-count and one per-(doc, n) aggregate: two shuffles total regardless of
-how many n's ride along, never a per-n pass.  The line signals are a
-pure per-row HOF pass (no shuffle).  Nothing is quadratic; nothing
-collects.
+Scale (r12 rewrite): every signal is a PER-DOCUMENT quantity, so no
+gram ever needs to leave its row — each n's counting is a sorted-run
+fold over the doc's own gram array (_ngram_fold: array_sort, then one
+sequential F.aggregate whose run lengths ARE the occurrence counts),
+and the whole nine-signal table is ONE projection over the doc scan.
+Zero shuffles; parallelism = input splits.  The r11 form exploded
+(doc, n, gram) — a ~9x-token gram stream — through two shuffles; at
+the x100 variety sweep the fold plan cut 178 s to 83 s, and at 100 TB
+it removes the largest text exchange outright.  The line signals are
+the same HOF discipline.  Nothing is quadratic; nothing collects.
 """
 
 from __future__ import annotations
@@ -50,83 +54,108 @@ def _nonspace_len(col) -> Column:
     return F.length(F.regexp_replace(col, " ", ""))
 
 
+def _ngram_fold(toks, n: int) -> Column:
+    """struct(top_chars, dup_chars) for width-n word grams of ONE doc:
+    sort the gram array, then a single sequential fold over adjacent
+    runs — a run's length IS the gram's occurrence count, so the most
+    frequent gram (max by (count, gram), the same tiebreak as
+    max(struct(c, g))) and the duplicated-gram char mass both fall out
+    of one O(m log m) per-row scan.  No (doc, gram) state ever leaves
+    the row."""
+    grams = (
+        F.when(
+            F.size(toks) >= n,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - F.lit(1))),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_c"),
+        F.lit(None).cast("string").alias("best_g"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    # tokens come from a split on " +" so they are space-free, and a
+    # width-n gram joins them with exactly n-1 single spaces:
+    # nonspace_len(gram) == length(gram) - (n-1), no regexp per close
+    def _gram_chars(g):
+        return F.length(g) - F.lit(n - 1)
+
+    def _close(acc):
+        """Fold the OPEN run into (dup, best) — on gram change and at
+        finish.  First close: best_g is null but best_c = 0 < run, so
+        the count branch decides and the null comparison never gates."""
+        dup2 = acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * _gram_chars(acc["prev"])
+        ).otherwise(F.lit(0))
+        better = (acc["run"] > acc["best_c"]) | (
+            (acc["run"] == acc["best_c"]) & (acc["prev"] > acc["best_g"])
+        )
+        best_c2 = F.when(better, acc["run"]).otherwise(acc["best_c"])
+        best_g2 = F.when(better, acc["prev"]).otherwise(acc["best_g"])
+        return dup2, best_c2, best_g2
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        dup2, best_c2, best_g2 = _close(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["best_c"]).otherwise(best_c2).alias("best_c"),
+            F.when(same, acc["best_g"]).otherwise(best_g2).alias("best_g"),
+            F.when(same, acc["dup"]).otherwise(dup2).alias("dup"),
+        )
+
+    def finish(acc):
+        dup2, best_c2, best_g2 = _close(acc)
+        top_chars = F.when(
+            best_g2.isNotNull(), best_c2 * _gram_chars(best_g2)
+        ).otherwise(F.lit(0)).cast("long")
+        return F.struct(
+            top_chars.alias("top_chars"),
+            dup2.cast("long").alias("dup_chars"),
+        )
+
+    return F.aggregate(grams, init, step, finish)
+
+
 def repetition_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """One row per doc: top{2,3,4}_frac_e6, dup{5..10}_frac_e6,
     dup_line_frac_e6, dup_line_char_frac_e6.  Docs shorter than an
-    n-gram width contribute 0 for that signal (nothing is repeated)."""
-    toks = ws_tokens(text_col)
-    # (n, gram) pairs for every n in one array -> ONE explode total.
-    # Non-distinct grams (unlike dedup.word_shingles): repetition IS
-    # the multiplicity.
-    per_n = F.transform(
-        F.array(*[F.lit(n) for n in (*TOP_NS, *DUP_NS)]),
-        lambda n: F.struct(
-            n.alias("n"),
-            F.when(
-                F.size(toks) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (n - F.lit(1))),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "),
-                ),
-            )
-            .otherwise(F.array().cast("array<string>"))
-            .alias("grams"),
-        ),
-    )
-    grams = (
-        docs.select(
-            F.col(id_col),
-            _nonspace_len(text_col).alias("total_chars"),
-            F.explode(per_n).alias("ng"),
-        )
-        .select(id_col, "total_chars", F.col("ng.n").alias("n"),
-                F.explode("ng.grams").alias("g"))
-    )
-    counted = grams.groupBy(id_col, "total_chars", "n", "g").agg(
-        F.count("*").alias("c")
-    )
-    charlen = _nonspace_len(F.col("g"))
-    per_doc_n = counted.groupBy(id_col, "total_chars", "n").agg(
-        # most frequent gram's char mass: max by (count, gram) — the
-        # gram string as deterministic tiebreak — then charlen x count
-        # of the winner
-        F.max(F.struct(F.col("c"), F.col("g"))).alias("top"),
-        F.sum(
-            F.when(F.col("c") >= 2, F.col("c") * charlen).otherwise(F.lit(0))
-        ).alias("dup_chars"),
-    )
-    top_chars = _nonspace_len(F.col("top.g")) * F.col("top.c")
-    frac = lambda chars: F.floor(  # noqa: E731
-        F.lit(E6) * chars / F.greatest(F.col("total_chars"), F.lit(1))
-    ).cast("long")
-    sig = per_doc_n.select(
-        id_col,
-        "n",
-        frac(top_chars).alias("top_frac_e6"),
-        frac(F.col("dup_chars")).alias("dup_frac_e6"),
-    )
-    pivoted = (
-        sig.groupBy(id_col)
-        .pivot("n", [*TOP_NS, *DUP_NS])
-        .agg(F.first(F.when(F.col("n").isin(*TOP_NS), F.col("top_frac_e6"))
-                     .otherwise(F.col("dup_frac_e6"))))
-    )
-    cols = [F.col(id_col)]
-    for n in TOP_NS:
-        cols.append(F.coalesce(str(n), F.lit(0)).alias(f"top{n}_frac_e6"))
-    for n in DUP_NS:
-        cols.append(F.coalesce(str(n), F.lit(0)).alias(f"dup{n}_frac_e6"))
-    ngram_side = pivoted.select(*cols)
+    n-gram width contribute 0 for that signal (nothing is repeated).
 
-    # line signals: per-row HOF pass, no shuffle
+    ZERO-SHUFFLE plan (r12; the r11 form exploded (doc, n, gram) and
+    paid two shuffles over a ~9x-token gram stream): every signal is a
+    per-doc quantity, so each n's gram counting runs as a sorted-run
+    fold INSIDE the row (_ngram_fold) and the whole table is one
+    projection over the doc scan — at 100 TB the operator scales with
+    the scan, not with a 9x-token exchange.  Same bit-exact e6 outputs
+    (driver oracle + hand-computed pins unchanged)."""
+    toks = ws_tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        toks.alias("__toks"),
+        _nonspace_len(text_col).alias("__total"),
+    )
+    frac = lambda chars: F.floor(  # noqa: E731
+        F.lit(E6) * chars / F.greatest(F.col("__total"), F.lit(1))
+    ).cast("long")
+
+    # line signals: per-row HOF pass (unchanged from r10)
     lines = F.filter(
-        F.transform(F.split(text_col, "\n"), lambda s: F.trim(s)),
+        F.transform(F.split(F.col("__text"), "\n"), lambda s: F.trim(s)),
         lambda s: s != "",
     )
-    # a line is a duplicate iff an EARLIER identical line exists, i.e.
-    # occurrences beyond the first: dup_count(l) = count(l) - distinct
     uniq = F.array_distinct(lines)
     n_lines = F.size(lines)
     n_dup_lines = n_lines - F.size(uniq)
@@ -136,23 +165,32 @@ def repetition_signals(
     uniq_chars = F.aggregate(
         uniq, F.lit(0).cast("long"), lambda a, s: a + F.length(s)
     )
-    line_side = docs.select(
+
+    cols = [
         F.col(id_col),
-        F.floor(
-            F.lit(E6) * n_dup_lines / F.greatest(n_lines, F.lit(1))
-        ).cast("long").alias("dup_line_frac_e6"),
+        F.floor(F.lit(E6) * n_dup_lines / F.greatest(n_lines, F.lit(1)))
+        .cast("long")
+        .alias("dup_line_frac_e6"),
         F.floor(
             F.lit(E6) * (all_chars - uniq_chars)
             / F.greatest(all_chars, F.lit(1))
-        ).cast("long").alias("dup_line_char_frac_e6"),
-    )
-    # docs too short for any n-gram have no ngram_side row: left join
-    # from the full doc set and zero-fill
-    out = line_side.join(ngram_side, id_col, "left").na.fill(
-        {f"top{n}_frac_e6": 0 for n in TOP_NS}
-        | {f"dup{n}_frac_e6": 0 for n in DUP_NS}
-    )
-    return out
+        )
+        .cast("long")
+        .alias("dup_line_char_frac_e6"),
+    ]
+    for n in TOP_NS:
+        cols.append(
+            frac(_ngram_fold(F.col("__toks"), n)["top_chars"]).alias(
+                f"top{n}_frac_e6"
+            )
+        )
+    for n in DUP_NS:
+        cols.append(
+            frac(_ngram_fold(F.col("__toks"), n)["dup_chars"]).alias(
+                f"dup{n}_frac_e6"
+            )
+        )
+    return base.select(*cols)
 
 
 def duck_repetition_sql(

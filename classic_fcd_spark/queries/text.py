@@ -159,16 +159,25 @@ def _repetition_oracle() -> str:
     "A1.1; operators/repetition.py): top{2,3,4}-gram and "
     "duplicate-{5..10}-gram character fractions plus duplicate-line "
     "fractions, e6-floored per row so the cross-engine hash is exact.  "
-    "ONE explode materializes the (n, gram) pairs for all nine n's, two "
-    "shuffles total (gram count + per-doc pivot); the line signals are "
-    "HOF-only, shuffle-free.  Driver-gated since r11 (slot rotated from "
+    "ZERO-SHUFFLE since r12: every signal is per-doc, so each n's gram "
+    "counting is a sorted-run fold inside the row and the whole table "
+    "is one projection over the doc scan (r11's explode paid two "
+    "shuffles over a ~9x-token gram stream; measured 178 s -> 83 s at "
+    "the x100 sweep).  Driver-gated since r11 (slot rotated from "
     "duplicated_spans — its windowed-count pattern kin, which keeps the "
     "same DuckDB oracle as an in-test gate, tests/test_spans.py)."
     ,
 )
 def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation drop rule rides pipeline/curation.py like the other
-    quality signals.  See the operator docstring for the 100 TB shape."""
+    quality signals.  See the operator docstring for the 100 TB shape.
+
+    The repartition exists for the FIXTURE corpora only: the fold plan
+    parallelizes by input split, and a small single-row-group parquet
+    file is one unsplittable task (minPartitionNum can't cut inside a
+    row group).  On a real corpus (thousands of row groups) the scan
+    already fans out and a caller should feed `repetition_signals` the
+    raw scan — zero shuffles end to end."""
     from classic_fcd_spark.operators.repetition import repetition_signals
 
     docs = load_tables(spark, sf_dir)["documents"]
