@@ -118,3 +118,76 @@ class TestDuckOracle:
             for r in con.sql(duck_repetition_sql()).fetchall()
         }
         assert got == want
+
+
+class TestFoldReference:
+    """The r12 zero-shuffle fold vs an independent pure-Python
+    reference: the sorted-run fold must produce the same nine signals
+    as direct Counter-based counting for ADVERSARIAL token sequences —
+    tie-heavy, single-token, all-identical, and randomized docs (a
+    deterministic seeded batch, not the sf corpus the oracle already
+    gates)."""
+
+    @staticmethod
+    def _py_signals(text: str) -> dict:
+        import math
+        from collections import Counter
+
+        toks = text.strip().split()
+        total = max(len(text.replace(" ", "")), 1)
+        out = {}
+        for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ] if len(toks) >= n else []
+            c = Counter(grams)
+            if c:
+                # max by (count, gram) — the engine's tiebreak
+                top_c, top_g = max((v, g) for g, v in c.items())
+                top_chars = len(top_g.replace(" ", "")) * top_c
+            else:
+                top_chars = 0
+            dup_chars = sum(
+                v * len(g.replace(" ", "")) for g, v in c.items() if v >= 2
+            )
+            if n in (2, 3, 4):
+                out[f"top{n}_frac_e6"] = math.floor(1e6 * top_chars / total)
+            else:
+                out[f"dup{n}_frac_e6"] = math.floor(1e6 * dup_chars / total)
+        return out
+
+    def _check(self, spark, texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = _rows(repetition_signals(docs))
+        for i, text in enumerate(texts):
+            want = self._py_signals(text)
+            d = dict(zip(COLS, got[i]))
+            for k, v in want.items():
+                assert d[k] == v, (i, k, d[k], v, text[:60])
+
+    def test_adversarial_shapes(self, spark):
+        self._check(
+            spark,
+            [
+                "",                          # empty
+                "x",                         # single token
+                "a a a a a a a a a a a a",   # one gram repeated, every n
+                "a b a b c a b a b c a b",   # overlapping runs + ties
+                "aa bb aa bb aa bb cc dd",   # 2-char tokens
+                "z y x w v u t s r q p o",   # all-unique: every dup = 0
+                "a b c " * 40,               # long pure-period doc
+            ],
+        )
+
+    def test_seeded_random_docs(self, spark):
+        import random
+
+        rng = random.Random(0xC0FFEE)
+        vocab = ["a", "b", "c", "dd", "ee", "fff", "gg"]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60)))
+            for _ in range(200)
+        ]
+        self._check(spark, texts)
