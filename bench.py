@@ -82,6 +82,12 @@ HEADLINE = [
     # registered in r12 (driver-gated slot rotation: bm25_search rotated
     # to extras — the hybrid's lexical arm runs the identical bm25_topk)
     "hybrid_rrf_search",
+    # registered in r13 (driver-gated slot rotation: fcd_tx_by_hash
+    # rotated to extras): the MG-gated salted account-dim enrichment —
+    # the salt ENGAGES on this fixture's planted exchange wallet, so the
+    # timing includes the detection pass + the salted shuffle
+    "fcd_account_txs_enriched",
+    "fcd_tx_by_hash",
     # unregistered bench-only workloads (resolved via _extra_workloads)
     "revenue_by_nation",
     "duplicated_spans",
@@ -109,6 +115,7 @@ def _extra_workloads():
     from classic_fcd_spark.queries.fcd import (
         fcd_avg_staking_daily,
         fcd_cumulative_rewards,
+        fcd_tx_by_hash,
         fcd_validator_annual_return,
     )
 
@@ -216,6 +223,11 @@ def _extra_workloads():
         # bm25_search keeps its bench timing + in-test oracle
         # (tests/test_bm25.py::TestBM25SearchOracle) here
         "bm25_search": bm25_search,
+        # r13 rotation: driver slot went to fcd_account_txs_enriched
+        # (the salted enrichment workload); the point lookup keeps its
+        # bench timing + in-test oracle
+        # (tests/test_fcd_pipeline.py::TestTxByHashOracle) here
+        "fcd_tx_by_hash": fcd_tx_by_hash,
         # r6 rotation: driver slot went to duplicated_spans; the PPJoin
         # plan keeps its bench timing + in-test oracle here
         "ngram_jaccard_pairs": ngram_jaccard_pairs,

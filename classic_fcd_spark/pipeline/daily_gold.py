@@ -46,7 +46,16 @@ def _string_partitions(spark: SparkSession):
     """Read/write `day_pt=` dirs as strings without permanently
     mutating the shared session (ADVICE r11: the per-call conf.set was
     a session-wide side effect).  Partition discovery is eager at
-    spark.read.parquet, so restoring afterwards is safe."""
+    spark.read.parquet, so restoring afterwards is safe.
+
+    NOT re-entrant across jobs (ADVICE r12): the toggle is a
+    session-global conf, so a CONCURRENT job on the same SparkSession
+    would see inference disabled during this window (and interleaved
+    enters/exits could restore out of order).  Acceptable under the
+    gold layer's documented single-writer contract — the daily pass is
+    the cron singleton (collector.ts runs one scheduler) — but callers
+    embedding run_daily_gold in a multi-tenant session should serialize
+    around it."""
     prev = spark.conf.get(_INFER_KEY, "true")
     spark.conf.set(_INFER_KEY, "false")
     try:

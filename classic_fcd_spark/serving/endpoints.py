@@ -32,9 +32,10 @@ reference's BigNumber default precision differs in trailing digits only.
 
 from __future__ import annotations
 
+import contextlib
 from decimal import ROUND_DOWN, Decimal
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from classic_fcd_spark.sources.fixtures import (
@@ -469,6 +470,58 @@ def get_proposals_listing(spark: SparkSession) -> list[dict]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Bronze-source seam (r13, VERDICT r12 item 2): in production the
+# dashboard/account endpoint family reads STORED bronze/silver tables
+# written by the streaming ingest; the fixture generators stand in for
+# those tables in the default (test/demo) deployment.  bronze_sources()
+# swaps the stored tables in for a scope — the day-in-the-life e2e pins
+# endpoint responses over the INGESTED tables against the fixture-bronze
+# twins (the engine's analogue of dashboard.spec.ts running over a
+# freshly collected database).  Same single-writer/serial contract as
+# the rest of the serving layer: the override dict is module-global, so
+# concurrent multi-tenant sessions should not interleave scopes.
+# ---------------------------------------------------------------------------
+_SOURCE_OVERRIDES: dict[str, DataFrame] = {}
+
+
+@contextlib.contextmanager
+def bronze_sources(
+    txs: DataFrame | None = None,
+    blocks: DataFrame | None = None,
+    account_tx: DataFrame | None = None,
+):
+    """Scope the endpoint family onto stored bronze/silver tables:
+    `txs` (tx bronze), `blocks` (block bronze with reward events),
+    `account_tx` (the account_tx silver — pass the streamed one to skip
+    re-deriving the regex address walk the ingest already paid for)."""
+    prev = dict(_SOURCE_OVERRIDES)
+    for k, v in (("txs", txs), ("blocks", blocks), ("account_tx", account_tx)):
+        if v is not None:
+            _SOURCE_OVERRIDES[k] = v
+    try:
+        yield
+    finally:
+        _SOURCE_OVERRIDES.clear()
+        _SOURCE_OVERRIDES.update(prev)
+
+
+def _txs_bronze(spark: SparkSession) -> DataFrame:
+    if "txs" in _SOURCE_OVERRIDES:
+        return _SOURCE_OVERRIDES["txs"]
+    from classic_fcd_spark.sources.fixtures import gen_txs
+
+    return gen_txs(spark)
+
+
+def _blocks_bronze(spark: SparkSession) -> DataFrame:
+    if "blocks" in _SOURCE_OVERRIDES:
+        return _SOURCE_OVERRIDES["blocks"]
+    from classic_fcd_spark.sources.fixtures import gen_blocks
+
+    return gen_blocks(spark)
+
+
 def _day_ms(day: str) -> int:
     """'yyyy-MM-dd' -> epoch milliseconds at UTC midnight (the reference
     serializes Date.getTime() of the day's timestamp)."""
@@ -489,6 +542,14 @@ def _account_tx(spark: SparkSession):
     from classic_fcd_spark.pipeline.medallion import account_tx_silver
     from classic_fcd_spark.sources.fixtures import bronze_table, gen_txs
 
+    # the seam bypasses the session cache: an overridden source is a
+    # stored table (already materialized by the ingest), and caching it
+    # under the fixture key would leak the override past its scope
+    if "account_tx" in _SOURCE_OVERRIDES:
+        return _SOURCE_OVERRIDES["account_tx"]
+    if "txs" in _SOURCE_OVERRIDES:
+        return account_tx_silver(_SOURCE_OVERRIDES["txs"])
+
     @bronze_table
     def _account_tx_bronze(s: SparkSession):
         return account_tx_silver(gen_txs(s))
@@ -506,12 +567,12 @@ def _dashboard_days(spark: SparkSession) -> list:
         dashboard_gold,
         minute_rewards_silver,
     )
-    from classic_fcd_spark.sources.fixtures import gen_blocks, gen_txs
 
-    txs = gen_txs(spark)
     return (
         dashboard_gold(
-            txs, _account_tx(spark), minute_rewards_silver(gen_blocks(spark))
+            _txs_bronze(spark),
+            _account_tx(spark),
+            minute_rewards_silver(_blocks_bronze(spark)),
         )
         .orderBy("day")
         .collect()
@@ -613,10 +674,9 @@ def get_transaction_vol(spark: SparkSession) -> dict:
     the distributed tx_volume silver reduced to day grain; only
     day x denom rows are collected."""
     from classic_fcd_spark.pipeline.medallion import tx_volume_minute_silver
-    from classic_fcd_spark.sources.fixtures import gen_txs
 
     rows = (
-        tx_volume_minute_silver(gen_txs(spark))
+        tx_volume_minute_silver(_txs_bronze(spark))
         .withColumn("day", F.substring("minute", 1, 10))
         .groupBy("day", "denom")
         .agg(F.sum("volume").alias("vol"))

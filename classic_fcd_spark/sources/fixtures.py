@@ -668,3 +668,89 @@ def gen_account_tx_skewed(
             F.lit(EPOCH_START) + (r / 3).cast("long") * BLOCK_SPACING_S
         ).alias("timestamp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-grade twin of the exchange regime (r13): the same one-hot-key
+# shape in PURE INTEGER arithmetic — gen_account_tx_skewed's zipf tail
+# goes through floor(pow(...)), which is libm-territory a cross-engine
+# hash compare cannot sit on — plus the accounts DIMENSION the account
+# page family enriches against (labels/segments/lifetime stats, the
+# attributes the reference joins from its account tables behind
+# src/service/transaction/getTxList.ts:152-153).  Both generators have
+# a DUCK_* CTE twin below so the enriched page is driver-oracled.
+# ---------------------------------------------------------------------------
+FIXTURE_N_ACCOUNT_TX = 60_000 * FIXTURE_SCALE
+ACCOUNT_TX_TAIL = 4_999  # tail universe; each ~0.016% of rows
+ACCOUNTS_DIM_HOLE = 17  # dim misses every i % 17 == 3 (left-join proof)
+
+
+@bronze_table
+def gen_account_tx_page(
+    spark: SparkSession, n_rows: int = FIXTURE_N_ACCOUNT_TX
+) -> DataFrame:
+    """account_tx fact where the exchange wallet holds exactly 20% of
+    rows (r % 5 == 0) and the tail spreads uniformly over
+    ACCOUNT_TX_TAIL accounts via a multiplicative-hash residue — every
+    value is integer arithmetic both engines compute bit-identically
+    (DUCK_ACCOUNT_TX_CTE is the SQL twin)."""
+    r = F.col("id")
+    tail_i = (r * 2654435761 % 1_000_003) % ACCOUNT_TX_TAIL
+    acct_i = F.when(r % 5 == 0, F.lit(EXCHANGE_ACCT_I)).otherwise(tail_i)
+    return spark.range(0, n_rows).select(
+        _addr(acct_i).alias("account"),
+        F.md5(F.concat(F.lit("atx:"), r.cast("string"))).alias("hash"),
+        F.floor(r / 3).cast("long").alias("height"),
+        F.timestamp_seconds(
+            F.lit(EPOCH_START) + F.floor(r / 3) * BLOCK_SPACING_S
+        ).alias("timestamp"),
+    )
+
+
+@bronze_table
+def gen_accounts_dim(spark: SparkSession) -> DataFrame:
+    """The accounts dimension: one row per tail account plus the
+    exchange wallet, with arithmetic label/segment/lifetime attributes;
+    every i % ACCOUNTS_DIM_HOLE == 3 index is MISSING so the
+    enrichment's left semantics are observable in the oracle (the
+    exchange index 90000 % 17 == 2 is present)."""
+    i = F.col("id")
+    ids = spark.range(0, ACCOUNT_TX_TAIL).union(
+        spark.range(EXCHANGE_ACCT_I, EXCHANGE_ACCT_I + 1)
+    )
+    labels = F.array(
+        F.lit("retail"), F.lit("whale"), F.lit("bot"), F.lit("contract")
+    )
+    return ids.filter(i % ACCOUNTS_DIM_HOLE != 3).select(
+        _addr(i).alias("account"),
+        F.when(i == EXCHANGE_ACCT_I, F.lit("exchange"))
+        .otherwise(F.element_at(labels, (i % 4 + 1).cast("int")))
+        .alias("label"),
+        (i * 7 % 11).alias("segment"),
+        (i * 13 % 997).alias("lifetime_txs"),
+    )
+
+
+DUCK_ACCOUNT_TX_CTE = f"""
+    atx AS (
+        SELECT r,
+               CASE WHEN r % 5 = 0 THEN {EXCHANGE_ACCT_I}
+                    ELSE ((r * 2654435761) % 1000003) % {ACCOUNT_TX_TAIL}
+               END AS i
+        FROM (SELECT unnest(range(0, {FIXTURE_N_ACCOUNT_TX})) AS r)
+    )
+"""
+
+DUCK_ACCOUNTS_DIM_CTE = f"""
+    accounts_dim AS (
+        SELECT i,
+               CASE WHEN i = {EXCHANGE_ACCT_I} THEN 'exchange'
+                    ELSE (['retail','whale','bot','contract'])[(i % 4) + 1]
+               END AS label,
+               (i * 7) % 11 AS segment,
+               (i * 13) % 997 AS lifetime_txs
+        FROM (SELECT unnest(range(0, {ACCOUNT_TX_TAIL})) AS i
+              UNION ALL SELECT {EXCHANGE_ACCT_I})
+        WHERE i % {ACCOUNTS_DIM_HOLE} <> 3
+    )
+"""

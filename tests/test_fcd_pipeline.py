@@ -396,3 +396,28 @@ class TestValidatorAnnualReturnOracle:
         }
         assert got == want
         assert len(got) == 20
+
+
+class TestTxByHashOracle:
+    """fcd_tx_by_hash left the driver window in r13 (slot rotated to
+    fcd_account_txs_enriched); this is its oracle gate now — the
+    IDENTICAL single-row SQL that drove its green r2-r12 driver rows.
+    The P7 point-lookup pattern stays exercised (and plan-asserted)
+    through the serving extract's lookup_tx, and the case-insensitive
+    predicate shape through serving/api.get_tx_by_hash."""
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from classic_fcd_spark.queries.fcd import (
+            TX_BY_HASH_ORACLE_SQL,
+            fcd_tx_by_hash,
+        )
+
+        got = [
+            (r["hash"], r["height"], r["msg_type"], r["success"])
+            for r in fcd_tx_by_hash(spark, "").collect()
+        ]
+        want = [tuple(r) for r in duckdb.sql(TX_BY_HASH_ORACLE_SQL).fetchall()]
+        assert got == want
+        assert len(got) == 1
