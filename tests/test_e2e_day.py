@@ -168,3 +168,135 @@ class TestE2EDay:
         got = sorted(tuple(r) for r in stored.collect())
         assert got == want
         assert len(got) == 3  # the trailing window, one row per day
+
+
+class TestE2EDayServing:
+    """r13 extension (VERDICT r12 item 2): the day does not stop at
+    gold — the SAME ingested corpus continues through the serving
+    extract maintenance and the endpoint wrappers, closing the last
+    seam (ingest→gold→serving) with cross-layer pins:
+
+    1. Dashboard-family endpoint responses computed over the STREAMED
+       tables (via serving.endpoints.bronze_sources) are byte-equal to
+       the fixture-bronze twins — dashboard.spec.ts:22-50 semantics
+       end-to-end over a freshly collected database.
+    2. The tx page (get_tx_list) over the streamed tx/account_tx tables
+       equals the fixture twin page-by-page — tx.spec.ts:6-16 semantics.
+    3. The serving extract maintained FROM the streamed bronze serves
+       point lookups identical to the batch-written twin, and a crash
+       at the gold→extract boundary (extract maintenance killed before
+       its first account-page merge commits) converges on re-run.
+    """
+
+    @staticmethod
+    def _streamed(spark, out):
+        return (
+            bi.read_bronze(spark, out),
+            bi.read_account_tx(spark, out),
+            bi.read_rewards_bronze(spark, out),
+        )
+
+    def test_dashboard_endpoints_over_streamed_tables(self, spark, day):
+        import classic_fcd_spark.serving.endpoints as E
+
+        txs_i, at_i, blk_i = self._streamed(spark, day["out"])
+        endpoints = [
+            E.get_account_growth,
+            E.get_active_accounts,
+            E.get_registered_accounts,
+            E.get_transaction_vol,
+            E.get_block_rewards,
+        ]
+        want = {f.__name__: f(spark) for f in endpoints}
+        with E.bronze_sources(txs=txs_i, blocks=blk_i, account_tx=at_i):
+            got = {f.__name__: f(spark) for f in endpoints}
+        assert got == want
+        # non-triviality: the growth series actually has rows
+        assert len(want["get_account_growth"]["cumulative"]) > 0
+
+    def test_tx_page_over_streamed_tables_keyset_walk(self, spark, day):
+        from classic_fcd_spark.serving.api import get_tx_list
+        from classic_fcd_spark.sources.fixtures import addr_str, gen_txs
+        from classic_fcd_spark.pipeline.medallion import account_tx_silver
+
+        txs_i, at_i, _ = self._streamed(spark, day["out"])
+        txs_f = gen_txs(spark)
+        at_f = account_tx_silver(txs_f)
+        account = addr_str(7)  # on many txs by fixture arithmetic (i%50)
+        cursor_i = cursor_f = None
+        pages = 0
+        while True:
+            got = get_tx_list(txs_i, at_i, account, limit=10, offset=cursor_i)
+            want = get_tx_list(txs_f, at_f, account, limit=10, offset=cursor_f)
+            assert got == want
+            pages += 1
+            cursor_i, cursor_f = got["next"], want["next"]
+            if cursor_i is None:
+                break
+        assert pages >= 2  # the account is busy enough to paginate
+
+    def test_extract_from_streamed_bronze_with_boundary_crash(
+        self, spark, day, tmp_path, monkeypatch
+    ):
+        import classic_fcd_spark.serving.extract as ex
+        from classic_fcd_spark.pipeline.medallion import account_tx_silver
+        from classic_fcd_spark.sources.fixtures import (
+            addr_str,
+            gen_txs,
+            tx_hash_str,
+        )
+
+        txs_i, _, _ = self._streamed(spark, day["out"])
+        flat = str(tmp_path / "txs_flat")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "extract")
+        # the maintenance streams the INGESTED bronze (file-ized once,
+        # N_FILES micro-batch boundaries like the feed)
+        txs_i.repartitionByRange(N_FILES, "height").write.parquet(flat)
+
+        # gold→extract boundary crash: the first account-page merge dies
+        # before committing; the tx merge of that batch already landed
+        orig = ex.merge_account_page_extract
+        def bomb(*a, **k):
+            raise RuntimeError("injected crash at the gold-extract boundary")
+
+        monkeypatch.setattr(ex, "merge_account_page_extract", bomb)
+        with pytest.raises(Exception, match="injected crash"):
+            ex.run_extract_maintenance_available_now(spark, flat, ckpt, out)
+        monkeypatch.setattr(ex, "merge_account_page_extract", orig)
+        # the next maintenance run replays the uncommitted batch(es);
+        # merges are idempotent upserts, so the extract converges
+        ex.run_extract_maintenance_available_now(spark, flat, ckpt, out)
+
+        # twin extract written batch-wise from fixture bronze
+        twin = str(tmp_path / "twin")
+        txs_f = gen_txs(spark)
+        ex.write_tx_lookup_extract(txs_f, twin)
+        ex.write_account_page_extract(account_tx_silver(txs_f), twin)
+
+        def rows(path, sub):
+            df = spark.read.parquet(f"{path}/{sub}").drop(ex.KB)
+            cols = sorted(df.columns)
+            # key=repr: nullable columns (code) make raw tuples unorderable
+            return sorted(
+                (tuple(r) for r in df.select(*cols).collect()), key=repr
+            )
+
+        assert rows(out, "tx_by_hash") == rows(twin, "tx_by_hash")
+        assert rows(out, "account_tx") == rows(twin, "account_tx")
+
+        # point reads off the converged extract match the analytics path
+        h = tx_hash_str(105)
+        got_tx = ex.lookup_tx(spark, out, h.upper()).select("hash", "height").collect()
+        assert [(r["hash"], r["height"]) for r in got_tx] == [(h, 35)]
+        page = ex.lookup_account_page(spark, out, addr_str(7), limit=10)
+        want_page = (
+            account_tx_silver(txs_f)
+            .filter(F.col("account") == addr_str(7))
+            .orderBy(F.col("height").desc(), F.col("hash").desc())
+            .limit(10)
+            .collect()
+        )
+        assert [(r["hash"], r["height"]) for r in page[:10]] == [
+            (r["hash"], r["height"]) for r in want_page
+        ]
