@@ -956,3 +956,38 @@ class TestDepositsPageOracle:
                 for d in body["deposits"]
             ]
             assert got == want
+
+
+class TestBronzeSourcesSeam:
+    """The r13 source-override seam contract (serving/endpoints.py
+    bronze_sources): scoped swap-in of stored tables, restored on BOTH
+    normal exit and exception — a leaked override would silently serve
+    a stale corpus to every later endpoint call in the session."""
+
+    def test_override_scopes_and_restores_on_exception(self, spark):
+        import pytest as _pytest
+
+        import classic_fcd_spark.serving.endpoints as E
+
+        marker = spark.range(1).selectExpr("id AS sentinel")
+        assert "txs" not in E._SOURCE_OVERRIDES
+        with _pytest.raises(RuntimeError, match="boom"):
+            with E.bronze_sources(txs=marker):
+                assert E._txs_bronze(spark) is marker
+                raise RuntimeError("boom")
+        assert "txs" not in E._SOURCE_OVERRIDES
+        # and the default path is back to fixture bronze
+        assert E._txs_bronze(spark) is not marker
+
+    def test_nested_scopes_restore_outer(self, spark):
+        import classic_fcd_spark.serving.endpoints as E
+
+        a = spark.range(1).selectExpr("id AS a")
+        b = spark.range(1).selectExpr("id AS b")
+        with E.bronze_sources(txs=a):
+            with E.bronze_sources(txs=b, blocks=b):
+                assert E._txs_bronze(spark) is b
+                assert E._blocks_bronze(spark) is b
+            assert E._txs_bronze(spark) is a
+            assert "blocks" not in E._SOURCE_OVERRIDES
+        assert "txs" not in E._SOURCE_OVERRIDES
