@@ -245,17 +245,120 @@ def choose_lsh_bands(
     return best[1]
 
 
+# Per-task working-set cap for the band self-join (VERDICT r13 item 2).
+# A sort-merge self-join on (band, bh) buffers one side's ENTIRE band
+# group per key, so its memory is bounded only by the largest bucket —
+# which on an adversarial (all-identical) or heavily-cloned corpus is
+# the whole corpus: the r13 sf10 run hit UNABLE_TO_ACQUIRE_MEMORY in
+# exactly this join and was "fixed" by 64 GB of driver — vertical
+# scaling a 100 TB design cannot assume.  Buckets larger than this are
+# split into ceil(n/K) sub-groups by a secondary hash of the id and the
+# self-join runs over sub-group PAIRS (both sides replicated G ways), so
+# the buffered group is ≤ ~K rows (~100 B each -> ~400 KB/task at the
+# default) REGARDLESS of corpus shape, while the emitted pair set is
+# provably identical (each unordered pair {i,j} meets in exactly the
+# (g_i, g_j) task under i<j).  Buckets within the cap take the G=1
+# degenerate path: zero replication.
+MAX_BAND_GROUP = 4096
+
+
+def adaptive_band_self_join(
+    banded: DataFrame, id_col: str, key_cols: list[str], max_group: int = MAX_BAND_GROUP
+) -> DataFrame:
+    """Exact self-join pairs (i < j) over equal `key_cols`, engaging the
+    capped sub-group split ONLY when some bucket exceeds `max_group`.
+
+    The detection is one aggregate over the (persisted, tiny) banded
+    table collecting a single scalar — the same driver-side-statistics
+    class as AQE's runtime stats and the skewjoin MG detection
+    (operators/skewjoin.py): a plan decision, not a data-path collect.
+    An honest corpus (every bucket within the cap) then runs the
+    ORIGINAL direct self-join with ZERO added shuffles; a degenerate one
+    (all-identical / heavily-cloned) pays the split instead of melting a
+    task.  `banded` should be persisted by the caller — both the
+    detection agg and the join branches re-read it."""
+    max_bucket = (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("_bn"))
+        .agg(F.max("_bn"))
+        .first()[0]
+        or 0
+    )
+    if max_bucket <= max_group:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        key_eq = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in key_cols]
+        cond = key_eq[0]
+        for e in key_eq[1:]:
+            cond = cond & e
+        return (
+            left.join(right, cond & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(
+                F.col(f"l.{id_col}").alias("i"),
+                F.col(f"r.{id_col}").alias("j"),
+            )
+            .distinct()
+        )
+    return capped_band_self_join(banded, id_col, key_cols, max_group)
+
+
+def capped_band_self_join(
+    banded: DataFrame, id_col: str, key_cols: list[str], max_group: int = MAX_BAND_GROUP
+) -> DataFrame:
+    """Exact self-join pairs (i < j) over equal `key_cols`, with per-task
+    buffered-group size capped at ~`max_group` rows (see MAX_BAND_GROUP).
+
+    Returns distinct (i, j).  One window shuffle on the key computes
+    bucket sizes without a separate aggregate+join; sub-group ids come
+    from xxhash64(id) mod G so the split is deterministic and
+    data-independent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    g_total = F.greatest(
+        F.lit(1), F.ceil(F.count("*").over(w) / F.lit(max_group))
+    ).cast("int")
+    b2 = banded.select(
+        F.col(id_col),
+        *key_cols,
+        F.pmod(F.xxhash64(F.col(id_col)), g_total).cast("int").alias("__g"),
+        g_total.alias("__gt"),
+    )
+    left = b2.select(
+        F.col(id_col).alias("i"),
+        *key_cols,
+        F.col("__g").alias("__ga"),
+        F.explode(F.sequence(F.lit(0), F.col("__gt") - 1)).alias("__gb"),
+    )
+    right = b2.select(
+        F.col(id_col).alias("j"),
+        *key_cols,
+        F.explode(F.sequence(F.lit(0), F.col("__gt") - 1)).alias("__ga"),
+        F.col("__g").alias("__gb"),
+    )
+    return (
+        left.join(right, [*key_cols, "__ga", "__gb"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str,
     shingle_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_band_group: int = MAX_BAND_GROUP,
 ) -> DataFrame:
     """(i, j) candidate pairs sharing ≥1 LSH band, i < j, distinct.
 
     Shuffles on the band hash (skew-safe: bucket sizes are bounded by
-    collision rate); never materializes the n² pair space.
+    collision rate, and since r14 HARD-bounded per task — buckets over
+    `max_band_group` engage the capped sub-group split, see
+    adaptive_band_self_join / capped_band_self_join); never
+    materializes the n² pair space.
     """
     banded = banded_signatures(docs, id_col, shingle_col, num_hashes, bands)
     # The self-join would otherwise recompute the signatures on BOTH
@@ -268,21 +371,7 @@ def lsh_candidate_pairs(
     from classic_fcd_spark.session import scoped_persist
 
     banded = scoped_persist(banded, "lsh_candidate_pairs:banded")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("i"),
-            F.col(f"r.{id_col}").alias("j"),
-        )
-        .distinct()
-    )
+    return adaptive_band_self_join(banded, id_col, ["band", "bh"], max_band_group)
 
 
 def jaccard_pairs(
