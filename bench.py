@@ -50,6 +50,8 @@ HEADLINE = [
     "ann_ivf_search",
     "ann_pq_search",
     "embedding_similar_pairs",
+    # r14: top-k-capped neighbor pairs — linear output on any corpus
+    "embedding_topk_pairs",
     # fcd domain pipeline (fixture-driven, scale-independent)
     "fcd_undelegation_schedule",
     "fcd_tx_volume_minute",
@@ -123,7 +125,10 @@ def _extra_workloads():
     # left the driver window (slots -> trigram_lm_scores /
     # quality_logit_scores) but keep their bench timings here so the
     # per-round workload set stays comparable
-    from classic_fcd_spark.queries.similarity import embedding_similar_pairs
+    from classic_fcd_spark.queries.similarity import (
+        embedding_similar_pairs,
+        embedding_topk_pairs,
+    )
     from classic_fcd_spark.queries.text import (
         bm25_search,
         text_features,
@@ -253,6 +258,11 @@ def _extra_workloads():
         "ann_ivfpq_search_trained": ann_ivfpq_search_trained,
         "bpe_train_50": bpe_train_50,
         "ann_lsh_buckets": ann_lsh_buckets,
+        # r14: the top-k-capped neighbor workload — the similarity scale
+        # story whose OUTPUT is linear by construction (the weak-0.45
+        # embedding_similar_pairs row stays as the documented recall
+        # stress); in-test oracle at tests/test_embedding_topk.py
+        "embedding_topk_pairs": embedding_topk_pairs,
         "ann_lsh_search": ann_lsh_search,
         "ann_ivf_search": ann_ivf_search,
         # r8: the pq arm of the merged ann_search row, benched per-arm
@@ -266,10 +276,50 @@ def _extra_workloads():
     }
 
 
+def _run_conditions(sf_dir: str) -> dict:
+    """Isolation stanza (VERDICT r13 item 5): the r13 sf1 clone-lane
+    artifact drifted ~1.3× on sub-2 s queries because a corpus build ran
+    concurrently — record the conditions IN the artifact so drift is
+    attributable instead of re-investigated every round.  `concurrent`
+    counts other busy processes (>50% of one core) at bench start; a
+    solo run reports 0."""
+    cond: dict[str, object] = {}
+    try:
+        cond["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["ps", "-eo", "pid,pcpu,comm"], capture_output=True, text=True, timeout=5
+        ).stdout.splitlines()[1:]
+        me = os.getpid()
+        busy = [
+            ln.split() for ln in out
+            if ln.split() and float(ln.split()[1]) > 50.0 and int(ln.split()[0]) != me
+        ]
+        cond["concurrent_busy_procs"] = len(busy)
+    except Exception:  # noqa: BLE001 — the stanza must never fail the bench
+        pass
+    try:
+        cond["corpus_mtime"] = int(
+            max(
+                os.path.getmtime(os.path.join(sf_dir, f))
+                for f in os.listdir(sf_dir)
+                if f.endswith(".parquet")
+            )
+        )
+    except OSError:
+        pass
+    return cond
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    run_conditions = _run_conditions(sf_dir)
 
     from classic_fcd_spark.queries import query_fn_map
     from classic_fcd_spark.session import get_spark, load_tables
@@ -335,6 +385,7 @@ def main() -> None:
                 "n_ok": len(timings),
                 "n_err": len(errors),
                 "sf": sf,
+                "run_conditions": run_conditions,
             }
         )
     )

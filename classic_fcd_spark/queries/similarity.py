@@ -362,6 +362,132 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Top-k-capped neighbor pairs — the SHIPPABLE similarity scale story
+# (VERDICT r13 item 3).  embedding_similar_pairs' deliberately weak 0.45
+# threshold sits inside the 64-dim random-cosine tail, so on ANY
+# decorrelated corpus its OUTPUT is quadratic (variety-lane sf1: 111 s) —
+# true semantics, but not what a 100 TB curation pass ships.  This
+# variant bounds both ends:
+#   * candidates: 2 bands × 8 planes (vs the stress row's 8 × 2) —
+#     random-pair collision 1-(1-(1/2)^8)^2 ≈ 0.8%, so candidate volume
+#     on a decorrelated corpus is ~n²/128 verify probes but the emitted
+#     set is capped below;
+#   * output: per-vector top-K (K=3) by exact cosine among candidates at
+#     threshold ≥ 0.6 (outside the random tail: ~4.8σ at dim 64) —
+#     output ≤ K·n, LINEAR in corpus size by construction.
+# Recall is the documented dial, same as ann_lsh_search: per-plane
+# agreement p = 1-arccos(c)/π gives band recall 1-(1-p^8)^2 — ≈0.49 at
+# cos 0.9, →1 as c→1 (byte-near duplicates, the curation target); widen
+# to more/narrower bands to trade candidate volume for mid-range recall.
+# The 0.45 row stays registered as the recall stress; THIS row carries
+# the variety-lane bench story (BENCH_NOTES r14).
+#
+# Candidate generation reuses capped_band_self_join, so a mega-bucket
+# (all-identical corpus) can never blow a task's buffered group — the
+# same r14 bound the minhash family got.
+# ---------------------------------------------------------------------------
+_TOPK_BANDS = [_PAIR_PLANES[0:8], _PAIR_PLANES[8:16]]
+_TOPK_K = 3
+_TOPK_THRESHOLD = 0.6
+
+
+def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector top-3 neighbors (cosine ≥ 0.6) among 2×8-plane LSH band
+    candidates.  Output (i, j, rnk, cos_e6) with rnk over (cos DESC,
+    j ASC) — deterministic cross-engine because the cosine fold is the
+    identical IEEE expression on both sides.  Threshold applies BEFORE
+    ranking (rnk is dense over qualifying neighbors)."""
+    from classic_fcd_spark.operators.dedup import adaptive_band_self_join
+    from classic_fcd_spark.operators.similarity import dot_sql
+    from classic_fcd_spark.session import scoped_persist
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.expr(bucket_sql("embedding", w, "spark")).alias("v"),
+            )
+            for b, w in enumerate(_TOPK_BANDS)
+        ]
+    )
+    tagged = scoped_persist(
+        emb.select("vec_id", F.explode(bands).alias("bd")).select(
+            "vec_id", F.col("bd.b").alias("b"), F.col("bd.v").alias("v")
+        ),
+        "embtopk:tagged",
+    )
+    # i<j unordered candidates with the per-task group bound (engaged
+    # only when a band bucket exceeds the cap), then both orientations
+    # (top-k is per-SOURCE-vector, so each unordered pair feeds two
+    # partitions).
+    und = adaptive_band_self_join(tagged, "vec_id", ["b", "v"])
+    cand = und.unionByName(
+        und.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    )
+    normed = scoped_persist(
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(dot_sql("embedding", "embedding")).alias("n2"),
+        ),
+        "embtopk:normed",
+    )
+    pa = normed.select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("ea"), F.col("n2").alias("na2")
+    )
+    pb = normed.select(
+        F.col("vec_id").alias("j"), F.col("embedding").alias("eb"), F.col("n2").alias("nb2")
+    )
+    cos = F.expr(dot_sql("ea", "eb")) / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    scored = (
+        cand.join(pa, "i")
+        .join(pb, "j")
+        .select("i", "j", cos.alias("cos"))
+        .filter(F.col("cos") >= _TOPK_THRESHOLD)
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cos").desc(), F.col("j").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK_K)
+        .select("i", "j", "rnk", floor_e6(F.col("cos")).alias("cos_e6"))
+    )
+
+
+def _duck_topk_band_arm(band: str) -> str:
+    return f"""
+        SELECT a.vec_id AS i, b.vec_id AS j
+        FROM t a JOIN t b ON a.{band} = b.{band} AND a.vec_id <> b.vec_id
+    """
+
+
+EMBEDDING_TOPK_PAIRS_ORACLE_SQL = (
+    "WITH t AS (\n        SELECT vec_id, embedding,\n"
+    + ",\n".join(
+        f"               {bucket_sql('embedding', w, 'duck')} AS tband{i}"
+        for i, w in enumerate(_TOPK_BANDS)
+    )
+    + "\n        FROM embeddings\n    ), cand AS (\n    "
+    + "\n    UNION\n    ".join(_duck_topk_band_arm(f"tband{i}") for i in range(2))
+    + f"""
+    ), scored AS (
+        SELECT i, j, {duck_cosine_sql("a.embedding", "b.embedding", DIM)} AS cos
+        FROM cand
+        JOIN embeddings a ON a.vec_id = i
+        JOIN embeddings b ON b.vec_id = j
+    ), ranked AS (
+        SELECT i, j, cos,
+               ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j ASC) AS rnk
+        FROM scored WHERE cos >= {_TOPK_THRESHOLD}
+    )
+    SELECT i, j, CAST(rnk AS INT) AS rnk,
+           CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+    FROM ranked WHERE rnk <= {_TOPK_K}
+    """
+)
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: coarse quantization by nearest centroid, probe = the
 # query's own cell (the brief's "IVF or LSH-bucketed variant").
 # ---------------------------------------------------------------------------
