@@ -126,17 +126,34 @@ def fcd_tx_volume_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM txbase
     )
     SELECT account, COUNT(*) AS n_txs
-    FROM peraddr GROUP BY account
+    FROM peraddr
+    WHERE regexp_matches(account, '^terra(valoper)?1[a-z0-9]{{38}}$')
+    GROUP BY account
     """,
     doc="F4 exhaustive address extraction (regex over serialized msgs — "
     "src/collector/block/accountTx.ts:5-58) + D5 per-tx distinct + the "
-    "account_tx explode.  Oracle reconstructs the address membership from "
-    "the fixture arithmetic; match proves regex extraction finds exactly "
+    "account_tx explode + P9 address-shape validation (the rlike form of "
+    "src/lib/constant.ts:7-9's route regexes) run as a cross-engine "
+    "predicate on BOTH sides (r14, VERDICT r13 item 6): every extracted "
+    "address must clear the anchored bech32-shape regex in Spark AND "
+    "DuckDB — regex-semantics parity is now driver-hash-gated, not "
+    "unit-only.  Oracle reconstructs the address membership from the "
+    "fixture arithmetic; match proves regex extraction finds exactly "
     "the planted addresses (both terra1 and terravaloper1 forms).",
 )
 def fcd_account_tx_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     at = account_tx_silver(gen_txs(spark))
-    return at.groupBy("account").agg(F.count("*").alias("n_txs"))
+    # P9 validation predicate (serving/api.py ACCOUNT_REGEX/OPERATOR_REGEX
+    # in their set form): malformed addresses must never reach the silver
+    # rollup — on the fixture this is accept-all (addresses are well
+    # formed by construction; reject cases are unit-gated in
+    # tests/test_serving_e2e.py), so the driver hash pins that the two
+    # engines' regex engines AGREE on the accept side.
+    return (
+        at.filter(F.col("account").rlike(r"^terra(valoper)?1[a-z0-9]{38}$"))
+        .groupBy("account")
+        .agg(F.count("*").alias("n_txs"))
+    )
 
 
 # ---------------------------------------------------------------------------
