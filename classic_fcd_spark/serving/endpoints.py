@@ -478,11 +478,22 @@ def get_proposals_listing(spark: SparkSession) -> list[dict]:
 # swaps the stored tables in for a scope — the day-in-the-life e2e pins
 # endpoint responses over the INGESTED tables against the fixture-bronze
 # twins (the engine's analogue of dashboard.spec.ts running over a
-# freshly collected database).  Same single-writer/serial contract as
-# the rest of the serving layer: the override dict is module-global, so
-# concurrent multi-tenant sessions should not interleave scopes.
+# freshly collected database).  The scope lives in a ContextVar holding
+# an IMMUTABLE mapping (ADVICE r13): nested and concurrent scopes are
+# safe by construction — each enter builds a merged copy and each exit
+# restores the caller's view via the token, instead of relying on a
+# single-writer convention over a module-global dict.
 # ---------------------------------------------------------------------------
-_SOURCE_OVERRIDES: dict[str, DataFrame] = {}
+import contextvars as _contextvars
+from types import MappingProxyType as _MappingProxy
+
+_SOURCE_OVERRIDES: _contextvars.ContextVar = _contextvars.ContextVar(
+    "bronze_source_overrides", default=_MappingProxy({})
+)
+
+
+def _overrides():
+    return _SOURCE_OVERRIDES.get()
 
 
 @contextlib.contextmanager
@@ -495,28 +506,28 @@ def bronze_sources(
     `txs` (tx bronze), `blocks` (block bronze with reward events),
     `account_tx` (the account_tx silver — pass the streamed one to skip
     re-deriving the regex address walk the ingest already paid for)."""
-    prev = dict(_SOURCE_OVERRIDES)
+    merged = dict(_overrides())
     for k, v in (("txs", txs), ("blocks", blocks), ("account_tx", account_tx)):
         if v is not None:
-            _SOURCE_OVERRIDES[k] = v
+            merged[k] = v
+    token = _SOURCE_OVERRIDES.set(_MappingProxy(merged))
     try:
         yield
     finally:
-        _SOURCE_OVERRIDES.clear()
-        _SOURCE_OVERRIDES.update(prev)
+        _SOURCE_OVERRIDES.reset(token)
 
 
 def _txs_bronze(spark: SparkSession) -> DataFrame:
-    if "txs" in _SOURCE_OVERRIDES:
-        return _SOURCE_OVERRIDES["txs"]
+    if "txs" in _overrides():
+        return _overrides()["txs"]
     from classic_fcd_spark.sources.fixtures import gen_txs
 
     return gen_txs(spark)
 
 
 def _blocks_bronze(spark: SparkSession) -> DataFrame:
-    if "blocks" in _SOURCE_OVERRIDES:
-        return _SOURCE_OVERRIDES["blocks"]
+    if "blocks" in _overrides():
+        return _overrides()["blocks"]
     from classic_fcd_spark.sources.fixtures import gen_blocks
 
     return gen_blocks(spark)
@@ -545,10 +556,10 @@ def _account_tx(spark: SparkSession):
     # the seam bypasses the session cache: an overridden source is a
     # stored table (already materialized by the ingest), and caching it
     # under the fixture key would leak the override past its scope
-    if "account_tx" in _SOURCE_OVERRIDES:
-        return _SOURCE_OVERRIDES["account_tx"]
-    if "txs" in _SOURCE_OVERRIDES:
-        return account_tx_silver(_SOURCE_OVERRIDES["txs"])
+    if "account_tx" in _overrides():
+        return _overrides()["account_tx"]
+    if "txs" in _overrides():
+        return account_tx_silver(_overrides()["txs"])
 
     @bronze_table
     def _account_tx_bronze(s: SparkSession):

@@ -91,6 +91,15 @@ def _mutate_embeddings(t: pa.Table, c: int) -> pa.Table:
     dim = mat.shape[1]
     a = 2 * ((c * 7) % (dim // 2)) + 1  # odd -> bijective multiplier
     idx = [(a * i + c) % dim for i in range(dim)]
+    # Odd `a` is coprime to dim ONLY when dim is a power of two; for a
+    # dim with odd factors (e.g. 384: c=1 gives a=15, gcd=3) the map
+    # silently duplicates/drops coordinates and the permutation is no
+    # longer orthogonal — which would corrupt the variety lane's
+    # recall-preservation guarantee instead of failing (ADVICE r13).
+    assert len(set(idx)) == dim, (
+        f"index map not bijective for dim={dim}, a={a} — "
+        "dim must be a power of two or the multiplier scheme must change"
+    )
     signs = np.array(
         [
             -1.0

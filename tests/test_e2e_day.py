@@ -214,6 +214,38 @@ class TestE2EDayServing:
         # non-triviality: the growth series actually has rows
         assert len(want["get_account_growth"]["cumulative"]) > 0
 
+    def test_bronze_sources_canary_perturbed_table_changes_response(
+        self, spark, day
+    ):
+        """Canary for a silently bypassed seam (ADVICE r13): the equality
+        pin above compares responses over inputs that are equal BY
+        CONSTRUCTION, so an endpoint that ignored bronze_sources and
+        called gen_txs directly would still pass it.  Run one endpoint
+        under a deliberately PERTURBED override (every tx from the
+        busiest fixture account dropped) and assert the response
+        actually moves — proof the override is load-bearing."""
+        import classic_fcd_spark.serving.endpoints as E
+        from pyspark.sql import functions as F2
+
+        from classic_fcd_spark.pipeline.medallion import account_tx_silver
+
+        txs_i, at_i, blk_i = self._streamed(spark, day["out"])
+        baseline = E.get_transaction_vol(spark)
+        victim = at_i.groupBy("account").count().orderBy(
+            F2.col("count").desc()
+        ).first()["account"]
+        txs_p = txs_i.filter(
+            ~F2.exists("msgs", lambda m: m["value"].contains(victim))
+        )
+        with E.bronze_sources(
+            txs=txs_p, blocks=blk_i, account_tx=account_tx_silver(txs_p)
+        ):
+            perturbed = E.get_transaction_vol(spark)
+        assert perturbed != baseline, (
+            "dropping an account's txs left the endpoint response "
+            "unchanged — the bronze_sources seam is being bypassed"
+        )
+
     def test_tx_page_over_streamed_tables_keyset_walk(self, spark, day):
         from classic_fcd_spark.serving.api import get_tx_list
         from classic_fcd_spark.sources.fixtures import addr_str, gen_txs

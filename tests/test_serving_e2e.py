@@ -970,12 +970,12 @@ class TestBronzeSourcesSeam:
         import classic_fcd_spark.serving.endpoints as E
 
         marker = spark.range(1).selectExpr("id AS sentinel")
-        assert "txs" not in E._SOURCE_OVERRIDES
+        assert "txs" not in E._overrides()
         with _pytest.raises(RuntimeError, match="boom"):
             with E.bronze_sources(txs=marker):
                 assert E._txs_bronze(spark) is marker
                 raise RuntimeError("boom")
-        assert "txs" not in E._SOURCE_OVERRIDES
+        assert "txs" not in E._overrides()
         # and the default path is back to fixture bronze
         assert E._txs_bronze(spark) is not marker
 
@@ -989,5 +989,5 @@ class TestBronzeSourcesSeam:
                 assert E._txs_bronze(spark) is b
                 assert E._blocks_bronze(spark) is b
             assert E._txs_bronze(spark) is a
-            assert "blocks" not in E._SOURCE_OVERRIDES
-        assert "txs" not in E._SOURCE_OVERRIDES
+            assert "blocks" not in E._overrides()
+        assert "txs" not in E._overrides()

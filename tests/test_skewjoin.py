@@ -264,6 +264,7 @@ class TestEnrichedDriverRow:
 
     def test_plan_contains_gated_salt_and_parity(self, spark):
         from classic_fcd_spark.queries.fcd import fcd_account_txs_enriched
+        from classic_fcd_spark.sources import fixtures
         from classic_fcd_spark.sources.fixtures import (
             gen_account_tx_page,
             gen_accounts_dim,
@@ -282,7 +283,7 @@ class TestEnrichedDriverRow:
             .collect()
         }
         got = {tuple(r) for r in out.collect()}
-        assert got == want and len(got) == 60_000
+        assert got == want and len(got) == fixtures.FIXTURE_N_ACCOUNT_TX
 
     def test_left_semantics_visible_through_dim_holes(self, spark):
         """ACCOUNTS_DIM_HOLE punches every i%17==3 account out of the
@@ -291,8 +292,9 @@ class TestEnrichedDriverRow:
         from pyspark.sql import functions as F2
 
         from classic_fcd_spark.queries.fcd import fcd_account_txs_enriched
+        from classic_fcd_spark.sources import fixtures
 
         out = fcd_account_txs_enriched(spark, "")
         n_null = out.filter(F2.col("label").isNull()).count()
         assert n_null > 0
-        assert out.count() == 60_000
+        assert out.count() == fixtures.FIXTURE_N_ACCOUNT_TX
