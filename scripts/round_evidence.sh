@@ -28,6 +28,20 @@ R="${1:?usage: round_evidence.sh <round-number>}"
 RR=$(printf "r%02d" "$R")
 strip_cr() { sed -e 's/\r[^\n]*\r//g' -e 's/\r//g'; }
 
+# Solo-run guard (VERDICT r13 item 5): the r13 sf1 clone-lane artifact
+# drifted ~1.3x on sub-2s queries because a corpus build ran nearby.
+# Benches are latency artifacts — refuse to start a timed step while any
+# other process is busy (>50% of a core).  bench.py additionally records
+# a run_conditions stanza inside the JSON itself.
+require_solo() {
+  local busy
+  busy=$(ps -eo pid,pcpu,comm | awk -v me=$$ 'NR>1 && $2>50 && $1!=me {print $3}' | head -3)
+  if [ -n "$busy" ]; then
+    echo "FATAL: refusing to run timed step with busy processes: $busy" >&2
+    exit 1
+  fi
+}
+
 # Atomic artifact write (VERDICT r10 item 1): every step writes to
 # <artifact>.tmp and only a SUCCESSFUL, NON-EMPTY run is renamed into
 # place — an interrupted re-run can no longer truncate a good artifact
@@ -67,13 +81,25 @@ SF_DIR=/tmp/sf1 python scripts/check_correctness.py 2>&1 \
 finish "CHECK_${RR}_strict_sf1.txt"
 tail -2 "CHECK_${RR}_strict_sf1.txt"
 
+echo "== [4b] hash-only comparator verdict parity at sf1 -> CHECK_${RR}_hash_sf1.txt"
+# The collect-free signature comparator (scripts/check_correctness.py
+# --hash-only) must reach the same 50/50 verdict as the row-compare path
+# it sits beside — this artifact is the standing proof that the >=sf10
+# scale gates run on an equivalent comparator (VERDICT r13 item 4).
+SF_DIR=/tmp/sf1 python scripts/check_correctness.py --hash-only 2>&1 \
+  | strip_cr > "CHECK_${RR}_hash_sf1.txt.tmp"
+finish "CHECK_${RR}_hash_sf1.txt"
+tail -2 "CHECK_${RR}_hash_sf1.txt"
+
 echo "== [5/6] sustained streaming bench -> SUSTAINED_${RR}.json"
+require_solo
 python scripts/sustained_stream_bench.py 2>/dev/null | tail -1 \
   > "SUSTAINED_${RR}.json.tmp"
 finish "SUSTAINED_${RR}.json"
 head -c 300 "SUSTAINED_${RR}.json"; echo
 
 echo "== [6/6] bench at sf1 -> BENCH_sf1_${RR}.json"
+require_solo
 SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py 2>/dev/null | tail -1 \
   > "BENCH_sf1_${RR}.json.tmp"
 finish "BENCH_sf1_${RR}.json"
