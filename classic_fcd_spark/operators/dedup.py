@@ -374,6 +374,30 @@ def lsh_candidate_pairs(
     return adaptive_band_self_join(banded, id_col, ["band", "bh"], max_band_group)
 
 
+def collapse_by_shingles(
+    sh: DataFrame, id_col: str, shingle_col: str
+) -> DataFrame:
+    """(shingle_col, rid, members, m): one row per DISTINCT shingle set —
+    the r7/r8 duplicate-collapse pattern (semantic_dedup /
+    embedding_similar_pairs) applied to the text-dedup family.
+
+    Byte-identical texts share the shingle ARRAY exactly (word_shingles
+    is deterministic), so grouping on the array itself is exact — no
+    fingerprint to collide.  On a duplicate-heavy corpus the banding and
+    the Jaccard verify then run once per DISTINCT document: the r13 sf10
+    attempt exploded because the clone corpus's ~25M all-true candidate
+    pairs each dragged ~100 shingle rows through the verify shuffle
+    (~125 GB — it exhausted the host's disk, not just its memory); with
+    the collapse the verify is distinct-sized and the member expansion
+    emits output-sized rows only.  Cost on a dup-free corpus: one
+    groupBy over the (persisted) shingle silver."""
+    return sh.groupBy(shingle_col).agg(
+        F.min(id_col).alias("rid"),
+        F.sort_array(F.collect_list(id_col)).alias("members"),
+        F.count("*").alias("m"),
+    )
+
+
 def jaccard_pairs(
     pairs: DataFrame, docs: DataFrame, id_col: str, shingle_col: str
 ) -> DataFrame:

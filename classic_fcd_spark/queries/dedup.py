@@ -99,12 +99,62 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family and persisted once per corpus (session.shingle_table): the
     # md5 shingle projection dominates every fuzzy-dedup query's cost,
     # and a long-lived engine pays it once per corpus generation
-    from classic_fcd_spark.session import shingle_table
+    from classic_fcd_spark.operators.dedup import collapse_by_shingles
+    from classic_fcd_spark.session import scoped_persist, shingle_table
 
     sh = shingle_table(spark, sf_dir).select("doc_id", "shingles")
-    cand = lsh_candidate_pairs(sh, "doc_id", "shingles")
-    verified = jaccard_pairs(cand, sh, "doc_id", "shingles")
-    return verified.filter(F.col("jaccard") >= 0.8)
+    # r14 duplicate collapse (SCALE.md §Dedup): band + verify once per
+    # DISTINCT shingle set, expand member pairs after — identical output
+    # (copies share every band and every pairwise Jaccard), but the
+    # verify shuffle is distinct-sized instead of multiplicity-quadratic
+    # (the r13 sf10 clone corpus pushed ~125 GB through it).
+    groups = scoped_persist(
+        collapse_by_shingles(sh, "doc_id", "shingles"), "minhash:groups"
+    )
+    reps = groups.select(F.col("rid").alias("doc_id"), "shingles")
+    cand = lsh_candidate_pairs(reps, "doc_id", "shingles")
+    rep_pairs = jaccard_pairs(cand, reps, "doc_id", "shingles").filter(
+        F.col("jaccard") >= 0.8
+    )
+    max_m = groups.agg(F.max("m")).first()[0] or 1
+    if max_m == 1:
+        return rep_pairs  # dup-free corpus: reps ARE the docs
+    # cross-group: every (a in g_i, b in g_j) inherits the rep pair's
+    # inter/uni/jaccard exactly (identical shingle arrays); least/
+    # greatest restores the i<j contract
+    mi = groups.select(F.col("rid").alias("i"), F.col("members").alias("mi"))
+    mj = groups.select(F.col("rid").alias("j"), F.col("members").alias("mj"))
+    cross = (
+        rep_pairs.join(mi, "i")
+        .join(mj, "j")
+        .select("inter", "uni", "jaccard", F.explode("mi").alias("a"), "mj")
+        .select("inter", "uni", "jaccard", "a", F.explode("mj").alias("b"))
+        .select(
+            F.least("a", "b").alias("i"),
+            F.greatest("a", "b").alias("j"),
+            "inter",
+            "uni",
+            "jaccard",
+        )
+    )
+    # intra-group: identical docs — inter = uni = |shingles|, jaccard =
+    # the same double division the oracle evaluates on the two copies
+    # (n/n = exactly 1.0 ≥ 0.8 on both engines)
+    n = F.size("shingles").cast("long")
+    intra = (
+        groups.filter(F.col("m") >= 2)
+        .select(
+            n.alias("inter"),
+            n.alias("uni"),
+            (n.cast("double") / n.cast("double")).alias("jaccard"),
+            "members",
+        )
+        .select("inter", "uni", "jaccard", F.explode("members").alias("i"), "members")
+        .select("inter", "uni", "jaccard", "i", F.explode("members").alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "inter", "uni", "jaccard")
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
@@ -384,9 +434,10 @@ _INC_ORACLE = f"""
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from classic_fcd_spark.operators.dedup import (
         banded_signatures,
+        collapse_by_shingles,
         incremental_near_dups,
     )
-    from classic_fcd_spark.session import shingle_table
+    from classic_fcd_spark.session import scoped_persist, shingle_table
 
     docs = load_tables(spark, sf_dir)["documents"]
     split = docs.agg(F.expr("max(doc_id) div 2")).collect()[0][0]
@@ -395,8 +446,39 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(spark, sf_dir).select("doc_id", "shingles")
     index_docs = sh.filter(F.col("doc_id") < split)
     new_docs = sh.filter(F.col("doc_id") >= split)
-    banded = banded_signatures(index_docs, "doc_id", "shingles")
-    return incremental_near_dups(new_docs, banded, index_docs, "doc_id", "shingles")
+    # r14 duplicate collapse, same as minhash_lsh_near_dups but per SIDE:
+    # probe distinct-new against distinct-index, expand (new member ×
+    # index member) after.  A new group byte-equal to an index group
+    # verifies once at jaccard 1.0 and expands to m_new × m_idx pairs —
+    # exactly what the uncollapsed probe emits, without dragging every
+    # copy's shingles through the verify shuffle.
+    g_new = scoped_persist(
+        collapse_by_shingles(new_docs, "doc_id", "shingles"), "incdedup:gnew"
+    )
+    g_idx = scoped_persist(
+        collapse_by_shingles(index_docs, "doc_id", "shingles"), "incdedup:gidx"
+    )
+    reps_new = g_new.select(F.col("rid").alias("doc_id"), "shingles")
+    reps_idx = g_idx.select(F.col("rid").alias("doc_id"), "shingles")
+    banded = banded_signatures(reps_idx, "doc_id", "shingles")
+    rep_pairs = incremental_near_dups(
+        reps_new, banded, reps_idx, "doc_id", "shingles"
+    )
+    max_m = (
+        g_new.agg(F.max("m")).first()[0] or 1,
+        g_idx.agg(F.max("m")).first()[0] or 1,
+    )
+    if max_m == (1, 1):
+        return rep_pairs  # dup-free on both sides: reps ARE the docs
+    mn = g_new.select(F.col("rid").alias("new_id"), F.col("members").alias("ma"))
+    mx = g_idx.select(F.col("rid").alias("dup_of"), F.col("members").alias("mb"))
+    return (
+        rep_pairs.join(mn, "new_id")
+        .join(mx, "dup_of")
+        .select("inter", "uni", "jaccard", F.explode("ma").alias("new_id"), "mb")
+        .select("inter", "uni", "jaccard", "new_id", F.explode("mb").alias("dup_of"))
+        .select("new_id", "dup_of", "inter", "uni", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
