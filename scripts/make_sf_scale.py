@@ -135,7 +135,16 @@ def scale_table(
             part = part.set_column(idx, part.schema.field(col), shifted)
         parts.append(part)
     big = pa.concat_tables(parts)
-    pq.write_table(big, os.path.join(out_dir, f"{name}.parquet"))
+    # Row groups are the PARALLELISM QUANTUM for both engines: Spark
+    # assigns one task per row group and DuckDB one thread per row group,
+    # so pyarrow's default (one giant group for anything under ~1M rows)
+    # made every sf10 documents/embeddings scan effectively
+    # SINGLE-THREADED in both engines — the silent cause of the r13/r14
+    # sf10 grind (measured: the minhash DuckDB oracle alone ran >1 h at
+    # ~1.5 cores).  Clamp so small tables get >=32-way parallelism and
+    # huge tables keep sane metadata overhead.
+    rg = min(1_048_576, max(16_384, big.num_rows // 64))
+    pq.write_table(big, os.path.join(out_dir, f"{name}.parquet"), row_group_size=rg)
     return big.num_rows
 
 
