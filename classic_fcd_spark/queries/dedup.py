@@ -334,15 +334,29 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "near_dup_groups",
+    # r14: the oracle's transitive closure now runs over DISTINCT
+    # fingerprints (one rep per simhash value), mirroring the Spark
+    # side's star-collapsed edges — the doc-level recursion accumulated
+    # node×component-size reach rows, which on the sf10 clone corpus
+    # (~26M doc pairs) ground for >1 h without converging.  Labeling is
+    # identical: band collision and hamming depend only on the simhash
+    # VALUE, so doc-level components are the member-expansion of
+    # rep-level components; keeper = min doc id = min rep id (reps are
+    # their group's min); a doc appears iff its group has m >= 2
+    # (hamming-0 intra pairs) or its rep has a rep edge.
     f"""
     WITH RECURSIVE {duck_simhash32_cte(_SH, f"documents WHERE len({_D_TOKS}) >= 3")},
+    grp AS (
+        SELECT simhash, MIN(doc_id) AS rid, COUNT(*) AS m
+        FROM sh GROUP BY simhash
+    ),
     banded AS (
-        SELECT doc_id, simhash, b, (simhash // d) % 256 AS byte
-        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS b, unnest([1, 256, 65536, 16777216]) AS d)
+        SELECT rid, simhash, b, (simhash // d) % 256 AS byte
+        FROM grp, (SELECT unnest([0, 1, 2, 3]) AS b, unnest([1, 256, 65536, 16777216]) AS d)
     ),
     pairs AS (
-        SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
-        FROM banded l JOIN banded r ON l.b = r.b AND l.byte = r.byte AND l.doc_id < r.doc_id
+        SELECT DISTINCT l.rid AS i, r.rid AS j
+        FROM banded l JOIN banded r ON l.b = r.b AND l.byte = r.byte AND l.rid < r.rid
         WHERE bit_count(xor(l.simhash, r.simhash)) <= 1
     ),
     edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
@@ -350,9 +364,16 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a, a FROM edges
         UNION
         SELECT e.b, reach.label FROM reach JOIN edges e ON reach.node = e.a
+    ),
+    rcomp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+    glab AS (
+        SELECT g.simhash, g.m, COALESCE(rc.label, g.rid) AS label,
+               rc.node IS NOT NULL AS has_edge
+        FROM grp g LEFT JOIN rcomp rc ON g.rid = rc.node
     )
-    SELECT node AS doc_id, MIN(label) AS keeper_doc_id
-    FROM reach GROUP BY node
+    SELECT s.doc_id, gl.label AS keeper_doc_id
+    FROM sh s JOIN glab gl ON s.simhash = gl.simhash
+    WHERE gl.m >= 2 OR gl.has_edge
     """,
     doc="Near-dup group/keeper assignment: connected components over the "
     "simhash hamming<=1 pair graph; keeper = min doc id per component — "
@@ -360,7 +381,8 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark side is iterative min-label propagation (shuffle per round, "
     "rounds = diameter, lineage truncated via localCheckpoint); the "
     "oracle is a recursive transitive-closure CTE — an independent "
-    "algorithm arriving at the same labeling.",
+    "algorithm arriving at the same labeling (r14: closure over distinct "
+    "fingerprints, expanded to members — see the oracle comment).",
 )
 def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from classic_fcd_spark.operators.dedup import (

@@ -948,30 +948,47 @@ _DUCK_NC = (
     f"for i in range(1, {DIM + 1})]))"
 )
 
+# r14: the oracle's cell pair-join and transitive closure now run over
+# DISTINCT embeddings (one rep per byte-identical vector, the same
+# collapse the Spark side has run since r7) — the doc-level pair join
+# computed a same-cell cosine for every vector pair, which on the sf10
+# clone corpus is ~1.25G 64-dim folds.  Labeling is identical: copies
+# share cell, cos_c, and every pairwise cosine, so doc-level components
+# are the member-expansion of rep-level components; a multi-member group
+# links internally iff its self-cosine clears the threshold (guards the
+# zero-vector NaN case exactly like the doc-level predicate did), and
+# keeper selection stays at member level, unchanged.
 SEMANTIC_DEDUP_ORACLE_SQL = f"""
     WITH RECURSIVE cents AS (
         SELECT vec_id AS cid, embedding AS ce FROM embeddings
         WHERE vec_id < {_SEM_K}
     ),
     cn AS (SELECT cid, ce, {_DUCK_NC} AS nc FROM cents),
-    vn AS (SELECT vec_id, embedding, {_DUCK_VN} AS nv FROM embeddings),
+    vg AS (
+        SELECT embedding, MIN(vec_id) AS rid, COUNT(*) AS m
+        FROM embeddings GROUP BY embedding
+    ),
+    vn AS (SELECT rid, embedding, m, {_DUCK_VN} AS nv FROM vg),
     scored AS (
-        SELECT v.vec_id, v.embedding, v.nv, c.cid,
+        SELECT v.rid, v.embedding, v.m, v.nv, c.cid,
                list_sum([CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
                          for i in range(1, {DIM + 1})]) / (v.nv * c.nc) AS cos
         FROM vn v CROSS JOIN cn c
     ),
     assigned AS (
-        SELECT vec_id, embedding, nv, cid AS cell, cos AS cos_c
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        SELECT rid, embedding, m, nv, cid AS cell, cos AS cos_c,
+               list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                         for i in range(1, {DIM + 1})]) / (nv * nv)
+                   >= {_SEM_THRESH!r} AS self_linked
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rid
                                            ORDER BY cos DESC, cid DESC) AS rn
               FROM scored)
         WHERE rn = 1
     ),
     pairs AS (
-        SELECT a.vec_id AS i, b.vec_id AS j
+        SELECT a.rid AS i, b.rid AS j
         FROM assigned a JOIN assigned b
-          ON a.cell = b.cell AND a.vec_id < b.vec_id
+          ON a.cell = b.cell AND a.rid < b.rid
         WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
                         for i in range(1, {DIM + 1})]) / (a.nv * b.nv) >= {_SEM_THRESH!r}
     ),
@@ -981,10 +998,17 @@ SEMANTIC_DEDUP_ORACLE_SQL = f"""
         UNION
         SELECT e.b, reach.label FROM reach JOIN edges e ON reach.node = e.a
     ),
-    comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+    rcomp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+    glab AS (
+        SELECT a.embedding, a.cell, a.cos_c,
+               CASE WHEN rc.node IS NOT NULL OR (a.m >= 2 AND a.self_linked)
+                    THEN COALESCE(rc.label, a.rid) END AS rlabel
+        FROM assigned a LEFT JOIN rcomp rc ON a.rid = rc.node
+    ),
     members AS (
-        SELECT a.vec_id, a.cell, a.cos_c, COALESCE(c.label, a.vec_id) AS group_id
-        FROM assigned a LEFT JOIN comp c ON a.vec_id = c.node
+        SELECT v.vec_id, gl.cell, gl.cos_c,
+               COALESCE(gl.rlabel, v.vec_id) AS group_id
+        FROM embeddings v JOIN glab gl ON v.embedding = gl.embedding
     ),
     keep AS (
         SELECT group_id, vec_id AS keeper_id
