@@ -261,6 +261,31 @@ def choose_lsh_bands(
 # degenerate path: zero replication.
 MAX_BAND_GROUP = 4096
 
+# Duplicate-mass dispatch for the r14 collapse (r15, VERDICT r14 item 3).
+# collapse_by_shingles is a pure PERFORMANCE rewrite — both the collapsed
+# and the direct plan emit the exact same pair set — but the collapse
+# costs a full groupBy on the shingle arrays plus two member-expansion
+# joins, which r14 charged to EVERY corpus: 2.73x on minhash at sf0.1,
+# where the planted duplicate mass is 8 docs out of 5000.  The extra
+# verify work the direct plan risks is bounded by the duplicate PAIRS it
+# re-verifies: sum_g C(m_g,2) <= n_dup_docs * max_m / 2 (n_dup_docs =
+# n_docs - n_distinct; within a group of size m there are (m-1) redundant
+# docs and C(m,2) <= (m-1)*m/2 pairs).  Collapse only when that bound
+# crosses COLLAPSE_DUP_MASS: below it the direct plan re-verifies at most
+# ~COLLAPSE_DUP_MASS/2 extra pairs (~3M shingle-token rows at the
+# default — noise at any scale); above it (clone corpora, adversarial
+# all-identical) the collapse's distinct-sized verify is the difference
+# between 1x and multiplicity-quadratic shuffle volume (the r13 sf10
+# 125 GB verify).  Stats come from session.shingle_stats — one cached
+# fingerprint aggregate per corpus, never a per-query probe.
+COLLAPSE_DUP_MASS = 1 << 16
+
+
+def collapse_pays_off(n_docs: int, n_distinct: int, max_m: int) -> bool:
+    """True when the duplicate-pair upper bound justifies the collapse
+    shuffle (see COLLAPSE_DUP_MASS). Exactness is unaffected either way."""
+    return (n_docs - n_distinct) * max_m > COLLAPSE_DUP_MASS
+
 
 def adaptive_band_self_join(
     banded: DataFrame, id_col: str, key_cols: list[str], max_group: int = MAX_BAND_GROUP

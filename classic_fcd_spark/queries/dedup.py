@@ -99,10 +99,26 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family and persisted once per corpus (session.shingle_table): the
     # md5 shingle projection dominates every fuzzy-dedup query's cost,
     # and a long-lived engine pays it once per corpus generation
-    from classic_fcd_spark.operators.dedup import collapse_by_shingles
-    from classic_fcd_spark.session import scoped_persist, shingle_table
+    from classic_fcd_spark.operators.dedup import (
+        collapse_by_shingles,
+        collapse_pays_off,
+    )
+    from classic_fcd_spark.session import scoped_persist, shingle_stats, shingle_table
 
     sh = shingle_table(spark, sf_dir).select("doc_id", "shingles")
+    # r15 duplicate-mass dispatch (VERDICT r14 item 3): the corpus-level
+    # fingerprint stats are ONE cached aggregate per corpus generation
+    # (session.shingle_stats), replacing r14's per-query collapse
+    # groupBy + max(m) probe.  Low duplicate mass -> the pre-collapse
+    # direct plan (r13's, driver-green throughout), whose extra verify
+    # work is bounded by COLLAPSE_DUP_MASS; high mass (clone corpora) ->
+    # the r14 collapse below.  Both plans emit the exact same pair set.
+    n_docs, n_distinct, max_m = shingle_stats(spark, sf_dir)
+    if not collapse_pays_off(n_docs, n_distinct, max_m):
+        cand = lsh_candidate_pairs(sh, "doc_id", "shingles")
+        return jaccard_pairs(cand, sh, "doc_id", "shingles").filter(
+            F.col("jaccard") >= 0.8
+        )
     # r14 duplicate collapse (SCALE.md §Dedup): band + verify once per
     # DISTINCT shingle set, expand member pairs after — identical output
     # (copies share every band and every pairwise Jaccard), but the
@@ -116,9 +132,6 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_pairs = jaccard_pairs(cand, reps, "doc_id", "shingles").filter(
         F.col("jaccard") >= 0.8
     )
-    max_m = groups.agg(F.max("m")).first()[0] or 1
-    if max_m == 1:
-        return rep_pairs  # dup-free corpus: reps ARE the docs
     # cross-group: every (a in g_i, b in g_j) inherits the rep pair's
     # inter/uni/jaccard exactly (identical shingle arrays); least/
     # greatest restores the i<j contract
@@ -139,10 +152,14 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # intra-group: identical docs — inter = uni = |shingles|, jaccard =
     # the same double division the oracle evaluates on the two copies
-    # (n/n = exactly 1.0 ≥ 0.8 on both engines)
+    # (n/n = exactly 1.0 ≥ 0.8 on both engines).  size > 0 guard (r15,
+    # VERDICT r14 item 7): an empty-shingle duplicate group would emit
+    # 0/0 = NaN rows the oracle's >= 0.8 filter drops — unreachable on
+    # the >= 3-token silver, but the invariant belongs to this plan, not
+    # to the upstream filter.
     n = F.size("shingles").cast("long")
     intra = (
-        groups.filter(F.col("m") >= 2)
+        groups.filter((F.col("m") >= 2) & (F.size("shingles") > 0))
         .select(
             n.alias("inter"),
             n.alias("uni"),
@@ -457,9 +474,10 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from classic_fcd_spark.operators.dedup import (
         banded_signatures,
         collapse_by_shingles,
+        collapse_pays_off,
         incremental_near_dups,
     )
-    from classic_fcd_spark.session import scoped_persist, shingle_table
+    from classic_fcd_spark.session import scoped_persist, shingle_stats, shingle_table
 
     docs = load_tables(spark, sf_dir)["documents"]
     split = docs.agg(F.expr("max(doc_id) div 2")).collect()[0][0]
@@ -468,6 +486,17 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(spark, sf_dir).select("doc_id", "shingles")
     index_docs = sh.filter(F.col("doc_id") < split)
     new_docs = sh.filter(F.col("doc_id") >= split)
+    # r15 duplicate-mass dispatch, same corpus-level cached stats as
+    # minhash_lsh_near_dups (a whole-corpus bound necessarily bounds each
+    # side of the split): low mass -> the pre-collapse direct probe
+    # (r13's, driver-green throughout); high mass -> the r14 per-side
+    # collapse below.  Identical pair set either way.
+    n_docs, n_distinct, max_m = shingle_stats(spark, sf_dir)
+    if not collapse_pays_off(n_docs, n_distinct, max_m):
+        banded = banded_signatures(index_docs, "doc_id", "shingles")
+        return incremental_near_dups(
+            new_docs, banded, index_docs, "doc_id", "shingles"
+        )
     # r14 duplicate collapse, same as minhash_lsh_near_dups but per SIDE:
     # probe distinct-new against distinct-index, expand (new member ×
     # index member) after.  A new group byte-equal to an index group
@@ -486,12 +515,6 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_pairs = incremental_near_dups(
         reps_new, banded, reps_idx, "doc_id", "shingles"
     )
-    max_m = (
-        g_new.agg(F.max("m")).first()[0] or 1,
-        g_idx.agg(F.max("m")).first()[0] or 1,
-    )
-    if max_m == (1, 1):
-        return rep_pairs  # dup-free on both sides: reps ARE the docs
     mn = g_new.select(F.col("rid").alias("new_id"), F.col("members").alias("ma"))
     mx = g_idx.select(F.col("rid").alias("dup_of"), F.col("members").alias("mb"))
     return (

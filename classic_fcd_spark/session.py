@@ -163,6 +163,43 @@ def shingle_table(spark, sf_dir: str):
     return df
 
 
+_SHINGLE_STATS: dict[tuple[int, str], tuple[int, int, int]] = {}
+
+
+def shingle_stats(spark, sf_dir: str) -> tuple[int, int, int]:
+    """(n_docs, n_distinct_sets, max_multiplicity) of the shingle silver —
+    ONE cached aggregate per (session, corpus generation), shared by every
+    dedup-family query (r15, VERDICT r14 item 3: the per-query collapse +
+    max(m) probes cost 2.73x on minhash at sf0.1; this pass replaces all
+    of them and is paid once per corpus, not once per query).
+
+    The aggregate groups on md5(shingle array), so the shuffle moves
+    16-byte fingerprints, never the arrays themselves.  Collision
+    direction is safe by construction: an md5 collision can only LOWER
+    the distinct count / RAISE the multiplicity, i.e. push a consumer
+    toward running the exact array-keyed collapse unnecessarily — it can
+    never report "no duplicates" when duplicates exist (distinct
+    fingerprints imply distinct arrays)."""
+    key = (id(spark), sf_dir)
+    if key in _SHINGLE_STATS:
+        return _SHINGLE_STATS[key]
+    sh = shingle_table(spark, sf_dir)
+    fp = F.md5(F.concat_ws("\x1f", "shingles"))
+    row = (
+        sh.groupBy(fp.alias("fp"))
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("c").alias("n"),
+            F.count("*").alias("d"),
+            F.max("c").alias("m"),
+        )
+        .first()
+    )
+    stats = (int(row[0] or 0), int(row[1] or 0), int(row[2] or 1))
+    _SHINGLE_STATS[key] = stats
+    return stats
+
+
 def normalize_event_time(df, col: str = "ts"):
     """Normalize an event-time column to plain ``TIMESTAMP`` regardless of
     the parquet physical encoding it arrived in.
