@@ -301,7 +301,17 @@ def adaptive_band_self_join(
     ORIGINAL direct self-join with ZERO added shuffles; a degenerate one
     (all-identical / heavily-cloned) pays the split instead of melting a
     task.  `banded` should be persisted by the caller — both the
-    detection agg and the join branches re-read it."""
+    detection agg and the join branches re-read it.
+
+    The probe is EAGER (ADVICE r14): it runs a Spark job at DataFrame-
+    construction time, so building this plan costs one pass over the
+    banded table even if the result is never executed, and the dispatch
+    freezes against build-time data.  Deliberate: every current caller
+    executes the result exactly once per corpus generation, and the
+    alternative (deferring behind the first action) would decide the
+    plan from inside a running job.  If a caller ever constructs these
+    plans speculatively, memoize the probe next to the caller's persist
+    scope rather than making it lazy."""
     max_bucket = (
         banded.groupBy(*key_cols)
         .agg(F.count("*").alias("_bn"))

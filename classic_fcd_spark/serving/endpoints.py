@@ -505,7 +505,15 @@ def bronze_sources(
     """Scope the endpoint family onto stored bronze/silver tables:
     `txs` (tx bronze), `blocks` (block bronze with reward events),
     `account_tx` (the account_tx silver — pass the streamed one to skip
-    re-deriving the regex address walk the ingest already paid for)."""
+    re-deriving the regex address walk the ingest already paid for).
+
+    Thread-locality (ADVICE r14): the scope lives in a ContextVar, so a
+    worker thread SPAWNED INSIDE this scope starts from the default
+    empty context and falls back to fixture sources — unlike the old
+    module-global dict, which was process-visible.  Nothing in the repo
+    threads through here today; if a future serving layer does, pass
+    ``contextvars.copy_context()`` to the executor (or run the thread's
+    body via ``ctx.run``) so the override propagates."""
     merged = dict(_overrides())
     for k, v in (("txs", txs), ("blocks", blocks), ("account_tx", account_tx)):
         if v is not None:

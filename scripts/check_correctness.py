@@ -157,6 +157,17 @@ def dtype_problems(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]
 # bit_xor(h), sum(h & 0x7FFFFFFF)): xor alone is blind to swapping a
 # duplicate PAIR of rows for a different duplicate pair; the low-bits sum
 # (overflow-safe to ~4e9 rows) breaks that degeneracy.
+#
+# DOCUMENTED BLIND SPOT (ADVICE r14): the bare chr(31)/chr(30) separator
+# scheme is ambiguous iff a STRING VALUE itself contains chr(30) or
+# chr(31) — 'a\x1f' + 'b' and 'a' + '\x1fb' then render identically and
+# could in principle alias to a false PASS.  No driver query emits
+# control characters: every string column in the registry is an md5/hex
+# hash, a bech32 address, a denom/date/label token, or parquet text the
+# generator draws from printable ASCII (and F15's null-byte scrub exists
+# precisely because control bytes are rejected at ingest).  If a future
+# query emits binary-ish strings, length-prefix the string rendering
+# (concat(length, ':', value)) on BOTH engines before trusting hash mode.
 # ---------------------------------------------------------------------------
 _NULL_S = "chr(30)"  # Spark SQL
 _SEP_S = "chr(31)"
