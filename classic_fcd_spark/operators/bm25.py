@@ -73,6 +73,7 @@ def bm25_topk(
     b: float = 0.75,
     top_k: int = 10,
     postings: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """(qid, id, rnk, score_e6): top-k BM25 docs per query.
 
@@ -124,15 +125,25 @@ def bm25_topk(
 
     if not qpairs:
         return _empty()
-    row = (
-        post.select(id_col, "dl")
-        .distinct()
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
-        .collect()[0]
-    )
-    if not row["n"]:
+    # `stats` lets a long-lived engine pass the per-corpus cached (N,
+    # avgdl) pair (session.bm25_corpus_stats) instead of paying this
+    # collect job per query call (r15); the values are computed by the
+    # identical expression either way, so scores are bit-identical.
+    if stats is None:
+        row = (
+            post.select(id_col, "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+            .collect()[0]
+        )
+        stats = (
+            (int(row["n"]), int(row["tot"]) / int(row["n"]))
+            if row["n"]
+            else (0, 0.0)
+        )
+    n, avgdl = stats
+    if not n:
         return _empty()
-    n, avgdl = int(row["n"]), int(row["tot"]) / int(row["n"])
 
     qdf = spark.createDataFrame(qpairs, ["qid", "term"])
     # document frequency of QUERY terms only: postings pruned by the

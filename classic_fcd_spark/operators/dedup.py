@@ -288,7 +288,11 @@ def collapse_pays_off(n_docs: int, n_distinct: int, max_m: int) -> bool:
 
 
 def adaptive_band_self_join(
-    banded: DataFrame, id_col: str, key_cols: list[str], max_group: int = MAX_BAND_GROUP
+    banded: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    max_group: int = MAX_BAND_GROUP,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Exact self-join pairs (i < j) over equal `key_cols`, engaging the
     capped sub-group split ONLY when some bucket exceeds `max_group`.
@@ -311,14 +315,29 @@ def adaptive_band_self_join(
     alternative (deferring behind the first action) would decide the
     plan from inside a running job.  If a caller ever constructs these
     plans speculatively, memoize the probe next to the caller's persist
-    scope rather than making it lazy."""
-    max_bucket = (
-        banded.groupBy(*key_cols)
-        .agg(F.count("*").alias("_bn"))
-        .agg(F.max("_bn"))
-        .first()[0]
-        or 0
-    )
+    scope rather than making it lazy.
+
+    `memo_key` (r15) caches the probe RESULT per session via
+    session.session_memo: the max bucket count is a pure function of
+    (corpus, banding parameters), so repeated invocations over the same
+    corpus generation — every steady-state engine call — skip the probe
+    job entirely.  Callers embed the corpus identity in the key."""
+
+    def _probe() -> int:
+        return (
+            banded.groupBy(*key_cols)
+            .agg(F.count("*").alias("_bn"))
+            .agg(F.max("_bn"))
+            .first()[0]
+            or 0
+        )
+
+    if memo_key is None:
+        max_bucket = _probe()
+    else:
+        from classic_fcd_spark.session import session_memo
+
+        max_bucket = session_memo(banded.sparkSession, memo_key, _probe)
     if max_bucket <= max_group:
         left = banded.alias("l")
         right = banded.alias("r")
@@ -386,6 +405,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_band_group: int = MAX_BAND_GROUP,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """(i, j) candidate pairs sharing ≥1 LSH band, i < j, distinct.
 
@@ -406,7 +426,9 @@ def lsh_candidate_pairs(
     from classic_fcd_spark.session import scoped_persist
 
     banded = scoped_persist(banded, "lsh_candidate_pairs:banded")
-    return adaptive_band_self_join(banded, id_col, ["band", "bh"], max_band_group)
+    return adaptive_band_self_join(
+        banded, id_col, ["band", "bh"], max_band_group, memo_key=memo_key
+    )
 
 
 def collapse_by_shingles(
@@ -558,7 +580,9 @@ def simhash32_table(docs: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     return agg.select(F.col(id_col), total.cast("bigint").alias("simhash"))
 
 
-def _simhash_rep_pairs(sh: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
+def _simhash_rep_pairs(
+    sh: DataFrame, id_col: str, max_hamming: int, reps: DataFrame | None = None
+) -> DataFrame:
     """(sa, sb, ra, rb, hamming) pairs of DISTINCT fingerprint values at
     hamming 1..k, via byte-band LSH over the collapsed fingerprint table
     — one row per distinct simhash, keyed by its min-doc representative.
@@ -571,7 +595,8 @@ def _simhash_rep_pairs(sh: DataFrame, id_col: str, max_hamming: int) -> DataFram
     32 bits guarantee every pair at hamming <= 3 shares a whole band
     (pigeonhole), so recall is exact; the hamming verify runs inside the
     join stage and only true pairs reach the distinct."""
-    reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    if reps is None:
+        reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
     bands = F.array(
         *[F.struct(F.lit(b).alias("b"), F.lit(256**b).alias("d")) for b in range(4)]
     )
@@ -597,7 +622,11 @@ def _simhash_rep_pairs(sh: DataFrame, id_col: str, max_hamming: int) -> DataFram
 
 
 def simhash_hamming_pairs(
-    docs: DataFrame, id_col: str, tokens: Column, max_hamming: int = 1
+    docs: DataFrame,
+    id_col: str,
+    tokens: Column,
+    max_hamming: int = 1,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup (i, j, hamming) pairs with hamming(simhash) <= k —
     exact recall up to hamming <= 3 (see _simhash_rep_pairs).
@@ -608,11 +637,18 @@ def simhash_hamming_pairs(
     pairs from expanding the collapsed rep-pair list back to member
     docs (rep pairs are distinct and cliques are disjoint, so the
     expansion is collision-free).  Cost is O(output), not
-    O(band-collision set)."""
-    sh = simhash32_table(docs, id_col, tokens)
-    from classic_fcd_spark.session import scoped_persist
+    O(band-collision set).
 
-    sh = scoped_persist(sh, "simhash_hamming_pairs:sh")
+    `fingerprints` (r15) reuses a stored (id, simhash) table
+    (session.simhash_silver) instead of re-fingerprinting per call."""
+    if fingerprints is not None:
+        sh = fingerprints
+    else:
+        from classic_fcd_spark.session import scoped_persist
+
+        sh = scoped_persist(
+            simhash32_table(docs, id_col, tokens), "simhash_hamming_pairs:sh"
+        )
     intra = (
         sh.select(F.col(id_col).alias("i"), "simhash")
         .join(sh.select(F.col(id_col).alias("j"), "simhash"), "simhash")
@@ -633,7 +669,11 @@ def simhash_hamming_pairs(
 
 
 def simhash_component_edges(
-    docs: DataFrame, id_col: str, tokens: Column, max_hamming: int = 1
+    docs: DataFrame,
+    id_col: str,
+    tokens: Column,
+    max_hamming: int = 1,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Collapsed (i, j) edge list whose connected components equal the
     components of the full hamming <= k pair graph, at a fraction of the
@@ -642,18 +682,27 @@ def simhash_component_edges(
     adjacency one rep-rep edge per hash pair (not |a|x|b| member pairs).
     This is what the group/keeper and curation paths should feed to
     connected_components — same groups, same min-id keepers (every doc
-    is still a node), ~100x fewer edges on dup-heavy corpora."""
-    sh = simhash32_table(docs, id_col, tokens)
-    from classic_fcd_spark.session import scoped_persist
+    is still a node), ~100x fewer edges on dup-heavy corpora.
 
-    sh = scoped_persist(sh, "simhash_component_edges:sh")
+    `fingerprints` (r15) reuses a stored (id, simhash) table
+    (session.simhash_silver); the rep table is computed once and shared
+    with the band-pair arm (it was derived twice — here and inside
+    _simhash_rep_pairs)."""
+    if fingerprints is not None:
+        sh = fingerprints
+    else:
+        from classic_fcd_spark.session import scoped_persist
+
+        sh = scoped_persist(
+            simhash32_table(docs, id_col, tokens), "simhash_component_edges:sh"
+        )
     reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
     member = (
         sh.join(reps, "simhash")
         .filter(F.col(id_col) != F.col("rep"))
         .select(F.col(id_col).alias("i"), F.col("rep").alias("j"))
     )
-    rep_edges = _simhash_rep_pairs(sh, id_col, max_hamming).select(
+    rep_edges = _simhash_rep_pairs(sh, id_col, max_hamming, reps=reps).select(
         F.col("ra").alias("i"), F.col("rb").alias("j")
     )
     return member.unionByName(rep_edges)
@@ -699,7 +748,11 @@ def _single_task_cc(edges: DataFrame) -> DataFrame:
     out_schema = StructType(
         [StructField("node", node_type), StructField("label", node_type)]
     )
-    rdd = edges.repartition(1).rdd.mapPartitions(part)
+    # coalesce, not repartition (r15): the caller hands a PERSISTED edge
+    # list, so the 1-task read is a narrow fetch of the cached blocks —
+    # repartition(1) paid a full shuffle round (map job + fetch) for the
+    # same single-task layout
+    rdd = edges.coalesce(1).rdd.mapPartitions(part)
     return edges.sparkSession.createDataFrame(rdd, out_schema)
 
 
@@ -730,8 +783,15 @@ def connected_components(
     # and a lazy plan would re-run the upstream pair generation per round;
     # then right-size partitioning to the GRAPH (≈500k edges/partition),
     # not the session default — iteration cost is dominated by per-stage
-    # overhead when the dup graph is orders smaller than the corpus
-    edges = edges.localCheckpoint(eager=True)
+    # overhead when the dup graph is orders smaller than the corpus.
+    # persist + count, not localCheckpoint(eager) + count (r15): the
+    # eager checkpoint is its own job, so sizing the graph cost TWO jobs
+    # before any CC work; the count now materializes the persist in one.
+    # Lineage truncation is only needed by the ITERATIVE branch (plans
+    # double per round), which re-checkpoints below.
+    from classic_fcd_spark.session import scoped_persist
+
+    edges = scoped_persist(edges, "connected_components:edges")
     n_edges = edges.count()
     # Two regimes, picked off the edge count the partitioning needs
     # anyway.  The near-dup graph is orders smaller than the corpus
@@ -861,9 +921,16 @@ def incremental_near_dups(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, dup_of, inter, uni, jaccard) for new docs whose Jaccard
     vs some indexed doc reaches `threshold`.
+
+    `new_banded` (r15) lets a caller hand in the new batch's (id, band,
+    bh) table instead of re-deriving it here — banding is per-doc, so a
+    doc_id filter of a stored corpus-wide band table is exactly the
+    banded table of that slice (how the gated query feeds both sides
+    from session.banded_minhash_table).
 
     `index_banded` is the stored (id, band, bh) table from
     banded_signatures (recompute it for tests; read it for production).
@@ -871,7 +938,10 @@ def incremental_near_dups(
     ingest pipeline with monotone ids).  Exactly the pairs the full-batch
     minhash path would emit across the split — proven by the equivalence
     test in tests/test_incremental_dedup.py."""
-    new_banded = banded_signatures(new_docs, id_col, shingle_col, num_hashes, bands)
+    if new_banded is None:
+        new_banded = banded_signatures(
+            new_docs, id_col, shingle_col, num_hashes, bands
+        )
     cand = (
         new_banded.alias("n")
         .join(

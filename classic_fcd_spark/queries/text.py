@@ -243,11 +243,22 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows matching postings, never the corpus; per-(q,doc,term)
     partials floored to e6 fixed point before the per-doc sum — exact
     integer scores on both engines (the order-free-sum discipline).
-    Repeated query terms count once (set semantics, both engines)."""
+    Repeated query terms count once (set semantics, both engines).
+
+    r15: postings + (N, avgdl) come from the per-corpus session silver
+    (session.bm25_postings_table / bm25_corpus_stats) instead of being
+    rebuilt + re-collected per invocation — one query call is now ONE
+    Spark job over broadcast-pruned postings."""
     from classic_fcd_spark.operators.bm25 import bm25_topk
+    from classic_fcd_spark.session import bm25_corpus_stats, bm25_postings_table
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return bm25_topk(docs, BM25_QUERIES)
+    return bm25_topk(
+        docs,
+        BM25_QUERIES,
+        postings=bm25_postings_table(spark, sf_dir),
+        stats=bm25_corpus_stats(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -327,9 +338,18 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from classic_fcd_spark.operators.bm25 import bm25_topk, rrf_fuse
     from classic_fcd_spark.operators.similarity import cosine, floor_e6
+    from classic_fcd_spark.session import bm25_corpus_stats, bm25_postings_table
 
     t = load_tables(spark, sf_dir)
-    lex = bm25_topk(t["documents"], BM25_QUERIES).select("qid", "doc_id", "rnk")
+    # r15: share the per-corpus postings silver + cached (N, avgdl) with
+    # bm25_search — the lexical arm no longer rebuilds the inverted
+    # index or pays the stats collect per invocation
+    lex = bm25_topk(
+        t["documents"],
+        BM25_QUERIES,
+        postings=bm25_postings_table(spark, sf_dir),
+        stats=bm25_corpus_stats(spark, sf_dir),
+    ).select("qid", "doc_id", "rnk")
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") < _HYBRID_DENSE_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
@@ -456,8 +476,29 @@ def _trigram_model_for(spark: SparkSession, sf_dir: str, docs: DataFrame):
             if not os.path.exists(os.path.join(mdir, "tri", "_SUCCESS")):
                 raise
     # ALWAYS score from the loaded parquet model so cold and warm runs
-    # execute the identical plan over identical bytes
-    return load_trigram_prob_model(spark, mdir)
+    # execute the identical plan over identical bytes.
+    #
+    # r15: the loaded handle is memoized per (session, model dir) — the
+    # key already embeds the corpus stat signature, so staleness is
+    # impossible — and the count tables are persisted: the previous
+    # per-call load paid a parquet re-read of all three tables plus a
+    # scalar utot aggregate job, and every scoring call rebuilt its ~7
+    # broadcast relations from cold parquet scans.
+    from classic_fcd_spark.session import session_memo
+
+    def _load():
+        model = load_trigram_prob_model(spark, mdir)
+        for df in (
+            model.uni_model,
+            model.pair_model,
+            model.pctx_model,
+            model.tri_model,
+            model.tctx_model,
+        ):
+            df.persist()
+        return model
+
+    return session_memo(spark, f"trigram_model|{mdir}", _load)
 
 
 # ---------------------------------------------------------------------------

@@ -163,6 +163,34 @@ def shingle_table(spark, sf_dir: str):
     return df
 
 
+_SESSION_MEMO: dict[tuple[int, str], object] = {}
+
+
+def session_memo(spark, key: str, build):
+    """Session-scoped memo for PLAN-DECISION state computed once per
+    corpus generation: scalar probe statistics (max bucket size, max
+    duplicate multiplicity, split ids), tiny collected codebooks, and
+    loaded model handles — the same class as AQE's runtime statistics
+    and the `shingle_table` / `_SHINGLE_STATS` precedents (r15
+    optimization round, guide §1.2: these per-call driver round-trips
+    were a measured 1-3 jobs PER QUERY INVOCATION at sf0.1 while being
+    pure functions of the corpus).  Callers embed the corpus identity
+    (sf_dir) in `key`, matching shingle_table's (session, sf_dir)
+    staleness contract: a regenerated corpus at a NEW path (how every
+    scale lane builds one) never hits a stale entry; rewriting parquet
+    in place within one live session is out of contract, as it already
+    was for every cached silver.  Query RESULTS are never memoized —
+    only statistics/handles that decide plan shape."""
+    k = (id(spark), key)
+    if k not in _SESSION_MEMO:
+        # evict entries of dead/replaced sessions (same hygiene as the
+        # bronze fixture cache)
+        for stale in [s for s in _SESSION_MEMO if s[0] != id(spark)]:
+            del _SESSION_MEMO[stale]
+        _SESSION_MEMO[k] = build()
+    return _SESSION_MEMO[k]
+
+
 _SHINGLE_STATS: dict[tuple[int, str], tuple[int, int, int]] = {}
 
 
@@ -198,6 +226,128 @@ def shingle_stats(spark, sf_dir: str) -> tuple[int, int, int]:
     stats = (int(row[0] or 0), int(row[1] or 0), int(row[2] or 1))
     _SHINGLE_STATS[key] = stats
     return stats
+
+
+def embedding_stats(spark, sf_dir: str) -> tuple[int, int, int]:
+    """(n_vecs, n_distinct_vectors, max_multiplicity) of `embeddings` —
+    the shingle_stats twin for the vector family (r15): ONE cached
+    fingerprint aggregate per corpus generation replaces
+    embedding_similar_pairs' per-call max(m) probe AND lets a
+    duplicate-free corpus skip the collapse groupBy outright.  The
+    md5-of-JSON fingerprint keeps the shuffle at 16 bytes/row (never
+    the 64-double arrays); a collision can only push a consumer toward
+    the exact array-keyed collapse, never away from it (distinct
+    fingerprints imply distinct vectors)."""
+
+    def build():
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        fp = F.md5(F.to_json(F.struct(F.col("embedding").alias("v"))))
+        row = (
+            emb.groupBy(fp.alias("fp"))
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum("c").alias("n"),
+                F.count("*").alias("d"),
+                F.max("c").alias("m"),
+            )
+            .first()
+        )
+        return (int(row[0] or 0), int(row[1] or 0), int(row[2] or 1))
+
+    return session_memo(spark, f"embedding_stats|{sf_dir}", build)
+
+
+def embedding_codebook(spark, sf_dir: str, k: int) -> list:
+    """First-k corpus vectors ordered by vec_id — the pinned
+    deterministic codebook shared by the ann_ivf / ann_pq arms and
+    semantic_dedup (r15): collected ONCE per (session, corpus, k)
+    instead of one k-row collect job per query invocation."""
+
+    def build():
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        return [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        ]
+
+    return session_memo(spark, f"embedding_codebook|{k}|{sf_dir}", build)
+
+
+def banded_minhash_table(spark, sf_dir: str):
+    """The (doc_id, band, bh) MinHash-LSH band table over the shingle
+    silver, persisted once per (session, corpus) — per its own operator
+    docstring this is 'the thing a production corpus STORES at ingest
+    time' (operators/dedup.banded_signatures): ~bands rows x ~50 bytes
+    per doc, sufficient for both batch self-dedup and incremental
+    probes.  r15: minhash_lsh_near_dups' direct path and BOTH sides of
+    incremental_dedup's split previously re-derived the full signature
+    table per invocation; banding is per-doc (independent of the rest of
+    the corpus), so a doc_id filter of this table IS the banded table of
+    the filtered corpus."""
+
+    def build():
+        from classic_fcd_spark.operators.dedup import banded_signatures
+
+        sh = shingle_table(spark, sf_dir).select("doc_id", "shingles")
+        return banded_signatures(sh, "doc_id", "shingles").persist()
+
+    return session_memo(spark, f"banded_minhash|{sf_dir}", build)
+
+
+def simhash_silver(spark, sf_dir: str):
+    """(doc_id, simhash) over the shingle silver, persisted once per
+    (session, corpus) — the fingerprint table simhash_near_dups,
+    near_dup_groups and the simhash_docs bench workload all previously
+    re-derived (explode + 32-bit-majority groupBy) per invocation, each
+    under its own per-call persist scope.  Fingerprinting is per-doc:
+    one stored table serves every consumer."""
+
+    def build():
+        from classic_fcd_spark.operators.dedup import simhash32_table
+
+        sh = shingle_table(spark, sf_dir)
+        return simhash32_table(sh, "doc_id", F.col("shingles")).persist()
+
+    return session_memo(spark, f"simhash_silver|{sf_dir}", build)
+
+
+def bm25_postings_table(spark, sf_dir: str):
+    """The (doc_id, dl, term, tf) inverted-index silver over `documents`,
+    persisted once per (session, corpus) — the medallion pattern
+    shingle_table applies to the dedup family, applied to the lexical
+    family (the operator docstring has called postings 'the reusable
+    inverted-index silver ... like session.shingle_table' since r6; r15
+    actually shares it): bm25_search and hybrid_rrf_search's lexical arm
+    previously each rebuilt + re-persisted it per invocation."""
+
+    def build():
+        from classic_fcd_spark.operators.bm25 import bm25_postings
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        return bm25_postings(docs).persist()
+
+    return session_memo(spark, f"bm25_postings|{sf_dir}", build)
+
+
+def bm25_corpus_stats(spark, sf_dir: str) -> tuple[int, float]:
+    """(N, avgdl) over the postings silver — one cached scalar aggregate
+    per corpus generation (was: one collect job per bm25_topk call).
+    Values are computed by the exact expression bm25_topk used inline,
+    so every emitted score literal is bit-identical."""
+
+    def build():
+        post = bm25_postings_table(spark, sf_dir)
+        row = (
+            post.select("doc_id", "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+            .collect()[0]
+        )
+        if not row["n"]:
+            return (0, 0.0)
+        return (int(row["n"]), int(row["tot"]) / int(row["n"]))
+
+    return session_memo(spark, f"bm25_stats|{sf_dir}", build)
 
 
 def normalize_event_time(df, col: str = "ts"):

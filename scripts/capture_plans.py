@@ -1,0 +1,59 @@
+"""Capture .explain('formatted') for every declared query (plus the
+bench-only extras) into plans/<tag>/<query>_<suffix>.txt.
+
+Usage: python scripts/capture_plans.py <tag> <suffix> [query ...]
+  e.g. python scripts/capture_plans.py r15 before
+
+Plans are captured at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) —
+the scale the driver benches at.  Explain output is the ANALYZED physical
+plan before execution (AdaptiveSparkPlan isFinalPlan=false); that is what
+the plan-shape claims in OPTIMIZATION_r*.md reference (Exchange count,
+join strategy, PushedFilters, ReadSchema, *EvalPython nodes).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r15"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    only = set(sys.argv[3:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag)
+    os.makedirs(out_dir, exist_ok=True)
+
+    import bench
+    from classic_fcd_spark.queries import query_fn_map
+    from classic_fcd_spark.session import get_spark
+
+    spark = get_spark("capture_plans")
+    qmap = dict(query_fn_map())
+    qmap.update(bench._extra_workloads())
+
+    names = [n for n in qmap if not only or n in only]
+    for name in sorted(names):
+        try:
+            df = qmap[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            text = buf.getvalue()
+        except Exception as exc:  # noqa: BLE001 — keep capturing the rest
+            text = f"ERROR building plan: {type(exc).__name__}: {exc}\n"
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(f"-- {name} @ {sf_dir} ({suffix})\n")
+            f.write(text)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
