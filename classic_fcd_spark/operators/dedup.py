@@ -757,7 +757,10 @@ def _single_task_cc(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 50, local_threshold: int = 1_000_000
+    pairs: DataFrame,
+    max_iter: int = 50,
+    local_threshold: int = 1_000_000,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """(node, label) with label = min doc id of the node's connected
     component — the keeper-assignment step that turns a near-dup PAIR
@@ -789,10 +792,19 @@ def connected_components(
     # before any CC work; the count now materializes the persist in one.
     # Lineage truncation is only needed by the ITERATIVE branch (plans
     # double per round), which re-checkpoints below.
-    from classic_fcd_spark.session import scoped_persist
+    # `memo_key` (r15) additionally memoizes the edge COUNT per corpus
+    # generation — it only picks the regime and the partition sizing, so
+    # a steady-state call skips the sizing job and the first real
+    # consumer materializes the persisted edges instead.
+    from classic_fcd_spark.session import scoped_persist, session_memo
 
     edges = scoped_persist(edges, "connected_components:edges")
-    n_edges = edges.count()
+    if memo_key is None:
+        n_edges = edges.count()
+    else:
+        n_edges = session_memo(
+            pairs.sparkSession, f"cc:n_edges|{memo_key}", edges.count
+        )
     # Two regimes, picked off the edge count the partitioning needs
     # anyway.  The near-dup graph is orders smaller than the corpus
     # (banding + fingerprint collapse), so it routinely fits ONE task:

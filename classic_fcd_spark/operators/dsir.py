@@ -99,11 +99,17 @@ def dsir_scores(
     n: int = 2,
     buckets: int = 256,
     quantize_e6: bool = False,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """(id, score): importance log-ratio of every raw doc under the
     target-vs-raw hashed-ngram models.  The log-ratio table is built
     driver-side (2 x B floats) and broadcast; scoring is explode +
     broadcast equi-join + per-doc sum — one shuffle of narrow rows.
+
+    `memo_key` (r15): the two fitted histograms (a pure function of the
+    two corpora) and the raw side's exploded bucket silver are memoized
+    per session under that key — steady-state calls skip both model-fit
+    collect jobs and the re-persist.
 
     `quantize_e6` emits integer fixed-point scores instead: each
     bucket's log-ratio is floored to 1e-6 resolution BEFORE the per-doc
@@ -115,19 +121,35 @@ def dsir_scores(
     spark = raw_docs.sparkSession
     # the raw side's exploded bucket table feeds BOTH the raw model fit
     # and the per-doc scoring — materialize the md5 hashing once
-    from classic_fcd_spark.session import scoped_persist
+    from classic_fcd_spark.session import scoped_persist, session_memo
 
     # spread the md5 bigram hashing across cores before the explode —
     # single-file scans arrive as one partition
     par = spark.sparkContext.defaultParallelism
-    ex = scoped_persist(
-        raw_docs.repartition(par, id_col).select(
+
+    def _build_ex():
+        return raw_docs.repartition(par, id_col).select(
             F.col(id_col), F.explode(ngram_buckets(text_col, n, buckets)).alias("b")
-        ),
-        "dsir:raw_buckets",
-    )
-    lp_t = bucket_log_probs(target_docs, text_col, n, buckets)
-    lp_r = bucket_log_probs(raw_docs, text_col, n, buckets, exploded=ex)
+        )
+
+    if memo_key is None:
+        ex = scoped_persist(_build_ex(), "dsir:raw_buckets")
+        lp_t = bucket_log_probs(target_docs, text_col, n, buckets)
+        lp_r = bucket_log_probs(raw_docs, text_col, n, buckets, exploded=ex)
+    else:
+        ex = session_memo(
+            spark, f"dsir:raw_buckets|{memo_key}", lambda: _build_ex().persist()
+        )
+        lp_t = session_memo(
+            spark,
+            f"dsir:lp_t|{memo_key}",
+            lambda: bucket_log_probs(target_docs, text_col, n, buckets),
+        )
+        lp_r = session_memo(
+            spark,
+            f"dsir:lp_r|{memo_key}",
+            lambda: bucket_log_probs(raw_docs, text_col, n, buckets, exploded=ex),
+        )
     if quantize_e6:
         ratio = spark.createDataFrame(
             [(b, math.floor((lp_t[b] - lp_r[b]) * 1e6)) for b in range(buckets)],
@@ -203,11 +225,19 @@ def dsir_select(
     buckets: int = 256,
     salt: str = "dsir",
     quantize_e6: bool = False,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """The composed selector: (id, score, gumbel_key) of the k raw docs
     chosen to match the target distribution.  `quantize_e6` runs the
     integer-exact fixed-point path (the driver-gated form)."""
     scored = dsir_scores(
-        raw_docs, target_docs, id_col, text_col, n, buckets, quantize_e6=quantize_e6
+        raw_docs,
+        target_docs,
+        id_col,
+        text_col,
+        n,
+        buckets,
+        quantize_e6=quantize_e6,
+        memo_key=memo_key,
     )
     return dsir_resample(scored, k, id_col, salt, quantize_e6=quantize_e6)

@@ -53,18 +53,32 @@ def unigram_nll_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 4096,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, sum_nll_e6, mean_nll_e6): negative log-likelihood
     of every doc under the hashed-unigram model fit on `model_docs`.
 
     mean_nll_e6 = sum_nll_e6 div n_tokens (integer division — exact);
     perplexity = exp(mean_nll_e6 / 1e6), monotone in mean_nll_e6, so
-    thresholds/buckets operate on the integer column directly."""
+    thresholds/buckets operate on the integer column directly.
+
+    `memo_key` (r15): the fitted e6 model (a pure function of the model
+    corpus) is memoized per session — steady-state calls skip the fit's
+    histogram collect job."""
     spark = docs.sparkSession
     # spread the md5 hashing across cores — single-file scans arrive as
     # one partition (model fit and scoring both explode every token)
     par = spark.sparkContext.defaultParallelism
-    nll = unigram_model_e6(model_docs.repartition(par), text_col, buckets)
+
+    def _fit():
+        return unigram_model_e6(model_docs.repartition(par), text_col, buckets)
+
+    if memo_key is None:
+        nll = _fit()
+    else:
+        from classic_fcd_spark.session import session_memo
+
+        nll = session_memo(spark, f"ccnet:model_e6|{memo_key}", _fit)
     model = spark.createDataFrame(
         list(enumerate(nll)), "b bigint, nll_e6 bigint"
     )
@@ -92,6 +106,7 @@ def ccnet_buckets(
     buckets: int = 4096,
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     rel_err: float = 0.001,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, mean_nll_e6, bucket): CCNet's head/middle/tail
     split — head = lowest-perplexity third (most reference-like).
@@ -101,7 +116,9 @@ def ccnet_buckets(
     collected, no global sort; at 100 TB that is the only honest way to
     rank by percentile.  Bucket boundaries inherit the sketch's
     documented rank error (rel_err)."""
-    scored = unigram_nll_scores(docs, model_docs, id_col, text_col, buckets)
+    scored = unigram_nll_scores(
+        docs, model_docs, id_col, text_col, buckets, memo_key=memo_key
+    )
     from classic_fcd_spark.session import scoped_persist
 
     scored = scoped_persist(scored, "ccnet:scores")
@@ -691,7 +708,7 @@ def score_trigram_prob(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Score `docs` under a fitted/loaded model — three explodes +
+    """Score `docs` under a fitted/loaded model — one token explode +
     broadcast left joins + an exact e9 floor-then-integer-sum.  This is
     the 100 TB hot path: the corpus meets only broadcast hash joins and
     column algebra; the fit runs once per model corpus, not per query
@@ -717,69 +734,58 @@ def score_trigram_prob(
         F.coalesce(F.col("tctx"), F.lit(0)) + F.lit(bf)
     )
 
-    def _e9(p):
-        return F.floor(p * F.lit(1000000000.0)).cast("bigint").alias("p_e9")
-
-    from classic_fcd_spark.session import scoped_persist
-
-    # size(bs) >= 1 drops NULL-/empty-text docs BEFORE the firsts stage:
-    # element_at on an empty array yields NULL, which the left join would
-    # smooth into a phantom token, while the oracle's token CTE emits no
-    # rows for such docs (r7 advice — latent gate mismatch).  Persisted:
-    # the firsts/seconds/triples branches would otherwise each re-shuffle
-    # and re-tokenize the full corpus (3x the scan that dominates score
-    # time).
-    toks = scoped_persist(
+    # r15 single-pass scorer: ONE explode emits (w, c2 = prev token,
+    # c1 = prev-prev token) per token — c2/c1 are NULL at the doc head —
+    # and ONE chain of five broadcast left joins scores every position;
+    # a CASE on the context nulls selects the per-position formula.  The
+    # previous three-branch union re-read the (persisted) token table
+    # three times and built 7-8 broadcast relations per call (pair/pctx
+    # were broadcast twice under different key names, defeating exchange
+    # reuse); measured ~2 s/call at sf0.1 against ~the scan cost for
+    # this form.  Value-exact: each CASE arm is the branch's verbatim
+    # expression (same literals, same association order), null-keyed
+    # rows simply miss the left joins exactly like the old narrow
+    # branches never joined them, and e9 flooring still happens before
+    # the per-doc integer sum.
+    #
+    # size(bs) >= 1 drops NULL-/empty-text docs: the oracle's token CTE
+    # emits no rows for such docs (r7 advice — latent gate mismatch).
+    tok = (
         docs.repartition(par, id_col)
         .select(F.col(id_col), ngram_buckets(text_col, 1, buckets).alias("bs"))
-        .filter(F.size("bs") >= 1),
-        "trigram_prob:score_toks",
-    )
-    firsts = (
-        toks.select(id_col, F.element_at("bs", 1).alias("w"))
-        .join(F.broadcast(uni_model), "w", "left")
-        .select(id_col, _e9(pu))
-    )
-    seconds = (
-        toks.filter(F.size("bs") >= 2)
+        .filter(F.size("bs") >= 1)
         .select(
-            id_col,
-            F.element_at("bs", 1).alias("c"),
-            F.element_at("bs", 2).alias("w"),
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("bs")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("bs"), i).alias("w"),
+                        F.when(i >= 2, F.element_at(F.col("bs"), i - 1)).alias("c2"),
+                        F.when(i >= 3, F.element_at(F.col("bs"), i - 2)).alias("c1"),
+                    ),
+                )
+            ).alias("t"),
         )
-        .join(F.broadcast(pair_model), ["c", "w"], "left")
-        .join(F.broadcast(pctx_model), "c", "left")
-        .join(F.broadcast(uni_model), "w", "left")
-        .select(id_col, _e9((F.lit(l23) * pb) + (F.lit(l1) * pu)))
+        .select(id_col, "t.w", "t.c2", "t.c1")
     )
-    triples = (
-        toks.filter(F.size("bs") >= 3)
-        .select(F.col(id_col), _triple_structs(F.col("bs")).alias("t"))
-        .select(
-            id_col,
-            F.col("t.c1").alias("c1"),
-            F.col("t.c2").alias("c2"),
-            F.col("t.w").alias("w"),
-        )
-        .join(F.broadcast(tri_model), ["c1", "c2", "w"], "left")
-        .join(F.broadcast(tctx_model), ["c1", "c2"], "left")
+    joined = (
+        tok.join(F.broadcast(uni_model), "w", "left")
         .join(
             F.broadcast(pair_model.withColumnRenamed("c", "c2")), ["c2", "w"], "left"
         )
         .join(F.broadcast(pctx_model.withColumnRenamed("c", "c2")), "c2", "left")
-        .join(F.broadcast(uni_model), "w", "left")
-        .select(
-            id_col,
-            _e9(
-                ((F.lit(l3) * p3) + (F.lit(l2) * pb)) + (F.lit(l1) * pu)
-            ),
-        )
+        .join(F.broadcast(tri_model), ["c1", "c2", "w"], "left")
+        .join(F.broadcast(tctx_model), ["c1", "c2"], "left")
     )
-    return (
-        firsts.unionByName(seconds)
-        .unionByName(triples)
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_tokens"), F.sum("p_e9").alias("sum_p_e9"))
+    p = (
+        F.when(F.col("c2").isNull(), pu)
+        .when(F.col("c1").isNull(), (F.lit(l23) * pb) + (F.lit(l1) * pu))
+        .otherwise(((F.lit(l3) * p3) + (F.lit(l2) * pb)) + (F.lit(l1) * pu))
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.floor(p * F.lit(1000000000.0)).cast("bigint")).alias("sum_p_e9"),
     )
 
 

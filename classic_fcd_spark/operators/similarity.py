@@ -704,7 +704,10 @@ def semantic_dedup(
         pairs = rep_pairs.unionByName(copy_edges)
     from classic_fcd_spark.operators.dedup import connected_components
 
-    comp = connected_components(pairs)  # (node, label); only non-singletons
+    comp = connected_components(
+        pairs,
+        memo_key=None if silver_key is None else f"semantic_dedup|{silver_key}",
+    )  # (node, label); only non-singletons
     members = assigned.join(
         comp, assigned[id_col] == comp["node"], "left"
     ).select(

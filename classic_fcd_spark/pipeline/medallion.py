@@ -336,7 +336,12 @@ def tax_per_tx_denom(txs: DataFrame) -> DataFrame:
     return taxed.groupBy("hash", "timestamp", "denom").agg(F.sum("tax").alias("tax"))
 
 
-def reward_minute_fees(blocks: DataFrame, txs: DataFrame, prices: DataFrame) -> DataFrame:
+def reward_minute_fees(
+    blocks: DataFrame,
+    txs: DataFrame,
+    prices: DataFrame,
+    minute_rewards: DataFrame | None = None,
+) -> DataFrame:
     """A2 minute fee rollup + A4 oracle decomposition (reward.ts:123-157):
 
     - tax  per (minute, denom): getFee sums the per-msg tax CSVs written
@@ -389,8 +394,10 @@ def reward_minute_fees(blocks: DataFrame, txs: DataFrame, prices: DataFrame) -> 
         F.sum("gas").alias("gas")
     )
 
+    # `minute_rewards` (r15): reuse a stored minute-rewards silver
+    # instead of re-deriving it from the block bronze per call
     sum_minute = (
-        minute_rewards_silver(blocks)
+        (minute_rewards_silver(blocks) if minute_rewards is None else minute_rewards)
         .filter(F.col("rtype") == "rewards")
         .select("minute", "denom", F.col("total").alias("reward_sum"))
     )

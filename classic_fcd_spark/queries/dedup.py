@@ -441,7 +441,9 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_SIMHASH_K,
         fingerprints=simhash_silver(spark, sf_dir),
     )
-    return connected_components(edges).select(
+    return connected_components(
+        edges, memo_key=f"near_dup_groups|{sf_dir}"
+    ).select(
         F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc_id")
     )
 

@@ -60,6 +60,37 @@ from classic_fcd_spark.sources.fixtures import (
     gen_votes,
 )
 
+# ---------------------------------------------------------------------------
+# r15: session-persisted fixture SILVERS.  The bronzes (gen_txs /
+# gen_blocks) were already persisted per session, but each query call
+# re-derived its silver from them — the account_tx regex JSON walk ran
+# at three call sites per bench pass, the minute-rewards rollup at four.
+# In the streamed deployment these silvers are exactly what the ingest
+# stores (serving/endpoints.bronze_sources: "pass the streamed one to
+# skip re-deriving the regex address walk the ingest already paid for");
+# the fixture path now matches that shape.  Fixtures are deterministic
+# per session, so a static memo key is the correct generation key.
+# ---------------------------------------------------------------------------
+def _account_tx_silver_cached(spark: SparkSession) -> DataFrame:
+    from classic_fcd_spark.session import session_memo
+
+    return session_memo(
+        spark,
+        "fcd:account_tx_silver",
+        lambda: account_tx_silver(gen_txs(spark)).persist(),
+    )
+
+
+def _minute_rewards_silver_cached(spark: SparkSession) -> DataFrame:
+    from classic_fcd_spark.session import session_memo
+
+    return session_memo(
+        spark,
+        "fcd:minute_rewards_silver",
+        lambda: minute_rewards_silver(gen_blocks(spark)).persist(),
+    )
+
+
 _TS = f"make_timestamp((1609459200 + h * {BLOCK_SPACING_S}) * 1000000)"
 _MINUTE = f"strftime(date_trunc('minute', {_TS}), '%Y-%m-%d %H:%M:%S')"
 _DAY = f"strftime({_TS}, '%Y-%m-%d')"
@@ -142,7 +173,7 @@ def fcd_tx_volume_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the planted addresses (both terra1 and terravaloper1 forms).",
 )
 def fcd_account_tx_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    at = account_tx_silver(gen_txs(spark))
+    at = _account_tx_silver_cached(spark)
     # P9 validation predicate (serving/api.py ACCOUNT_REGEX/OPERATOR_REGEX
     # in their set form): malformed addresses must never reach the silver
     # rollup — on the fixture this is accept-all (addresses are well
@@ -265,7 +296,7 @@ def validator_returns_view(blocks: DataFrame, validators: DataFrame) -> DataFram
 def fcd_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     txs = gen_txs(spark)
     gold = dashboard_gold(
-        txs, account_tx_silver(txs), minute_rewards_silver(gen_blocks(spark))
+        txs, _account_tx_silver_cached(spark), _minute_rewards_silver_cached(spark)
     )
     return gold.crossJoin(F.broadcast(_freshness_probes(spark)))
 
@@ -336,7 +367,7 @@ _DUCK_DAILY_REWARDS = f"""
     "price table — the fact side never shuffles.",
 )
 def fcd_rewards_converted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mr = minute_rewards_silver(gen_blocks(spark))
+    mr = _minute_rewards_silver_cached(spark)
     daily = (
         mr.withColumn("day", F.substring("minute", 1, 10))
         .groupBy("day", "denom", "rtype")
@@ -446,7 +477,12 @@ _DUCK_MPRICES = f"""
     "exercising getUSDValue's missing-price zero branch.",
 )
 def fcd_minute_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return reward_minute_fees(gen_blocks(spark), gen_txs(spark), gen_prices(spark))
+    return reward_minute_fees(
+        gen_blocks(spark),
+        gen_txs(spark),
+        gen_prices(spark),
+        minute_rewards=_minute_rewards_silver_cached(spark),
+    )
 
 
 # Oracle retained for the in-test DuckDB gate (tests/test_fcd_pipeline.py):
@@ -626,7 +662,7 @@ _TX300 = tx_hash_str(300)
 )
 def fcd_tx_list_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     txs = gen_txs(spark)
-    at = account_tx_silver(txs)
+    at = _account_tx_silver_cached(spark)
     page = at.filter(F.col("account") == _ACCT7).select("hash", "height")
     rows = txs.join(F.broadcast(page), ["hash", "height"], "left_semi")
     compacted = compact_msgs(rows, _ACCT7)
@@ -968,7 +1004,7 @@ _DUCK_AIRDROP = f"""
     "the r4 training-pipeline promotions).",
 )
 def fcd_total_staking_return(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mr = minute_rewards_silver(gen_blocks(spark)).filter(F.col("rtype") == "rewards")
+    mr = _minute_rewards_silver_cached(spark).filter(F.col("rtype") == "rewards")
     rsums = mr.groupBy("denom").agg(F.sum("total").alias("reward_sum"))
     avgp = (
         gen_prices(spark)
@@ -1390,7 +1426,7 @@ def fcd_cumulative_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from classic_fcd_spark.operators.windows import cumulative
 
     daily = (
-        minute_rewards_silver(gen_blocks(spark))
+        _minute_rewards_silver_cached(spark)
         .filter(F.col("rtype") == "rewards")
         .withColumn("day", F.substring("minute", 1, 10))
         .groupBy("day", "denom")

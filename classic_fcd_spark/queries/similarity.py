@@ -332,9 +332,17 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = tagged.select("b", "v", F.col("vec_id").alias("i"))
     b = tagged.select("b", "v", F.col("vec_id").alias("j"))
-    cands = (
-        a.join(b, ["b", "v"]).filter(F.col("i") < F.col("j")).select("i", "j").distinct()
-    )
+    # r15: NO pre-verify distinct — deduping 1.8M candidate (i, j) rows
+    # cost a full candidate-sized exchange (measured 1.4 s of the 2.3 s
+    # plan at sf0.1); instead every band collision is verified map-side
+    # (the verify is a broadcast join + filter) and the distinct runs on
+    # the SURVIVORS (output-sized, 142 rows here).  Identical result:
+    # duplicate candidates produce byte-identical (i, j, cos_e6) rows —
+    # the cosine is deterministic — so distinct-after = distinct-before;
+    # extra fold work is bounded by the band count (≤ 8x, map-side),
+    # while the dedupe shuffle drops from candidate volume to output
+    # volume at every scale.
+    cands = a.join(b, ["b", "v"]).filter(F.col("i") < F.col("j")).select("i", "j")
     # 2) exact-cosine verify ONCE per unique REP pair, with per-vector
     #    squared norms hoisted out of the pair loop (the naive form
     #    recomputes dot(a,a)/dot(b,b) per candidate — 3x the fold work);
@@ -356,6 +364,7 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pb), "j")
         .filter(cos >= _PAIR_THRESHOLD)
         .select("i", "j", floor_e6(cos).alias("cos_e6"))
+        .distinct()
     )
     # duplicate-free corpus: reps ARE the vectors, so rep_pairs IS the
     # answer — the expansion joins below only exist for max_m >= 2

@@ -625,8 +625,13 @@ def ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from classic_fcd_spark.operators.lm import ccnet_buckets
 
     docs = load_tables(spark, sf_dir)["documents"]
+    # r15: the fitted e6 unigram model is a pure function of the src0
+    # slice — memoized per corpus generation, not refit per call
     return ccnet_buckets(
-        docs, docs.filter(F.col("source") == "src0"), rel_err=1e-7
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        rel_err=1e-7,
+        memo_key=sf_dir,
     )
 
 

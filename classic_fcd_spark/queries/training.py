@@ -233,7 +233,15 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("source") == _DSIR_TARGET).select("doc_id", "text")
     raw = docs.filter(F.col("source") != _DSIR_TARGET).select("doc_id", "text")
     out = dsir_select(
-        raw, target, k=_DSIR_K, buckets=_DSIR_B, salt=_DSIR_SALT, quantize_e6=True
+        raw,
+        target,
+        k=_DSIR_K,
+        buckets=_DSIR_B,
+        salt=_DSIR_SALT,
+        quantize_e6=True,
+        # r15: the two fitted histograms + the raw bucket silver are
+        # per-corpus state, memoized across calls
+        memo_key=sf_dir,
     )
     return out.select(
         "doc_id",
