@@ -94,6 +94,7 @@ def auto_salted_join(
     how: str = "inner",
     min_share: float = 0.05,
     capacity: int = 1024,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """detect_hot_keys → salted_join in one call: the gated composition
     of detection and repair (the two halves are also usable separately
@@ -106,7 +107,12 @@ def auto_salted_join(
     from the hot list: NULLs never equi-join, so salting them buys
     nothing (filter them or use a null-splitting union instead).
     With NO hot key above min_share this degenerates to the plain join
-    (every row salts to 0, the dim is not replicated)."""
+    (every row salts to 0, the dim is not replicated).
+
+    `memo_key` (r15): the detected hot-key list — a pure function of the
+    fact corpus and a plan-shape decision, the same class as the dedup
+    family's duplicate-mass probes — is memoized per (session, memo_key),
+    so steady-state calls skip the count + Misra-Gries detection jobs."""
     kt = dict(fact.dtypes)[key]
     int_types = ("bigint", "int", "smallint", "tinyint")
     if kt not in int_types and kt != "string":
@@ -115,9 +121,23 @@ def auto_salted_join(
             "(its string form does not round-trip MG detection) — "
             "detect hot keys yourself and call salted_join directly"
         )
-    hot = [h for h in detect_hot_keys(fact, key, min_share, capacity) if h is not None]
-    if kt in int_types:
-        hot = [int(h) for h in hot]
+
+    def _detect():
+        found = [
+            h for h in detect_hot_keys(fact, key, min_share, capacity) if h is not None
+        ]
+        return [int(h) for h in found] if kt in int_types else found
+
+    if memo_key is None:
+        hot = _detect()
+    else:
+        from classic_fcd_spark.session import session_memo
+
+        hot = session_memo(
+            fact.sparkSession,
+            f"skewjoin:hot|{key}|{min_share}|{capacity}|{memo_key}",
+            _detect,
+        )
     if not hot:
         return fact.join(dim, key, how)
     return salted_join(fact, dim, key, hot, salts=salts, how=how)

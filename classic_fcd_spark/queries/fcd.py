@@ -736,7 +736,10 @@ def fcd_account_txs_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fact = gen_account_tx_page(spark)
     dim = gen_accounts_dim(spark)
-    return enrich_account_txs(fact, dim).select(
+    # r15: fixtures are deterministic per session, so the MG hot-key
+    # detection verdict is memoized under a static key (the same
+    # contract as the _account_tx_silver_cached family above)
+    return enrich_account_txs(fact, dim, memo_key="fcd:account_tx_page").select(
         "account", "hash", "height", "label", "segment", "lifetime_txs"
     )
 

@@ -91,6 +91,7 @@ def enrich_account_txs(
     accounts_dim: DataFrame,
     min_share: float = 0.05,
     salts: int = 16,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Account-dim enrichment of the account_tx fact — the batch join
     behind the account tx page family (the workload of
@@ -111,7 +112,11 @@ def enrich_account_txs(
     (no salt machinery in the plan; asserted in tests/test_skewjoin.py)
     — salting is a hot-key tool, not a default, and detection costs one
     bounded Arrow scan of the fact.  Left join: enrichment never drops
-    a fact row for a dim miss."""
+    a fact row for a dim miss.
+
+    `memo_key` (r15): when the fact is a per-corpus silver, pass its
+    generation key so the detection verdict (the hot-key list) is reused
+    across calls instead of re-scanning the fact each time."""
     from classic_fcd_spark.operators.skewjoin import auto_salted_join
 
     return auto_salted_join(
@@ -121,6 +126,7 @@ def enrich_account_txs(
         salts=salts,
         how="left",
         min_share=min_share,
+        memo_key=memo_key,
     )
 
 
