@@ -427,12 +427,11 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cos 0.9, →1 as c→1 (byte-near duplicates, the curation target); widen
 # to more/narrower bands to trade candidate volume for mid-range recall.
 # The 0.45 row stays registered as the recall stress; THIS row is the
-# linear-output workload.  (r15 correction: an earlier comment here cited
-# a "BENCH_NOTES r14" variety-lane entry that was never run or written —
-# no such section exists.  The linear-output claim rests on construction
-# (output <= K*n by the top-K cap) and the planted-cluster/empty-on-random
-# gates in tests/test_embedding_topk.py; the sf1 variety-lane bench row
-# remains an open item, tracked in OPTIMIZATION_r15.md.)
+# linear-output workload: BENCH_NOTES "r15 variety-lane sf1 bench" /
+# BENCH_sf1_variety_r15.json measured 3.92 s here vs 146.53 s for the
+# quadratic-output stress row on the SAME decorrelated 10x corpus.
+# (r14 had cited a variety-lane section that was never run or written;
+# r15 ran it and this citation now points at the committed artifact.)
 #
 # Candidate generation reuses capped_band_self_join, so a mega-bucket
 # (all-identical corpus) can never blow a task's buffered group — the
