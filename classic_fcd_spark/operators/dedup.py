@@ -594,7 +594,15 @@ def _simhash_rep_pairs(
     the collapsed join is invariant to clique sizes.  4 byte bands over
     32 bits guarantee every pair at hamming <= 3 shares a whole band
     (pigeonhole), so recall is exact; the hamming verify runs inside the
-    join stage and only true pairs reach the distinct."""
+    join stage so only true pairs leave it.
+
+    Multi-band collisions (a pair agreeing on >1 band shows up once per
+    shared band) are deduped MAP-SIDE, not by distinct (r15 opt 2): a
+    pair is kept only in the FIRST band whose bytes agree — decidable
+    from (sa, sb) alone inside the join stage, so each qualifying pair
+    is emitted exactly once and the full-width distinct (one Exchange +
+    two HashAggregates over the pair list, guide §2.2 "shuffle fewer
+    bytes — or none") disappears from every simhash consumer."""
     if reps is None:
         reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
     bands = F.array(
@@ -613,11 +621,22 @@ def _simhash_rep_pairs(
         "b", "byte", F.col("simhash").alias("sb"), F.col("rep").alias("rb")
     )
     hamming = F.expr("CAST(bit_count(sa ^ sb) AS INT)")
+    # first band (lowest byte) on which the two fingerprints agree; the
+    # join guarantees at least band `b` agrees, so the CASE total covers
+    first_band = F.expr(
+        "CASE WHEN sa % 256 = sb % 256 THEN 0 "
+        "WHEN (sa div 256) % 256 = (sb div 256) % 256 THEN 1 "
+        "WHEN (sa div 65536) % 256 = (sb div 65536) % 256 THEN 2 "
+        "ELSE 3 END"
+    )
     return (
         left.join(right, ["b", "byte"])
-        .filter((F.col("sa") < F.col("sb")) & (hamming <= max_hamming))
+        .filter(
+            (F.col("sa") < F.col("sb"))
+            & (hamming <= max_hamming)
+            & (F.col("b") == first_band)
+        )
         .select("sa", "sb", "ra", "rb", hamming.alias("hamming"))
-        .distinct()
     )
 
 
@@ -706,6 +725,94 @@ def simhash_component_edges(
         F.col("ra").alias("i"), F.col("rb").alias("j")
     )
     return member.unionByName(rep_edges)
+
+
+def simhash_component_labels(
+    docs: DataFrame,
+    id_col: str,
+    tokens: Column,
+    max_hamming: int = 1,
+    fingerprints: DataFrame | None = None,
+    memo_key: str | None = None,
+) -> DataFrame:
+    """(node, label) keeper assignment over the simhash near-dup graph —
+    equivalent to ``connected_components(simhash_component_edges(...))``
+    but exploiting the STAR SHAPE of the collapsed edge list (r15 opt 2):
+    the member→rep arm needs no iteration at all, so CC runs only on the
+    rep-rep graph and members inherit ``label(rep)`` through one join.
+
+    Equivalence proof (the driver's recursive-CTE oracle checks the
+    result end-to-end):
+    - a member's only edge is to its clique rep, so its component is
+      exactly its rep's component;
+    - every rep is the MIN doc id of its clique, so the min doc id of a
+      component equals the min over the reps it contains — precisely the
+      label CC assigns on the rep graph;
+    - a rep whose clique has no cross-fingerprint adjacency is its own
+      component minimum (its members all have larger ids), hence the
+      ``coalesce(label, rep)``.
+
+    Why it matters at scale: on a clone-heavy corpus the member arm is
+    corpus-sized (sf10: ~5M member edges) while the rep graph stays
+    fingerprint-sized (the same ~3k edges as sf0.1).  The old path fed
+    the UNION to connected_components, pushing the edge count over the
+    single-task threshold and into the distributed pointer-jumping loop
+    — rounds of shuffles over corpus-sized label tables (the 4062 s
+    near_dup_groups row of CHECK_r15_strict_sf10.txt).  Here the loop
+    input is invariant to clique sizes; the corpus-sized work is one
+    broadcast join (guide §3.1) plus one narrow-column distinct."""
+    from classic_fcd_spark.session import scoped_persist, session_memo
+
+    if fingerprints is not None:
+        sh = fingerprints
+    else:
+        sh = scoped_persist(
+            simhash32_table(docs, id_col, tokens), "simhash_component_labels:sh"
+        )
+    reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    member = (
+        sh.join(reps, "simhash")
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(F.col(id_col).alias("i"), F.col("rep").alias("j"))
+    )
+    rep_edges = scoped_persist(
+        _simhash_rep_pairs(sh, id_col, max_hamming, reps=reps).select(
+            F.col("ra").alias("i"), F.col("rb").alias("j")
+        ),
+        f"simhash_component_labels:rep_edges|{memo_key}",
+    )
+    spark = sh.sparkSession
+    if memo_key is None:
+        n_rep = rep_edges.count()
+    else:
+        n_rep = session_memo(spark, f"starcc:n_rep|{memo_key}", rep_edges.count)
+    rep_lab = scoped_persist(
+        connected_components(
+            rep_edges, memo_key=None if memo_key is None else f"{memo_key}:reps"
+        ),
+        f"simhash_component_labels:rep_lab|{memo_key}",
+    )
+    # the rep label table is rep-graph-sized; when that graph fit the
+    # single-task CC regime (same 1M-edge yardstick, symmetrized) it
+    # certainly fits a broadcast, keeping the corpus-sized member arm
+    # shuffle-free — above it, fall back to a plain shuffled join
+    rl = rep_lab.select(F.col("node").alias("r_node"), F.col("label").alias("r_label"))
+    if 2 * n_rep <= 1_000_000:
+        rl = F.broadcast(rl)
+    mem_out = member.join(rl, member.j == rl.r_node, "left").select(
+        F.col("i").alias("node"),
+        F.coalesce("r_label", F.col("j")).alias("label"),
+    )
+    # reps that anchor members but have no cross-fingerprint edge keep
+    # themselves as label; distinct runs over ONE narrow column of the
+    # member arm, not the full pair width the old union shuffled
+    lone_reps = (
+        member.select(F.col("j").alias("node"))
+        .distinct()
+        .join(rl, F.col("node") == rl.r_node, "left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    return mem_out.unionByName(rep_lab.select("node", "label")).unionByName(lone_reps)
 
 
 # ---------------------------------------------------------------------------

@@ -23,10 +23,7 @@ from pyspark.sql import functions as F
 
 from classic_fcd_spark.functions import text as T
 from classic_fcd_spark.functions.text import passes_repetition_filter
-from classic_fcd_spark.operators.dedup import (
-    connected_components,
-    simhash_component_edges,
-)
+from classic_fcd_spark.operators.dedup import simhash_component_labels
 from classic_fcd_spark.operators.packing import pack_concat_and_cut
 from classic_fcd_spark.operators.sampling import stratified_sample
 
@@ -190,15 +187,17 @@ def _with_stages(
     # docs and the fingerprints collapse into false-kin mega-cliques
     from classic_fcd_spark.operators.dedup import word_shingles
 
-    pairs = simhash_component_edges(
+    # star-aware labeling (r15 opt 2): CC over the rep-rep graph only,
+    # members inherit label(rep) — same keepers, loop input invariant to
+    # clique sizes (see simhash_component_labels)
+    cc = simhash_component_labels(
         survivors.filter(F.size(ws_tokens("text")) >= 3).repartition(
             docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
         ),
         "doc_id",
         word_shingles("text"),
         max_hamming=simhash_hamming,
-    )
-    cc = connected_components(pairs).select(
+    ).select(
         F.col("node").alias("doc_id"), (F.col("node") == F.col("label")).alias("near_keep")
     )
 

@@ -445,26 +445,23 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprints, expanded to members — see the oracle comment).",
 )
 def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from classic_fcd_spark.operators.dedup import (
-        connected_components,
-        simhash_component_edges,
-    )
+    from classic_fcd_spark.operators.dedup import simhash_component_labels
 
     from classic_fcd_spark.session import shingle_table, simhash_silver
 
     sh = shingle_table(spark, sf_dir)
-    # collapsed star+rep edges: same components as the full pair graph,
-    # orders fewer edges on a dup-heavy corpus (see simhash_component_edges);
-    # r15: reads the shared stored fingerprint silver
-    edges = simhash_component_edges(
+    # star-aware labeling (r15 opt 2): CC runs on the rep-rep graph only,
+    # members take label(rep) by one broadcast join — same components,
+    # same min-id keepers as CC over the full collapsed edge union (see
+    # simhash_component_labels' proof), but the iterative loop's input is
+    # invariant to clique sizes; r15: reads the shared fingerprint silver
+    return simhash_component_labels(
         sh,
         "doc_id",
         F.col("shingles"),
         max_hamming=_SIMHASH_K,
         fingerprints=simhash_silver(spark, sf_dir),
-    )
-    return connected_components(
-        edges, memo_key=f"near_dup_groups|{sf_dir}"
+        memo_key=f"near_dup_groups|{sf_dir}",
     ).select(
         F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc_id")
     )

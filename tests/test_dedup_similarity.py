@@ -369,6 +369,69 @@ class TestConnectedComponents:
         assert labels[201] == 200 and labels[301] == 300
 
 
+class TestStarComponentLabels:
+    """r15 opt 2: the star-aware labeling (CC on the rep graph only,
+    members inherit label(rep)) must equal generic CC over the full
+    collapsed edge union — same node set, same min-id labels."""
+
+    def _fingerprints(self, spark):
+        h1 = 0x11223344
+        rows = (
+            # clique A on h1 (rep 1), clique B at hamming 1 (rep 2),
+            # singleton 4 at hamming 1 from B → one chained component
+            [(1, h1), (5, h1), (9, h1), (2, h1 ^ 1), (3, h1 ^ 1), (4, h1 ^ (1 << 1))]
+            # lone clique (no cross edge) → own component, label 7
+            + [(7, 0x7000000F), (8, 0x7000000F)]
+            # isolated singleton: no clique, no edge → absent from output
+            + [(6, 0x0F0F0F0F)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    def test_star_labels_equal_generic_cc(self, spark):
+        from classic_fcd_spark.operators.dedup import (
+            connected_components,
+            simhash_component_edges,
+            simhash_component_labels,
+        )
+
+        fp = self._fingerprints(spark)
+        docs = fp.select("doc_id")  # unused when fingerprints are passed
+        tok = F.array(F.lit("unused"))
+        generic = {
+            (r["node"], r["label"])
+            for r in connected_components(
+                simhash_component_edges(docs, "doc_id", tok, fingerprints=fp)
+            ).collect()
+        }
+        star = {
+            (r["node"], r["label"])
+            for r in simhash_component_labels(
+                docs, "doc_id", tok, fingerprints=fp
+            ).collect()
+        }
+        assert star == generic
+        labels = dict(star)
+        assert {labels[n] for n in (1, 2, 3, 4, 5, 9)} == {1}
+        assert labels[7] == 7 and labels[8] == 7
+        assert 6 not in labels
+        # exactly one row per participating node
+        assert len(star) == 8
+
+    def test_rep_pairs_deduped_map_side(self, spark):
+        """Every hamming-1 pair agrees on 3 of the 4 byte bands, so the
+        band join emits 3 collision rows per pair — the first-band filter
+        must keep exactly one, with no distinct in the plan."""
+        from classic_fcd_spark.operators.dedup import _simhash_rep_pairs
+
+        fp = self._fingerprints(spark)
+        pairs = _simhash_rep_pairs(fp, "doc_id", max_hamming=1).collect()
+        keys = [(r["sa"], r["sb"]) for r in pairs]
+        assert len(keys) == len(set(keys)), "map-side dedup must be exact"
+        # h1↔h1^1 and h1↔h1^2 are hamming 1; h1^1↔h1^2 is hamming 2
+        h1 = 0x11223344
+        assert set(keys) == {(h1, h1 ^ 1), (h1, h1 ^ 2)}
+
+
 class TestParagraphBoilerplate:
     FOOTER = "Subscribe to our newsletter\nAll rights reserved"
 
