@@ -769,7 +769,13 @@ def simhash_component_labels(
         sh = scoped_persist(
             simhash32_table(docs, id_col, tokens), "simhash_component_labels:sh"
         )
-    reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    # (simhash, rep, m): rep election + clique size in the ONE aggregate
+    # the rep table needs anyway — m decides below which reps are in the
+    # graph at all, replacing a member-column distinct + anti-join
+    grp = sh.groupBy("simhash").agg(
+        F.min(id_col).alias("rep"), F.count("*").alias("m")
+    )
+    reps = grp.select("simhash", "rep")
     member = (
         sh.join(reps, "simhash")
         .filter(F.col(id_col) != F.col("rep"))
@@ -803,16 +809,19 @@ def simhash_component_labels(
         F.col("i").alias("node"),
         F.coalesce("r_label", F.col("j")).alias("label"),
     )
-    # reps that anchor members but have no cross-fingerprint edge keep
-    # themselves as label; distinct runs over ONE narrow column of the
-    # member arm, not the full pair width the old union shuffled
-    lone_reps = (
-        member.select(F.col("j").alias("node"))
-        .distinct()
-        .join(rl, F.col("node") == rl.r_node, "left_anti")
-        .select("node", F.col("node").alias("label"))
+    # a rep is a node of the pair graph iff its clique has m >= 2
+    # (hamming-0 intra pairs) or it has a rep-rep edge — the same glab
+    # membership rule as the oracle CTE; one fingerprint-sized left join
+    # against the shared broadcast, no distinct, no anti-join
+    rep_out = (
+        grp.join(rl, grp.rep == rl.r_node, "left")
+        .filter((F.col("m") >= 2) | F.col("r_node").isNotNull())
+        .select(
+            F.col("rep").alias("node"),
+            F.coalesce("r_label", F.col("rep")).alias("label"),
+        )
     )
-    return mem_out.unionByName(rep_lab.select("node", "label")).unionByName(lone_reps)
+    return mem_out.unionByName(rep_out)
 
 
 # ---------------------------------------------------------------------------
