@@ -611,6 +611,7 @@ def fit_trigram_prob_model(
     buckets: int = 256,
     lams: tuple[float, float, float] = (0.2, 0.3, 0.5),
     max_model_trigrams: int = 4_000_000,
+    persist_scope: str = "trigram_prob",
 ) -> TrigramProbModel:
     """Fit the count tables of the log-free trigram LM (see
     trigram_prob_scores).  The tables never leave the JVM (r8): each is
@@ -633,13 +634,13 @@ def fit_trigram_prob_model(
         model_docs.repartition(par).select(
             ngram_buckets(text_col, 1, buckets).alias("bs")
         ),
-        "trigram_prob:model_buckets",
+        f"{persist_scope}:model_buckets",
     )
     uni_model = scoped_persist(
         mtoks.select(F.explode("bs").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("ucnt")),
-        "trigram_prob:uni_model",
+        f"{persist_scope}:uni_model",
     )
     utot = uni_model.agg(F.sum("ucnt")).first()[0] or 0
     # (utot + B) as one exact double literal shared by every division
@@ -649,7 +650,7 @@ def fit_trigram_prob_model(
         .select(F.col("p.c").alias("c"), F.col("p.w").alias("w"))
         .groupBy("c", "w")
         .agg(F.count("*").alias("pcnt")),
-        "trigram_prob:pair_model",
+        f"{persist_scope}:pair_model",
     )
     pctx_model = pair_model.groupBy("c").agg(F.sum("pcnt").alias("pctx"))
     tri_model = scoped_persist(
@@ -658,7 +659,7 @@ def fit_trigram_prob_model(
         .select("t.c1", "t.c2", F.col("t.w").alias("w"))
         .groupBy("c1", "c2", "w")
         .agg(F.count("*").alias("tcnt")),
-        "trigram_prob:tri_model",
+        f"{persist_scope}:tri_model",
     )
     n_tri = tri_model.count()
     if n_tri > max_model_trigrams:

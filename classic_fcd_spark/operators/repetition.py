@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from classic_fcd_spark.operators.dedup import ws_tokens
 
@@ -126,20 +127,20 @@ def _ngram_fold(toks, n: int) -> Column:
     return F.aggregate(grams, init, step, finish)
 
 
-def repetition_signals(
+
+def repetition_signals_fold(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One row per doc: top{2,3,4}_frac_e6, dup{5..10}_frac_e6,
-    dup_line_frac_e6, dup_line_char_frac_e6.  Docs shorter than an
-    n-gram width contribute 0 for that signal (nothing is repeated).
-
-    ZERO-SHUFFLE plan (r12; the r11 form exploded (doc, n, gram) and
-    paid two shuffles over a ~9x-token gram stream): every signal is a
-    per-doc quantity, so each n's gram counting runs as a sorted-run
-    fold INSIDE the row (_ngram_fold) and the whole table is one
-    projection over the doc scan — at 100 TB the operator scales with
-    the scan, not with a 9x-token exchange.  Same bit-exact e6 outputs
-    (driver oracle + hand-computed pins unchanged)."""
+    """The pure-JVM form of repetition_signals (the r12-r15 query path):
+    each n's gram counting is a sorted-run fold inside the row
+    (_ngram_fold) and the whole nine-signal table is one projection over
+    the doc scan — zero shuffles, no Python boundary.  Kept as the
+    bit-equal fallback/reference implementation (both forms are gated by
+    the same oracle and the pure-Python reference tests); the query path
+    uses the Arrow kernel below, measured 7.9x faster (r16, guide §4.2 —
+    HOF lambdas evaluate interpreted per element, ~10 us/token across
+    nine passes, where the per-batch Python Counter kernel pays the
+    boundary once for two narrow columns)."""
     toks = ws_tokens(text_col)
     base = docs.select(
         F.col(id_col),
@@ -191,6 +192,122 @@ def repetition_signals(
             )
         )
     return base.select(*cols)
+
+
+SIGNAL_COLS = (
+    "dup_line_frac_e6",
+    "dup_line_char_frac_e6",
+    *(f"top{n}_frac_e6" for n in TOP_NS),
+    *(f"dup{n}_frac_e6" for n in DUP_NS),
+)
+
+
+def _doc_signals(text):
+    """All eleven Gopher signals of ONE document, plain Python — the
+    per-batch kernel body of repetition_signals.  Mirrors the SQL fold
+    expression by expression; every arithmetic step lands on the same
+    IEEE doubles / exact integers (1e6 * int is exact below 2**53, and
+    int / int division promotes to double exactly like Spark's long
+    `/`), so the emitted signals are bit-identical — pinned by the
+    oracle gate and tests/test_repetition.py's cross-form equality.
+
+    Python-semantics footnotes (each matching the SQL twin exactly):
+    - None text -> all-None signals (Spark: NULL propagates through
+      size/floor);
+    - strip/split use the SPACE character only — Spark's trim/split
+      (' +') never touch tabs or \r;
+    - the top-gram tiebreak max(count, token-tuple) equals the SQL
+      max(count, joined-string) because tokens are space-free and
+      ' ' sorts below every token byte, so tuple order == joined order.
+    """
+    import math
+    from collections import Counter
+
+    if text is None:
+        # match the SQL fold's NULL propagation exactly: the line
+        # signals are NULL (size(split(NULL)) is NULL) but every n-gram
+        # signal is 0 — _ngram_fold's size(NULL) >= n guard is false, so
+        # the fold runs over an EMPTY gram array and closes to 0, and
+        # greatest(NULL_total, 1) = 1 keeps the floor division at 0
+        return (None, None) + (0,) * (len(SIGNAL_COLS) - 2)
+    out = []
+    lines = [s.strip(" ") for s in text.split("\n")]
+    lines = [s for s in lines if s != ""]
+    n_lines = len(lines)
+    distinct = set(lines)
+    all_chars = sum(len(s) for s in lines)
+    uniq_chars = sum(len(s) for s in distinct)
+    out.append(math.floor(E6 * (n_lines - len(distinct)) / max(n_lines, 1)))
+    out.append(math.floor(E6 * (all_chars - uniq_chars) / max(all_chars, 1)))
+
+    total = max(len(text.replace(" ", "")), 1)
+    toks = text.strip(" ").split(" ")
+    toks = [t for t in toks if t != ""] or [""]
+    m = len(toks)
+    for n in (*TOP_NS, *DUP_NS):
+        grams = (
+            Counter(tuple(toks[i : i + n]) for i in range(m - n + 1))
+            if m >= n
+            else None
+        )
+        if n in TOP_NS:
+            if grams:
+                best_c, best_g = max((v, g) for g, v in grams.items())
+                chars = best_c * sum(len(t) for t in best_g)
+            else:
+                chars = 0
+        else:
+            chars = (
+                sum(
+                    v * sum(len(t) for t in g)
+                    for g, v in grams.items()
+                    if v >= 2
+                )
+                if grams
+                else 0
+            )
+        out.append(math.floor(E6 * chars / total))
+    return tuple(out)
+
+
+def _signals_kernel(batches):
+    """mapInPandas body: one Python worker pass per Arrow batch; heavy
+    imports resolve once per task (guide §4.5 — this lives in an
+    importable module, so reused workers keep the warm interpreter)."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids = pdf.iloc[:, 0]
+        rows = [(i,) + _doc_signals(t) for i, t in zip(ids, pdf.iloc[:, 1])]
+        yield pd.DataFrame(rows, columns=[pdf.columns[0], *SIGNAL_COLS])
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per doc: top{2,3,4}_frac_e6, dup{5..10}_frac_e6,
+    dup_line_frac_e6, dup_line_char_frac_e6.  Docs shorter than an
+    n-gram width contribute 0 for that signal (nothing is repeated).
+
+    r16 (guide §4.2): ONE Arrow-batched mapInPandas pass — select the
+    two needed columns, ship them as Arrow batches, count grams with
+    C-speed dict machinery (Counter), return the eleven integers.  The
+    r12-r15 pure-JVM fold (repetition_signals_fold, kept + tested) has
+    the right SHAPE (zero shuffles, one projection) but higher-order
+    functions execute interpreted per element — nine passes over every
+    token at ~10 us/token measured; the kernel is 7.9x faster at sf0.1
+    (3.50 -> 0.44 s) with the boundary cost bounded by the two narrow
+    columns (§4.1: explicit select before an opaque function).  At
+    100 TB both forms scale with the scan and shuffle nothing; the
+    kernel simply spends ~8x less CPU per byte.  Bit-identical outputs:
+    same oracle, same hand-computed pins, plus a direct fold==kernel
+    equality test (tests/test_repetition.py)."""
+    schema_id = docs.schema[id_col]
+    out_schema = StructType(
+        [schema_id] + [StructField(c, LongType(), True) for c in SIGNAL_COLS]
+    )
+    return docs.select(id_col, text_col).mapInPandas(_signals_kernel, out_schema)
+
 
 
 def duck_repetition_sql(

@@ -159,11 +159,12 @@ def _repetition_oracle() -> str:
     "A1.1; operators/repetition.py): top{2,3,4}-gram and "
     "duplicate-{5..10}-gram character fractions plus duplicate-line "
     "fractions, e6-floored per row so the cross-engine hash is exact.  "
-    "ZERO-SHUFFLE since r12: every signal is per-doc, so each n's gram "
-    "counting is a sorted-run fold inside the row and the whole table "
-    "is one projection over the doc scan (r11's explode paid two "
-    "shuffles over a ~9x-token gram stream; measured 178 s -> 83 s at "
-    "the x100 sweep).  Driver-gated since r11 (slot rotated from "
+    "ZERO-SHUFFLE since r12: every signal is per-doc (r11's explode "
+    "paid two shuffles over a ~9x-token gram stream).  r16: the eleven "
+    "signals come from ONE Arrow-batched mapInPandas kernel over "
+    "(doc_id, text) — guide §4.2; the interpreted nine-fold JVM "
+    "projection stays as repetition_signals_fold, bit-equal and "
+    "cross-tested.  Driver-gated since r11 (slot rotated from "
     "duplicated_spans — its windowed-count pattern kin, which keeps the "
     "same DuckDB oracle as an in-test gate, tests/test_spans.py)."
     ,
@@ -172,7 +173,7 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation drop rule rides pipeline/curation.py like the other
     quality signals.  See the operator docstring for the 100 TB shape.
 
-    The repartition exists for the FIXTURE corpora only: the fold plan
+    The repartition exists for the FIXTURE corpora only: the kernel
     parallelizes by input split, and a small single-row-group parquet
     file is one unsplittable task (minPartitionNum can't cut inside a
     row group).  On a real corpus (thousands of row groups) the scan
@@ -405,89 +406,35 @@ def trigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trigram_model_for(spark: SparkSession, sf_dir: str, docs: DataFrame):
-    """The corpus-keyed trigram-LM model cache (r8): fit once per model
-    corpus, score every subsequent run from the materialized count
-    tables — previously the gated query REFITTED the LM on every
-    invocation, a training job masquerading as a query and the slowest
-    bench workload (VERDICT r7 item 4).
+    """The session-scoped trigram-LM model memo (r16, VERDICT r15 item
+    1): fit ONCE per (session, corpus generation), score every call in
+    the session from the persisted in-memory count tables — the same
+    contract as every other silver (shingle_table, bm25_postings_table,
+    simhash_silver): the first toucher pays the fit inside its own
+    timed region; nothing keyed on the corpus outlives the process.
 
-    The cache key is the stat signature (size + mtime_ns per file) of
-    `documents.parquet`, NOT its content — invalidation costs an
-    os.stat, never a scan; a rebuilt corpus changes mtime and forces a
-    refit, so the driver gate can never see a stale model.  Counts are
-    integers and the load path re-derives the same scoring constants,
-    so a cache-hit run is bit-identical to a cold fit (pinned by
-    tests/test_lm.py's save/load equivalence test).  Cache lives under
-    the gitignored spark-warehouse/ next to the session's other
-    materializations."""
-    import hashlib
-    import os
-
-    from classic_fcd_spark.operators.lm import (
-        fit_trigram_prob_model,
-        load_trigram_prob_model,
-        save_trigram_prob_model,
-    )
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    parts = []
-    for p in sorted(
-        [src] if os.path.isfile(src) else
-        [os.path.join(src, f) for f in os.listdir(src)]
-    ):
-        st = os.stat(p)
-        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.md5(
-        ("|".join(parts) + "|buckets=256|model=src0").encode()
-    ).hexdigest()[:16]
-    base = os.environ.get(
-        "SPARK_GRAFT_MODEL_DIR",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-            "spark-warehouse",
-            "models",
-        ),
-    )
-    mdir = os.path.join(base, "trigram_lm", key)
-    if not os.path.exists(os.path.join(mdir, "tri", "_SUCCESS")):
-        # Fit into a process-unique staging dir and promote with ONE
-        # os.rename: two concurrent sessions (bench + the driver gate)
-        # that both miss can no longer interleave writes into the same
-        # keyed path or delete tables out from under a mid-load reader
-        # (ADVICE r8).  POSIX rename onto an existing non-empty dir
-        # fails, so the first promoter wins and the loser just loads
-        # the winner's (bit-identical — same corpus key) model.
-        import uuid
-
-        stage = f"{mdir}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        model = fit_trigram_prob_model(docs.filter(F.col("source") == "src0"))
-        save_trigram_prob_model(model, stage)
-        os.makedirs(os.path.dirname(mdir), exist_ok=True)
-        try:
-            os.rename(stage, mdir)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(stage, ignore_errors=True)
-            # The only benign failure is losing the promotion race; on
-            # anything else (EXDEV, permissions) the staged model is
-            # gone AND nobody won — re-raise rather than let the load
-            # below fail with a confusing missing-path error (ADVICE r9)
-            if not os.path.exists(os.path.join(mdir, "tri", "_SUCCESS")):
-                raise
-    # ALWAYS score from the loaded parquet model so cold and warm runs
-    # execute the identical plan over identical bytes.
-    #
-    # r15: the loaded handle is memoized per (session, model dir) — the
-    # key already embeds the corpus stat signature, so staleness is
-    # impossible — and the count tables are persisted: the previous
-    # per-call load paid a parquet re-read of all three tables plus a
-    # scalar utot aggregate job, and every scoring call rebuilt its ~7
-    # broadcast relations from cold parquet scans.
+    History: r8 introduced a DISK model store under
+    spark-warehouse/models keyed on the corpus stat signature (VERDICT
+    r7 had flagged the per-invocation refit as a training job
+    masquerading as a query).  VERDICT r15 item 1 flagged that store as
+    the tree's one cross-run cache — precomputation on disk benefiting
+    a benched query across processes — so the fit now lives in the
+    in-memory session memo like every other per-corpus silver.  The
+    save/load round-trip this drops was proven bit-neutral by
+    tests/test_lm.py::TestTrigramModelSaveLoad (counts are integers;
+    the load path re-derived identical constants), so scoring from the
+    fresh fit is hash-identical to scoring from the old loaded model."""
+    from classic_fcd_spark.operators.lm import fit_trigram_prob_model
     from classic_fcd_spark.session import session_memo
 
-    def _load():
-        model = load_trigram_prob_model(spark, mdir)
+    def _fit():
+        # per-corpus persist scope: a second corpus fit in the same
+        # session (bench warm-up at sf0.001, then sf0.1) must not
+        # unpersist the first corpus's memoized count tables
+        model = fit_trigram_prob_model(
+            docs.filter(F.col("source") == "src0"),
+            persist_scope=f"trigram_prob:{sf_dir}",
+        )
         for df in (
             model.uni_model,
             model.pair_model,
@@ -498,7 +445,7 @@ def _trigram_model_for(spark: SparkSession, sf_dir: str, docs: DataFrame):
             df.persist()
         return model
 
-    return session_memo(spark, f"trigram_model|{mdir}", _load)
+    return session_memo(spark, f"trigram_model|{sf_dir}", _fit)
 
 
 # ---------------------------------------------------------------------------

@@ -165,6 +165,7 @@ def write_training_shards(
     source_col: str = "source",
     text_col: str = "text",
     shuffle_seed: str | None = None,
+    target_file_bytes: int | None = None,
 ) -> None:
     """The training pipeline's last mile: materialize a curated corpus
     as loader-ready shard files.
@@ -185,7 +186,16 @@ def write_training_shards(
     alone (re-running with the same seed reproduces byte-identical
     shards; a different seed is a fresh permutation).  The shuffle is
     free: it only changes the window's ORDER BY key — same single
-    shuffle per source, no extra pass."""
+    shuffle per source, no extra pass.
+
+    `target_file_bytes` (r16, guide §6.3): derive bins_per_shard from a
+    BYTE goal instead of a fixed bin count — one tiny aggregate over the
+    corpus (total text bytes / total tokens) prices a packing bin in
+    bytes, and shards are sized so each one-file-per-shard output lands
+    near the target (128 MB - 1 GB is the guide's band).  A fixed
+    bins_per_shard that suits one corpus writes kilobyte files on short
+    docs and multi-GB files on long ones at 100 TB; the byte target
+    holds the file-size distribution steady across corpora."""
     from classic_fcd_spark.operators.dedup import ws_tokens
     from classic_fcd_spark.operators.packing import pack_concat_and_cut
 
@@ -194,6 +204,19 @@ def write_training_shards(
     toks = docs.select(
         id_col, source_col, text_col, F.size(ws_tokens(text_col)).cast("long").alias("n_tokens")
     )
+    if target_file_bytes is not None:
+        row = toks.agg(
+            F.sum(F.length(text_col)).alias("bytes"),
+            F.sum("n_tokens").alias("toks"),
+        ).collect()[0]
+        bytes_per_token = (
+            float(row["bytes"]) / float(row["toks"]) if row["toks"] else 1.0
+        )
+        # a full packing bin holds ~budget tokens; ceil-free floor with a
+        # minimum of one bin per shard
+        bins_per_shard = max(
+            1, int(target_file_bytes / max(budget * bytes_per_token, 1.0))
+        )
     order_col = id_col
     pack_in = toks.select(id_col, source_col, "n_tokens")
     if shuffle_seed is not None:

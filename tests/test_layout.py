@@ -296,3 +296,55 @@ class TestTrainingShards:
             for r in read_training_shards(spark, out).collect()
         }
         assert got == want
+
+
+class TestTargetFileBytes:
+    """r16 (guide §6.3): `target_file_bytes` derives bins_per_shard from
+    a byte goal so one-file-per-shard outputs land near the target
+    regardless of the corpus's doc-length profile."""
+
+    def test_file_sizes_track_target(self, spark, tmp_path):
+        import glob
+        import os
+
+        from classic_fcd_spark.session import load_tables
+        from classic_fcd_spark.sources.layout import (
+            read_training_shards,
+            write_training_shards,
+        )
+
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        target = 64 * 1024  # 64 KB — small enough to force several files
+        out = str(tmp_path / "shards")
+        write_training_shards(docs, out, budget=128, target_file_bytes=target)
+        files = glob.glob(
+            os.path.join(out, "source_pt=*", "shard_pt=*", "*.parquet")
+        )
+        assert files
+        sizes = [os.path.getsize(f) for f in files]
+        total_text = docs.selectExpr("sum(length(text))").collect()[0][0]
+        # count tracks total_bytes / target (parquet compression and the
+        # per-source shard remainders loosen the band, so assert the
+        # order of magnitude, not the exact count)
+        expect = max(1, total_text // target)
+        n_sources = docs.select("source").distinct().count()
+        assert expect / 4 <= len(files) <= expect * 4 + n_sources
+        # no file wildly over target (compression only shrinks)
+        assert max(sizes) <= target * 4
+        # round trip intact
+        back = read_training_shards(spark, out)
+        assert back.count() == docs.count()
+
+    def test_default_path_unchanged(self, spark, tmp_path):
+        """No target -> the fixed bins_per_shard path, byte-identical
+        shard assignment to the pre-r16 writer."""
+        import glob
+        import os
+
+        from classic_fcd_spark.session import load_tables
+        from classic_fcd_spark.sources.layout import write_training_shards
+
+        docs = load_tables(spark, SF_SMALL)["documents"]
+        out = str(tmp_path / "s2")
+        write_training_shards(docs, out, budget=128, bins_per_shard=8)
+        assert glob.glob(os.path.join(out, "source_pt=*", "shard_pt=*"))

@@ -10,6 +10,7 @@ import pytest
 from classic_fcd_spark.operators.repetition import (
     duck_repetition_sql,
     repetition_signals,
+    repetition_signals_fold,
 )
 from tests.conftest import SF_MEDIUM
 
@@ -191,3 +192,45 @@ class TestFoldReference:
             for _ in range(200)
         ]
         self._check(spark, texts)
+
+
+class TestKernelFoldEquality:
+    """r16: repetition_signals moved from the interpreted nine-fold JVM
+    projection to an Arrow-batched mapInPandas kernel (guide §4.2,
+    measured 7.9x).  Both forms must emit BIT-IDENTICAL rows — the fold
+    stays in the tree as the pure-JVM fallback and this test is the
+    standing cross-form gate (the DuckDB oracle and the pure-Python
+    reference above gate each form independently)."""
+
+    def _check(self, spark, rows):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r["doc_id"]: tuple(r) for r in repetition_signals_fold(docs).collect()}
+        b = {r["doc_id"]: tuple(r) for r in repetition_signals(docs).collect()}
+        assert a == b
+        assert (
+            repetition_signals(docs).schema
+            == repetition_signals_fold(docs).schema
+        )
+
+    def test_edge_shapes(self, spark):
+        self._check(
+            spark,
+            [
+                (1, None),                        # NULL text -> NULL signals
+                (2, ""),
+                (3, "   "),
+                (4, "a"),
+                (5, "a a a a a a a a a a a a"),
+                (6, "tab\there tab\there"),        # tabs are NOT separators
+                (7, "a  b   c a  b   c a b c"),   # multi-space runs
+                (8, "line1\nline2\nline1\n\n  line2  \nline3"),
+                (9, "ab cd ab cd ab ce ab cd"),   # tiebreak on gram order
+                (10, "p q r s t u v w x y"),
+            ],
+        )
+
+    def test_corpus(self, spark, tables):
+        docs = tables["documents"]
+        a = {r["doc_id"]: tuple(r) for r in repetition_signals_fold(docs).collect()}
+        b = {r["doc_id"]: tuple(r) for r in repetition_signals(docs).collect()}
+        assert a == b
