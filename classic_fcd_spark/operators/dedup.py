@@ -646,6 +646,7 @@ def simhash_hamming_pairs(
     tokens: Column,
     max_hamming: int = 1,
     fingerprints: DataFrame | None = None,
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup (i, j, hamming) pairs with hamming(simhash) <= k —
     exact recall up to hamming <= 3 (see _simhash_rep_pairs).
@@ -659,7 +660,11 @@ def simhash_hamming_pairs(
     O(band-collision set).
 
     `fingerprints` (r15) reuses a stored (id, simhash) table
-    (session.simhash_silver) instead of re-fingerprinting per call."""
+    (session.simhash_silver) instead of re-fingerprinting per call;
+    `reps` (r16) likewise reuses a stored (simhash, rep) election
+    (session.simhash_grp_table) — without it the band self-join runs
+    the rep groupBy once per side (the broadcast build side cannot
+    share the probe side's exchange)."""
     if fingerprints is not None:
         sh = fingerprints
     else:
@@ -674,7 +679,7 @@ def simhash_hamming_pairs(
         .filter(F.col("i") < F.col("j"))
         .select("i", "j", F.lit(0).alias("hamming"))
     )
-    rep_pairs = _simhash_rep_pairs(sh, id_col, max_hamming)
+    rep_pairs = _simhash_rep_pairs(sh, id_col, max_hamming, reps=reps)
     inter = (
         rep_pairs.join(sh.select(F.col(id_col).alias("ma"), F.col("simhash").alias("sa")), "sa")
         .join(sh.select(F.col(id_col).alias("mb"), F.col("simhash").alias("sb")), "sb")
@@ -734,6 +739,7 @@ def simhash_component_labels(
     max_hamming: int = 1,
     fingerprints: DataFrame | None = None,
     memo_key: str | None = None,
+    grp: DataFrame | None = None,
 ) -> DataFrame:
     """(node, label) keeper assignment over the simhash near-dup graph —
     equivalent to ``connected_components(simhash_component_edges(...))``
@@ -771,10 +777,14 @@ def simhash_component_labels(
         )
     # (simhash, rep, m): rep election + clique size in the ONE aggregate
     # the rep table needs anyway — m decides below which reps are in the
-    # graph at all, replacing a member-column distinct + anti-join
-    grp = sh.groupBy("simhash").agg(
-        F.min(id_col).alias("rep"), F.count("*").alias("m")
-    )
+    # graph at all, replacing a member-column distinct + anti-join.
+    # r16: callers pass the stored per-corpus election
+    # (session.simhash_grp_table) so the groupBy exchange is paid once
+    # per corpus, not once per consumer per invocation.
+    if grp is None:
+        grp = sh.groupBy("simhash").agg(
+            F.min(id_col).alias("rep"), F.count("*").alias("m")
+        )
     reps = grp.select("simhash", "rep")
     member = (
         sh.join(reps, "simhash")

@@ -373,12 +373,18 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     again since r10 (the oracle never changed; `near_dup_groups`'s
     gated plan composes these same pairs)."""
     from classic_fcd_spark.operators.dedup import simhash_hamming_pairs
-    from classic_fcd_spark.session import shingle_table, simhash_silver
+    from classic_fcd_spark.session import (
+        shingle_table,
+        simhash_grp_table,
+        simhash_silver,
+    )
 
     # fingerprints are majority votes over the same word 3-shingles the
     # rest of the dedup family uses — read the shared persisted table;
     # r15: the (doc_id, simhash) fingerprint table itself is the stored
-    # per-corpus silver shared with near_dup_groups / simhash_docs
+    # per-corpus silver shared with near_dup_groups / simhash_docs;
+    # r16: the rep election is a silver too — it ran TWICE per
+    # invocation here (once per band-join side)
     sh = shingle_table(spark, sf_dir)
     return simhash_hamming_pairs(
         sh,
@@ -386,6 +392,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingles"),
         max_hamming=_SIMHASH_K,
         fingerprints=simhash_silver(spark, sf_dir),
+        reps=simhash_grp_table(spark, sf_dir).select("simhash", "rep"),
     )
 
 
@@ -447,14 +454,19 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from classic_fcd_spark.operators.dedup import simhash_component_labels
 
-    from classic_fcd_spark.session import shingle_table, simhash_silver
+    from classic_fcd_spark.session import (
+        shingle_table,
+        simhash_grp_table,
+        simhash_silver,
+    )
 
     sh = shingle_table(spark, sf_dir)
     # star-aware labeling (r15 opt 2): CC runs on the rep-rep graph only,
     # members take label(rep) by one broadcast join — same components,
     # same min-id keepers as CC over the full collapsed edge union (see
     # simhash_component_labels' proof), but the iterative loop's input is
-    # invariant to clique sizes; r15: reads the shared fingerprint silver
+    # invariant to clique sizes; r15: reads the shared fingerprint
+    # silver; r16: and the shared rep-election silver
     return simhash_component_labels(
         sh,
         "doc_id",
@@ -462,6 +474,7 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_SIMHASH_K,
         fingerprints=simhash_silver(spark, sf_dir),
         memo_key=f"near_dup_groups|{sf_dir}",
+        grp=simhash_grp_table(spark, sf_dir),
     ).select(
         F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc_id")
     )

@@ -311,6 +311,27 @@ def simhash_silver(spark, sf_dir: str):
     return session_memo(spark, f"simhash_silver|{sf_dir}", build)
 
 
+def simhash_grp_table(spark, sf_dir: str):
+    """(simhash, rep, m) — the rep-election aggregate over the
+    fingerprint silver (rep = min doc_id of the identical-fingerprint
+    clique, m = clique size), persisted once per (session, corpus)
+    (r16).  simhash_near_dups ran this groupBy TWICE per invocation
+    (once per side of the band self-join — the broadcast build side
+    cannot reuse the probe side's exchange) and near_dup_groups once
+    more; like the fingerprint table itself, the rep election is
+    per-corpus state a production engine stores at ingest."""
+
+    def build():
+        sh = simhash_silver(spark, sf_dir)
+        return (
+            sh.groupBy("simhash")
+            .agg(F.min("doc_id").alias("rep"), F.count("*").alias("m"))
+            .persist()
+        )
+
+    return session_memo(spark, f"simhash_grp|{sf_dir}", build)
+
+
 def bm25_postings_table(spark, sf_dir: str):
     """The (doc_id, dl, term, tf) inverted-index silver over `documents`,
     persisted once per (session, corpus) — the medallion pattern
