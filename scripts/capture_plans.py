@@ -22,9 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    tag = sys.argv[1] if len(sys.argv) > 1 else "r15"
-    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
-    only = set(sys.argv[3:])
+    argv = [a for a in sys.argv[1:] if a != "--warm"]
+    tag = argv[0] if len(argv) > 0 else "r15"
+    suffix = argv[1] if len(argv) > 1 else "before"
+    only = set(argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag)
@@ -38,9 +39,18 @@ def main() -> None:
     qmap = dict(query_fn_map())
     qmap.update(bench._extra_workloads())
 
+    # --warm (r16): execute each query once BEFORE explaining a fresh
+    # build, so session silvers/memos are populated and the captured
+    # plan is the steady-state shape the per-query bench numbers
+    # measure (a cold capture inlines every silver-build subtree, so
+    # its Exchange count mixes once-per-corpus work into the per-call
+    # claim).  Cold remains the default.
+    warm = "--warm" in sys.argv
     names = [n for n in qmap if not only or n in only]
     for name in sorted(names):
         try:
+            if warm:
+                qmap[name](spark, sf_dir).collect()
             df = qmap[name](spark, sf_dir)
             buf = io.StringIO()
             with redirect_stdout(buf):
@@ -50,7 +60,7 @@ def main() -> None:
             text = f"ERROR building plan: {type(exc).__name__}: {exc}\n"
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
-            f.write(f"-- {name} @ {sf_dir} ({suffix})\n")
+            f.write(f"-- {name} @ {sf_dir} ({suffix}{', warm' if warm else ''})\n")
             f.write(text)
         print(f"wrote {path}")
 
