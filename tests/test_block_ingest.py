@@ -14,6 +14,9 @@ byte-equal row sets, no duplicates, no losses (VERDICT r8 item 1's
 from __future__ import annotations
 
 import pytest
+
+# slow tier (r16, VERDICT r15 item 7): crash-convergence ingest e2e — run with --runslow
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 import classic_fcd_spark.streaming.block_ingest as bi

@@ -6,6 +6,11 @@ keeper semantics.
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier (r16, VERDICT r15 item 7): multi-stage funnel pipeline runs — run with --runslow
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from classic_fcd_spark.pipeline.curation import (

@@ -21,6 +21,9 @@ Three contracts:
 from __future__ import annotations
 
 import pytest
+
+# slow tier (r16, VERDICT r15 item 7): full-day ingest/gold e2e — run with --runslow
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F  # noqa: F401
 
 import classic_fcd_spark.pipeline.daily_gold as dg

@@ -11,6 +11,11 @@ here they run as ONE composition on the driver's synthetic corpus.
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier (r16, VERDICT r15 item 7): full funnel-to-shards e2e — run with --runslow
+pytestmark = pytest.mark.slow
+
 import glob
 import os
 

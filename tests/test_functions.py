@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from decimal import Decimal
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from classic_fcd_spark.functions import math as m
@@ -111,6 +113,7 @@ class TestBech32:
         a2 = pubkey_to_address(b"\x01" * 33)
         assert a1 == a2 and a1.startswith("terravalcons1")
 
+    @pytest.mark.slow  # 98 s: full-batch bech32 UDF sweep (r16 tiering)
     def test_udf_batch(self, spark):
         from classic_fcd_spark.functions.bech32 import bech32_convert_to_valoper
 

@@ -8,6 +8,9 @@ import os
 import shutil
 
 import pytest
+
+# slow tier (r16, VERDICT r15 item 7): micro-batch restart/convergence runs — run with --runslow
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from classic_fcd_spark.streaming.minute_pipeline import (

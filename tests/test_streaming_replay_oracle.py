@@ -20,6 +20,11 @@ simulator sees the identical batch sequence.
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier (r16, VERDICT r15 item 7): randomized replay-vs-simulator oracles — run with --runslow
+pytestmark = pytest.mark.slow
+
 import datetime as dt
 import os
 import random
