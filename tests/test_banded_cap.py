@@ -52,6 +52,8 @@ def identical_shingled(identical_docs):
     )
 
 
+# slow tier (r16): the two adversarial corpora cost ~56 s together
+@pytest.mark.slow
 class TestAdversarialExactness:
     def test_all_identical_corpus_emits_all_pairs(self, identical_shingled):
         n_pairs = lsh_candidate_pairs(

@@ -8,6 +8,7 @@ partitioning)."""
 from __future__ import annotations
 
 import datetime
+import pytest
 
 import duckdb
 
@@ -210,6 +211,7 @@ class TestSessionize:
         )
         assert len(unflushed) < len(flushed)
 
+    @pytest.mark.slow  # 29 s checkpoint-restart cycle (r16 tiering)
     def test_streaming_restart_resumes_from_checkpoint(self, spark, tmp_path):
         """T2 shape for sessions: a second availableNow run with the same
         checkpoint processes ONLY newly-arrived files — already-emitted

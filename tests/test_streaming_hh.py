@@ -6,6 +6,7 @@ guaranteed-frequent items, and checkpoint resume.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -82,6 +83,7 @@ class TestStreamingHeavyHitters:
         survivors = {i for info in summary.values() for i in info["counters"]}
         assert {"heavy0", "heavy1", "heavy2"} <= survivors
 
+    @pytest.mark.slow  # 23 s checkpoint-restart cycle (r16 tiering)
     def test_resume_from_checkpoint_continues_counts(self, spark, tmp_path):
         items_dir = _mk_stream_dir(tmp_path, n_files=2)
         ck = str(tmp_path / "ck2")
